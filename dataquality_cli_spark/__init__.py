@@ -1,0 +1,14 @@
+"""dataquality_cli_spark — a from-scratch PySpark-native rebuild of the
+capabilities of peekknuf/DataQuality-CLI (reference read-only at
+/root/reference), recast per the north rule as a language-ID +
+quality-filter + PII/toxicity-scrub pipeline over an Iceberg-shaped table
+of source-code files, plus the reference's per-column profiling surface
+(SURVEY.md §2a) and large-scale training-data-pipeline operators
+(dedup / similarity / text analysis / multimodal plumbing).
+
+Everything here is idiomatic Spark: DataFrame API + built-in functions
+through Catalyst, with vectorized pandas/Arrow UDFs only where built-ins
+cannot express the semantics (langid, perplexity). No per-row Python.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,115 @@
+"""Single source of truth for every rule constant, threshold, regex and
+tie-break order — shared verbatim by the Spark pipeline
+(:mod:`dataquality_cli_spark.plans.pipeline`) and the pure-Python oracle
+(:mod:`dataquality_cli_spark.oracle`) so keep/drop parity (F1 >= 0.99)
+is decided by semantics, not constant drift.
+
+Reference semantics being recast (citations into /root/reference):
+  - null%% -> Good/Fair/Poor grade: cmd/describe.go:393-401
+  - per-column profile thresholds:   internal/engine/simple_engine.go:25-40
+The north rule maps these to per-file keep/drop gating (SURVEY.md §2b).
+
+All regexes are restricted to the common subset of Java regex (Spark
+``regexp_replace``/``regexp_extract_all``) and Python :mod:`re` so the
+two implementations match byte-for-byte.
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# Heuristic per-file rules (SURVEY.md §2b rows 1-6)
+# ---------------------------------------------------------------------------
+
+# blank-line ratio: blank = trim(line) == ''  (reference null semantics:
+# adaptive_streaming_engine.go:205-209 — TrimSpace(value) == "").
+BLANK_RATIO_MAX = 0.35
+
+# line-length distribution (recast of Q25/Q50/Q75 numeric profile,
+# simple_engine.go:304-311): drop when max or mean line length explodes.
+MAX_LINE_LEN = 1000
+MEAN_LINE_LEN_MAX = 200.0
+
+# alphanumeric fraction of content (recast of type-inference
+# printable/parseable vote, simple_engine.go:194-214).
+ALNUM_FRACTION_MIN = 0.25
+
+# duplicate-line ratio over NON-BLANK lines (recast of top-1 value
+# frequency, simple_engine.go:239-245): 1 - distinct/total.
+DUP_LINE_RATIO_MAX = 0.60
+DUP_LINE_MIN_LINES = 10  # don't judge tiny files
+
+# max whitespace-token length (recast of max-field-size guard,
+# parser/csv_parser.go:185-187): minified / binary detector.
+MAX_TOKEN_LEN = 200
+
+# ---------------------------------------------------------------------------
+# Model stages
+# ---------------------------------------------------------------------------
+
+# langid: drop when the char-ngram classifier says natural-language prose.
+LANGID_CLASSES = ("python", "javascript", "go", "text")
+LANGID_PROSE_CLASS = "text"
+LANGID_HASH_DIM = 4096
+LANGID_NGRAM_ORDERS = (2, 3)
+
+# perplexity: char-trigram LM over clean code; drop above threshold.
+PPL_HASH_DIM = 1 << 16
+PPL_ORDER = 3
+PPL_MAX = 100.0
+PPL_FLOOR_LOGP = -13.0  # log-prob assigned to unseen trigrams
+
+# ---------------------------------------------------------------------------
+# Drop-reason precedence (pinned tie-break order; FIXTURES.md §1 "mixed")
+# ---------------------------------------------------------------------------
+
+# Cheap built-in-expression heuristics first (short-circuits model
+# inference cost at scale), then perplexity, then langid.
+DROP_REASON_ORDER = (
+    "blank_ratio",
+    "line_length",
+    "alnum",
+    "dup_lines",
+    "max_token",
+    "perplexity",
+    "langid",
+)
+
+# ---------------------------------------------------------------------------
+# Scrub pass — PII + secrets + toxicity lexicon.
+# (pattern, replacement) applied IN ORDER; order matters (private key
+# blocks before bearer tokens, emails before IPs is arbitrary but pinned).
+# ---------------------------------------------------------------------------
+
+RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+RE_IPV4 = r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b"
+RE_IPV6 = r"\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b"
+RE_AWS_KEY = r"\bAKIA[0-9A-Z]{16}\b"
+RE_PRIVATE_KEY = r"-----BEGIN [A-Z ]*PRIVATE KEY-----(?:[^-]|-(?!----END))*-----END [A-Z ]*PRIVATE KEY-----"
+RE_BEARER = r"\b[Bb]earer +[A-Za-z0-9\-._~+/]{8,}=*"
+TOXICITY_LEXICON = (
+    "frak", "gorram", "smeghead", "belgium", "felgercarb", "shazbot",
+)
+RE_TOXICITY = r"(?i)\b(?:" + "|".join(TOXICITY_LEXICON) + r")\b"
+
+# name -> (pattern, replacement); iteration order is the scrub order.
+SCRUB_RULES = (
+    ("private_key", RE_PRIVATE_KEY, "<PRIVATE_KEY>"),
+    ("aws_key", RE_AWS_KEY, "<AWS_KEY>"),
+    ("bearer", RE_BEARER, "<TOKEN>"),
+    ("email", RE_EMAIL, "<EMAIL>"),
+    ("ipv6", RE_IPV6, "<IP>"),
+    ("ipv4", RE_IPV4, "<IP>"),
+    ("toxicity", RE_TOXICITY, "<TOX>"),
+)
+
+# ---------------------------------------------------------------------------
+# Reference CSV-profiling thresholds kept verbatim (cmd/describe.go)
+# ---------------------------------------------------------------------------
+
+QUALITY_POOR_NULL_PCT = 25.0   # cmd/describe.go:393-401
+QUALITY_FAIR_NULL_PCT = 10.0
+NEEDS_DETAIL_NULL_PCT = 5.0    # cmd/describe.go:419-421
+NEEDS_DETAIL_ROWS = 100_000
+NEEDS_DETAIL_COLS = 20
+KEY_COLUMN_UNIQUE_MIN = 100    # cmd/describe.go:458-473
+TOP_DETAIL_LIMIT = 3

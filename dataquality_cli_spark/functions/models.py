@@ -1,0 +1,159 @@
+"""Langid + perplexity models: hashed character n-grams, numpy-vectorized.
+
+- :class:`LangIdModel` — fastText-style linear classifier: hashed char
+  2/3-gram bag -> per-class log-prob sums -> argmax. Trained offline
+  (import-time, deterministic seed) on the synthetic template corpus;
+  weights are plain numpy arrays, broadcast to executors as arrays
+  (``to_arrays``/``from_arrays``) — never re-trained per task.
+- :class:`CharLM` — KenLM-style char-trigram LM: conditional
+  p(c3 | c1 c2) from two hashed count tables; per-file mean NLL ->
+  perplexity. Unseen trigrams get ``PPL_FLOOR_LOGP``.
+
+Scoring is pure numpy over the UTF-8 byte stream (no per-char Python);
+the SAME functions back both the Spark pandas UDFs and the pure-Python
+oracle so float behavior is identical by construction.
+
+Reference analog being recast (SURVEY.md §2b): the file-type gate
+cmd/describe.go:137 -> langid; no reference analog for perplexity
+(required by north rule).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from ..config import (
+    LANGID_CLASSES,
+    LANGID_HASH_DIM,
+    LANGID_NGRAM_ORDERS,
+    PPL_FLOOR_LOGP,
+    PPL_HASH_DIM,
+    PPL_ORDER,
+)
+
+_MOD = np.int64(1_000_003)  # polynomial rolling-hash multiplier-friendly prime
+
+
+def text_bytes(text: str) -> np.ndarray:
+    return np.frombuffer(text.encode("utf-8", "replace"), dtype=np.uint8)
+
+
+def ngram_hashes(b: np.ndarray, n: int, dim: int) -> np.ndarray:
+    """Vectorized polynomial hash of every char n-gram in byte array *b*."""
+    if b.size < n:
+        return np.empty(0, dtype=np.int64)
+    h = np.zeros(b.size - n + 1, dtype=np.int64)
+    for k in range(n):
+        h = (h * np.int64(31) + b[k : b.size - n + 1 + k].astype(np.int64)) % _MOD
+    return h % np.int64(dim)
+
+
+class LangIdModel:
+    def __init__(self, classes: tuple[str, ...], weights: np.ndarray):
+        self.classes = classes
+        self.weights = weights  # (n_classes, dim) float64 log-probs
+
+    @classmethod
+    def train(cls, texts_by_class: dict[str, list[str]],
+              dim: int = LANGID_HASH_DIM,
+              orders: tuple[int, ...] = LANGID_NGRAM_ORDERS) -> "LangIdModel":
+        classes = tuple(texts_by_class)
+        counts = np.ones((len(classes), dim), dtype=np.float64)  # add-1 smoothing
+        for ci, c in enumerate(classes):
+            for t in texts_by_class[c]:
+                b = text_bytes(t)
+                for n in orders:
+                    hs = ngram_hashes(b, n, dim)
+                    if hs.size:
+                        np.add.at(counts[ci], hs, 1.0)
+        weights = np.log(counts / counts.sum(axis=1, keepdims=True))
+        return cls(classes, weights)
+
+    def score_one(self, text: str) -> np.ndarray:
+        b = text_bytes(text)
+        total = np.zeros(len(self.classes), dtype=np.float64)
+        for n in LANGID_NGRAM_ORDERS:
+            hs = ngram_hashes(b, n, self.weights.shape[1])
+            if hs.size:
+                total += self.weights[:, hs].sum(axis=1)
+        return total
+
+    def predict(self, texts) -> list[str]:
+        return [self.classes[int(np.argmax(self.score_one(t)))] for t in texts]
+
+    def to_arrays(self) -> dict:
+        return {"classes": list(self.classes), "weights": self.weights}
+
+    @classmethod
+    def from_arrays(cls, d: dict) -> "LangIdModel":
+        return cls(tuple(d["classes"]), d["weights"])
+
+
+class CharLM:
+    @classmethod
+    def train(cls, texts: list[str], dim: int = PPL_HASH_DIM) -> "CharLM":
+        tri = np.zeros(dim, dtype=np.float64)
+        bi = np.zeros(dim, dtype=np.float64)
+        for t in texts:
+            b = text_bytes(t)
+            h3 = ngram_hashes(b, PPL_ORDER, dim)
+            h2 = ngram_hashes(b, PPL_ORDER - 1, dim)
+            if h3.size:
+                np.add.at(tri, h3, 1.0)
+            if h2.size:
+                # context counts: bigrams that START a trigram (all but last)
+                np.add.at(bi, h2[: h3.size], 1.0)
+        # conditional p(c3|c1c2) ~ tri[h3(c1c2c3)] / bi[h2(c1c2)], hashed.
+        # Precompute per-trigram-hash logp with its own context is impossible
+        # after hashing, so store log(tri) and log-context in two tables and
+        # combine at score time.
+        with np.errstate(divide="ignore"):
+            ltri = np.where(tri > 0, np.log(tri), PPL_FLOOR_LOGP)
+            lbi = np.where(bi > 0, np.log(bi), 0.0)
+        m = cls.__new__(cls)
+        m.ltri = ltri
+        m.lbi = lbi
+        m.dim = dim
+        return m
+
+    def nll(self, text: str) -> float:
+        """Mean negative log p(c3|c1c2) over all trigrams; 0.0 for texts
+        shorter than one trigram."""
+        b = text_bytes(text)
+        h3 = ngram_hashes(b, PPL_ORDER, self.dim)
+        if h3.size == 0:
+            return 0.0
+        h2 = ngram_hashes(b, PPL_ORDER - 1, self.dim)[: h3.size]
+        lp = self.ltri[h3] - self.lbi[h2]
+        lp = np.minimum(lp, 0.0)  # hash collisions can make ratio > 1
+        lp = np.where(self.ltri[h3] <= PPL_FLOOR_LOGP, PPL_FLOOR_LOGP, lp)
+        return float(-lp.mean())
+
+    def ppl(self, text: str) -> float:
+        return float(np.exp(self.nll(text)))
+
+    def to_arrays(self) -> dict:
+        return {"ltri": self.ltri, "lbi": self.lbi, "dim": self.dim}
+
+    @classmethod
+    def from_arrays(cls, d: dict) -> "CharLM":
+        m = cls.__new__(cls)
+        m.ltri = d["ltri"]
+        m.lbi = d["lbi"]
+        m.dim = d["dim"]
+        return m
+
+
+@lru_cache(maxsize=1)
+def get_models() -> tuple[LangIdModel, CharLM]:
+    """Train-once (deterministic) models over the synthetic templates.
+    The perplexity LM trains on code AND prose — it is a 'naturalness'
+    gate; the code-vs-prose call belongs to langid."""
+    from ..sources.synth import training_texts
+
+    tx = training_texts()
+    langid = LangIdModel.train({c: tx[c] for c in LANGID_CLASSES})
+    lm = CharLM.train([t for c in LANGID_CLASSES for t in tx[c]])
+    return langid, lm

@@ -1,0 +1,112 @@
+"""Heuristic per-file quality rules as pure built-in Column expressions.
+
+Every rule stays inside Catalyst / whole-stage codegen — split +
+higher-order array functions, zero UDFs, zero shuffles (all narrow,
+per-row). At 100 TB these run at scan speed.
+
+Reference semantics recast (SURVEY.md §2b, citations into /root/reference):
+  blank ratio        <- null%% grading, cmd/describe.go:393-401 +
+                        TrimSpace-null, adaptive_streaming_engine.go:205-209
+  line-length stats  <- Q25/Q50/Q75 numeric profile, simple_engine.go:304-311
+  alnum fraction     <- type-inference parseable vote, simple_engine.go:194-214
+  duplicate-line     <- top-1 value frequency, simple_engine.go:239-245
+  max token length   <- max-field-size guard, parser/csv_parser.go:185-187
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .. import config as C
+
+# chars treated as "blank" when a line contains only them (pinned; the
+# oracle uses str.strip(BLANK_CHARS) — Spark btrim(col, BLANK_CHARS))
+BLANK_CHARS = " \t\r"
+
+# token separator: explicit ASCII whitespace class, NOT \s — Java \s and
+# Python \s disagree on \x1c-\x1f and Unicode spaces (pinned both sides)
+TOKEN_SEP_RE = "[ \\t\\n\\x0B\\f\\r]+"
+
+
+def lines_col(content: Column) -> Column:
+    return F.split(content, "\n", -1)
+
+
+def _is_blank(line: Column) -> Column:
+    return F.btrim(line, F.lit(BLANK_CHARS)) == ""
+
+
+def blank_ratio(content: Column) -> Column:
+    ls = lines_col(content)
+    n = F.size(ls)
+    blanks = F.size(F.filter(ls, _is_blank))
+    return (blanks.cast("double") / n.cast("double")).alias("blank_ratio")
+
+
+def max_line_len(content: Column) -> Column:
+    return F.array_max(F.transform(lines_col(content), F.length)).cast("long")
+
+
+def mean_line_len(content: Column) -> Column:
+    ls = lines_col(content)
+    total = F.aggregate(
+        F.transform(ls, F.length),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    return total.cast("double") / F.size(ls).cast("double")
+
+
+def alnum_fraction(content: Column) -> Column:
+    n = F.length(content)
+    alnum = F.length(F.regexp_replace(content, "[^A-Za-z0-9]", ""))
+    return F.when(n > 0, alnum.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def dup_line_ratio(content: Column) -> Column:
+    """1 - distinct/total over NON-BLANK raw lines (0.0 when no non-blank
+    lines). Blank lines excluded so blank-heavy files don't double-trip."""
+    nonblank = F.filter(lines_col(content), lambda l: ~_is_blank(l))
+    n = F.size(nonblank)
+    return F.when(
+        n > 0,
+        F.lit(1.0) - F.size(F.array_distinct(nonblank)).cast("double") / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def max_token_len(content: Column) -> Column:
+    toks = F.split(content, TOKEN_SEP_RE, -1)
+    return F.array_max(F.transform(toks, F.length)).cast("long")
+
+
+def nonblank_line_count(content: Column) -> Column:
+    return F.size(F.filter(lines_col(content), lambda l: ~_is_blank(l))).cast("long")
+
+
+def rule_metrics(content: Column) -> dict[str, Column]:
+    """All heuristic metrics, named; one narrow projection."""
+    return {
+        "n_lines": F.size(lines_col(content)).cast("long"),
+        "n_nonblank_lines": nonblank_line_count(content),
+        "blank_ratio": blank_ratio(content),
+        "max_line_len": max_line_len(content),
+        "mean_line_len": mean_line_len(content),
+        "alnum_fraction": alnum_fraction(content),
+        "dup_line_ratio": dup_line_ratio(content),
+        "max_token_len": max_token_len(content),
+    }
+
+
+def heuristic_failures() -> dict[str, Column]:
+    """Per-rule failure predicates over the metric columns produced by
+    :func:`rule_metrics` (thresholds from config — shared with oracle)."""
+    return {
+        "blank_ratio": F.col("blank_ratio") > C.BLANK_RATIO_MAX,
+        "line_length": (F.col("max_line_len") > C.MAX_LINE_LEN)
+        | (F.col("mean_line_len") > C.MEAN_LINE_LEN_MAX),
+        "alnum": F.col("alnum_fraction") < C.ALNUM_FRACTION_MIN,
+        "dup_lines": (F.col("dup_line_ratio") > C.DUP_LINE_RATIO_MAX)
+        & (F.col("n_nonblank_lines") >= C.DUP_LINE_MIN_LINES),
+        "max_token": F.col("max_token_len") > C.MAX_TOKEN_LEN,
+    }

@@ -1,0 +1,39 @@
+"""PII / secrets / toxicity scrub pass — built-in regexp chain, JVM-side.
+
+Hit counts are computed per rule on the ORIGINAL content via
+``regexp_count`` (pinned semantics shared with the oracle's
+``re.findall`` on the original text); the scrubbed text is a sequential
+``regexp_replace`` chain in ``config.SCRUB_RULES`` order.
+
+sha256 invariant (north rule): when total hits == 0 the chain returns
+the input string unchanged, so ``sha2(scrubbed,256) == sha2(content,256)``
+for kept-unmodified rows — no normalization ever touches content.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .. import config as C
+
+
+def scrub_hit_cols(content: Column) -> dict[str, Column]:
+    return {
+        f"hits_{name}": F.regexp_count(content, F.lit(pat)).cast("long")
+        for name, pat, _repl in C.SCRUB_RULES
+    }
+
+
+def total_hits_col() -> Column:
+    out = F.lit(0).cast("long")
+    for name, _p, _r in C.SCRUB_RULES:
+        out = out + F.col(f"hits_{name}")
+    return out
+
+
+def scrubbed_col(content: Column) -> Column:
+    out = content
+    for _name, pat, repl in C.SCRUB_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -1,0 +1,54 @@
+"""Vectorized pandas/Arrow UDFs for the model stages (the ONLY Python in
+the pipeline's hot path; everything else is built-in expressions).
+
+The model weights (numpy arrays) are shipped via
+``SparkContext.broadcast`` — one copy per executor, not per task
+(SURVEY.md §4 'broadcast of langid/perplexity model blobs'). One fused
+UDF computes both langid prediction and perplexity so ``content`` makes
+a single Arrow round trip.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .models import CharLM, LangIdModel, get_models
+
+_SCORE_SCHEMA = "langid_pred string, ppl double"
+
+
+def broadcast_models(spark: SparkSession):
+    langid, lm = get_models()
+    return spark.sparkContext.broadcast(
+        {"langid": langid.to_arrays(), "lm": lm.to_arrays()}
+    )
+
+
+def model_score_udf(bc) -> "callable":
+    """Fused langid+perplexity scorer: Series[str] -> DataFrame(2 cols)."""
+
+    @pandas_udf(_SCORE_SCHEMA)
+    def score(content: pd.Series) -> pd.DataFrame:
+        d = bc.value
+        langid = LangIdModel.from_arrays(d["langid"])
+        lm = CharLM.from_arrays(d["lm"])
+        texts = content.fillna("").tolist()
+        preds = langid.predict(texts)
+        ppls = np.fromiter((lm.ppl(t) for t in texts), dtype=np.float64, count=len(texts))
+        return pd.DataFrame({"langid_pred": preds, "ppl": ppls})
+
+    return score
+
+
+def with_model_scores(df, bc, content_col: str = "content"):
+    """Adds ``langid_pred`` and ``ppl`` columns via one fused Arrow pass."""
+    scored = df.withColumn("_scores", model_score_udf(bc)(F.col(content_col)))
+    return (
+        scored.withColumn("langid_pred", F.col("_scores.langid_pred"))
+        .withColumn("ppl", F.col("_scores.ppl"))
+        .drop("_scores")
+    )

@@ -1,0 +1,149 @@
+"""The quality-filter pipeline: heuristics -> perplexity -> langid ->
+verdict -> scrub, composed as ONE narrow projection chain (no shuffle in
+the verdict path — every stage is per-row, so at 100 TB the job is pure
+scan + map; the only shuffles are the optional salt repartition and the
+metrics aggregation, both bounded).
+
+Plan shape (``.explain``): parquet scan (pruned to the 5 input cols) ->
+WholeStageCodegen(heuristic exprs + scrub) -> ArrowEvalPython (fused
+langid+ppl UDF) -> project. Cheap heuristic failures short-circuit the
+model stages at the semantic level via drop-reason precedence
+(config.DROP_REASON_ORDER).
+
+Checkpoint/resume: verdicts are written partitioned by ``part_id =
+pmod(xxhash64(repo, path), n_parts)``; a metrics table records completed
+partitions; a rerun anti-joins completed part_ids and only processes the
+remainder (idempotent — deterministic UDFs, no time/random dependence).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import config as C
+from ..functions import rules, scrub
+from ..functions.udfs import broadcast_models, with_model_scores
+
+INPUT_COLS = ("repo", "path", "commit", "lang", "content")
+
+
+def score_files(df: DataFrame, bc) -> DataFrame:
+    """Adds all rule metrics + model scores. Narrow (no shuffle)."""
+    content = F.col("content")
+    metrics = rules.rule_metrics(content)
+    out = df.select("*", *(expr.alias(name) for name, expr in metrics.items()))
+    return with_model_scores(out, bc)
+
+
+def apply_verdict(scored: DataFrame) -> DataFrame:
+    """drop_reason = first failing rule in pinned precedence order."""
+    fails = rules.heuristic_failures()
+    fails["perplexity"] = F.col("ppl") > C.PPL_MAX
+    fails["langid"] = F.col("langid_pred") == C.LANGID_PROSE_CLASS
+
+    reason = F.lit(None).cast("string")
+    for r in reversed(C.DROP_REASON_ORDER):
+        reason = F.when(fails[r], F.lit(r)).otherwise(reason)
+    return scored.withColumn("drop_reason", reason).withColumn(
+        "keep", F.col("drop_reason").isNull()
+    )
+
+
+def apply_scrub(verdicts: DataFrame) -> DataFrame:
+    """Scrub kept rows; sha256 invariant columns for the pytest check."""
+    content = F.col("content")
+    hit_cols = scrub.scrub_hit_cols(content)
+    out = verdicts.select("*", *(e.alias(n) for n, e in hit_cols.items()))
+    out = out.withColumn("total_scrub_hits", scrub.total_hits_col())
+    out = out.withColumn(
+        "scrubbed_content",
+        F.when(F.col("keep"), scrub.scrubbed_col(content)).otherwise(F.lit(None)),
+    )
+    return (
+        out.withColumn("content_sha256", F.sha2(content, 256))
+        .withColumn(
+            "scrubbed_sha256",
+            F.when(F.col("keep"), F.sha2(F.col("scrubbed_content"), 256)),
+        )
+    )
+
+
+def run_pipeline(spark: SparkSession, df: DataFrame, *, salt_partitions: int | None = None,
+                 bc=None) -> DataFrame:
+    """Full verdict DataFrame. ``salt_partitions`` spreads giant-repo skew
+    by hashing on (repo, path) — file-level granularity, so one huge repo
+    lands on many partitions (SURVEY.md §4)."""
+    if salt_partitions:
+        df = df.repartition(salt_partitions, F.xxhash64("repo", "path"))
+    bc = bc or broadcast_models(spark)
+    return apply_scrub(apply_verdict(score_files(df, bc)))
+
+
+VERDICT_COLS = [
+    "repo", "path", "commit", "lang", "keep", "drop_reason",
+    "blank_ratio", "max_line_len", "mean_line_len", "alnum_fraction",
+    "dup_line_ratio", "max_token_len", "langid_pred", "ppl",
+    "total_scrub_hits", "scrubbed_content", "content_sha256", "scrubbed_sha256",
+]
+
+
+# ---------------------------------------------------------------------------
+# checkpointed / resumable run (north rule: per-partition lineage + metrics,
+# idempotent resume). Local parquet stands in for Iceberg (SURVEY.md §7) —
+# the layout (data partitioned by part_id + a completion-manifest table)
+# maps 1:1 onto an Iceberg table + snapshot metadata.
+# ---------------------------------------------------------------------------
+
+def _with_part_id(df: DataFrame, n_parts: int) -> DataFrame:
+    return df.withColumn(
+        "part_id", F.pmod(F.xxhash64("repo", "path"), F.lit(n_parts)).cast("int")
+    )
+
+
+def completed_parts(spark: SparkSession, out_dir: str) -> set[int]:
+    manifest = os.path.join(out_dir, "_manifest")
+    if not os.path.isdir(manifest):  # local-FS manifest; Iceberg: snapshot query
+        return set()
+    rows = spark.read.parquet(manifest).select("part_id").distinct().collect()
+    return {r.part_id for r in rows}
+
+
+def run_with_checkpoint(spark: SparkSession, df: DataFrame, out_dir: str,
+                        n_parts: int = 16, run_id: str = "run0",
+                        fail_after_parts: int | None = None) -> None:
+    """Process partition groups one at a time, appending data THEN the
+    manifest row (atomic-enough ordering: a partition is only marked done
+    after its data is fully written; rerun overwrites any partial
+    unmarked partition via dynamic partition overwrite).
+
+    ``fail_after_parts`` is a test hook simulating a mid-job kill.
+    """
+    bc = broadcast_models(spark)
+    done = completed_parts(spark, out_dir)
+    parts = [p for p in range(n_parts) if p not in done]
+    staged = _with_part_id(df, n_parts)
+    data_dir = os.path.join(out_dir, "data")
+    manifest = os.path.join(out_dir, "_manifest")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    for i, p in enumerate(parts):
+        if fail_after_parts is not None and i >= fail_after_parts:
+            raise RuntimeError("simulated mid-job failure")
+        chunk = staged.filter(F.col("part_id") == p)
+        verdicts = run_pipeline(spark, chunk, bc=bc)
+        (verdicts.select(*VERDICT_COLS, "part_id")
+         .write.mode("overwrite").partitionBy("part_id").parquet(data_dir))
+        metrics = (
+            verdicts.groupBy("drop_reason")
+            .agg(F.count("*").alias("n"), F.sum("total_scrub_hits").alias("scrub_hits"))
+            .withColumn("part_id", F.lit(p))
+            .withColumn("run_id", F.lit(run_id))
+        )
+        metrics.write.mode("append").parquet(manifest)
+
+
+def read_verdicts(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "data"))

@@ -1,0 +1,31 @@
+"""SparkSession factory with the scale-oriented defaults used everywhere
+(tests, bench, entry). UTC pinned for DuckDB-oracle comparisons; AQE on
+(incl. skew-join splitting) per SURVEY.md §4.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "dataquality-cli-spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cores}]"
+    shuffle_partitions = shuffle_partitions or cores
+    return (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # huge `content` strings: bound Arrow batch memory (SURVEY.md §7)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

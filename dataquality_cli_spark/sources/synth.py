@@ -1,0 +1,313 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §1).
+
+Generates the Iceberg-shaped pipeline input table
+``(repo, path, commit, lang, content)`` with crafted content strata that
+exercise every drop reason, the scrub pass, and repo-skew handling.
+Fully seeded — no wall clock, no unseeded RNG (FIXTURES.md requirement).
+
+The per-language "clean code" templates double as the training corpus
+for the langid / perplexity models (:mod:`..functions.models`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from dataclasses import dataclass
+
+# ---------------------------------------------------------------------------
+# word material (public-domain-ish generic vocabulary)
+# ---------------------------------------------------------------------------
+
+_IDENT_WORDS = (
+    "data value index count total result buffer record field table row col "
+    "node item entry cache queue stack batch chunk offset limit size name "
+    "key user event order price state flag token parser writer reader config"
+).split()
+
+_PROSE_WORDS = (
+    "the quick brown fox jumps over a lazy dog while many people walk "
+    "through ancient streets and rivers flow gently past old stone bridges "
+    "under autumn skies where children laugh and merchants sell warm bread "
+    "every morning because history lives quietly in small familiar things "
+    "that we remember long after seasons change and voices fade away into "
+    "soft evening light across distant hills beyond this quiet town"
+).split()
+
+_TOX_WORDS = ("frak", "gorram", "smeghead", "belgium", "felgercarb", "shazbot")
+
+
+def _ident(rng: random.Random) -> str:
+    return rng.choice(_IDENT_WORDS) + "_" + rng.choice(_IDENT_WORDS) + str(rng.randrange(100))
+
+
+# ---------------------------------------------------------------------------
+# clean-code generators (also the model training corpus)
+# ---------------------------------------------------------------------------
+
+def gen_python(rng: random.Random, n_funcs: int = 4) -> str:
+    lines = ["import os", "import sys", "from typing import List, Dict", ""]
+    for _ in range(n_funcs):
+        fn = _ident(rng)
+        a, b = _ident(rng), _ident(rng)
+        lines += [
+            f"def {fn}({a}: int, {b}: str) -> Dict[str, int]:",
+            f"    \"\"\"Compute {fn} over the given {a}.\"\"\"",
+            f"    result = {{}}",
+            f"    for i in range({a}):",
+            f"        key = f\"{{{b}}}_{{i}}\"",
+            f"        result[key] = i * {rng.randrange(2, 97)} + {rng.randrange(1000)}",
+            f"    if len(result) > {rng.randrange(5, 50)}:",
+            f"        return dict(sorted(result.items()))",
+            f"    return result",
+            "",
+        ]
+    cls = _ident(rng).title().replace("_", "")
+    lines += [
+        f"class {cls}:",
+        f"    def __init__(self, capacity: int = {rng.randrange(8, 512)}):",
+        "        self.capacity = capacity",
+        "        self.items: List[int] = []",
+        "",
+        "    def push(self, value: int) -> None:",
+        "        if len(self.items) < self.capacity:",
+        "            self.items.append(value)",
+        "",
+    ]
+    return "\n".join(lines)
+
+
+def gen_javascript(rng: random.Random, n_funcs: int = 4) -> str:
+    lines = ["'use strict';", "const path = require('path');", ""]
+    for _ in range(n_funcs):
+        fn = _ident(rng)
+        a, b = _ident(rng), _ident(rng)
+        lines += [
+            f"function {fn}({a}, {b}) {{",
+            f"  const result = new Map();",
+            f"  for (let i = 0; i < {a}.length; i++) {{",
+            f"    const key = `${{{b}}}-${{i}}`;",
+            f"    result.set(key, i * {rng.randrange(2, 97)} + {rng.randrange(1000)});",
+            f"  }}",
+            f"  return Array.from(result.entries()).filter(([k, v]) => v > {rng.randrange(10)});",
+            f"}}",
+            "",
+        ]
+    lines += [f"module.exports = {{ {_ident(rng)} }};", ""]
+    return "\n".join(lines)
+
+
+def gen_go(rng: random.Random, n_funcs: int = 4) -> str:
+    lines = ["package main", "", 'import (', '\t"fmt"', '\t"strings"', ")", ""]
+    for _ in range(n_funcs):
+        fn = _ident(rng).title().replace("_", "")
+        a, b = _ident(rng), _ident(rng)
+        lines += [
+            f"func {fn}({a} int, {b} string) map[string]int {{",
+            f"\tresult := make(map[string]int, {a})",
+            f"\tfor i := 0; i < {a}; i++ {{",
+            f"\t\tkey := fmt.Sprintf(\"%s-%d\", {b}, i)",
+            f"\t\tresult[key] = i*{rng.randrange(2, 97)} + {rng.randrange(1000)}",
+            f"\t}}",
+            f"\tif strings.Contains({b}, \"x\") {{",
+            f"\t\treturn nil",
+            f"\t}}",
+            f"\treturn result",
+            f"}}",
+            "",
+        ]
+    return "\n".join(lines)
+
+
+def gen_prose(rng: random.Random, n_sent: int = 14) -> str:
+    lines = []
+    for _ in range(n_sent):
+        n = rng.randrange(9, 16)
+        words = [rng.choice(_PROSE_WORDS) for _ in range(n)]
+        lines.append(" ".join(words).capitalize() + ".")
+    return "\n".join(lines)
+
+
+def gen_gibberish(rng: random.Random, n_lines: int = 20) -> str:
+    # alphanumeric-heavy so the alnum rule passes; perplexity catches it
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    lines = []
+    for _ in range(n_lines):
+        toks = []
+        for _ in range(rng.randrange(6, 12)):
+            toks.append("".join(rng.choice(alphabet) for _ in range(rng.randrange(3, 12))))
+        lines.append(" ".join(toks))
+    return "\n".join(lines)
+
+
+_CODE_GENS = {"python": gen_python, "javascript": gen_javascript, "go": gen_go}
+_EXT = {"python": ".py", "javascript": ".js", "go": ".go"}
+
+
+# ---------------------------------------------------------------------------
+# drop-stratum mutators
+# ---------------------------------------------------------------------------
+
+def _blank_heavy(rng: random.Random, code: str) -> str:
+    out = []
+    for ln in code.split("\n"):
+        out.append(ln)
+        out.extend([""] * rng.randrange(1, 4))  # blank ratio >> 0.35
+    return "\n".join(out)
+
+
+def _long_line(rng: random.Random, lang: str) -> str:
+    # minified single long line (> MAX_LINE_LEN)
+    parts = []
+    while sum(len(p) + 1 for p in parts) < 2500:
+        parts.append(f"var {_ident(rng)}={rng.randrange(10 ** 6)};")
+    return " ".join(parts)
+
+
+def _long_token(rng: random.Random, code: str) -> str:
+    blob = "".join(rng.choice("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/")
+                   for _ in range(320))
+    lines = code.split("\n")
+    lines.insert(min(3, len(lines)), f'payload = "{blob}"')
+    return "\n".join(lines)
+
+
+def _dup_heavy(rng: random.Random, lang: str) -> str:
+    base = ["# auto-generated boilerplate" if lang == "python" else "// auto-generated boilerplate"]
+    stamp = [f"register('{_ident(rng)}')" for _ in range(3)]
+    lines = list(base)
+    for _ in range(40):
+        lines.append(rng.choice(stamp))  # 3 distinct / 40 lines -> dup ratio ~0.93
+    return "\n".join(lines)
+
+
+def _low_alnum(rng: random.Random) -> str:
+    soup = "=+-*/<>(){}[]|&^%$#@!~;:,."
+    lines = []
+    for _ in range(18):
+        lines.append(" ".join(
+            "".join(rng.choice(soup) for _ in range(rng.randrange(4, 10)))
+            for _ in range(rng.randrange(5, 10))))
+    return "\n".join(lines)
+
+
+def _with_pii(rng: random.Random, code: str) -> str:
+    user = rng.choice(_IDENT_WORDS)
+    dom = rng.choice(("example.com", "test.org", "mail.net"))
+    ip = ".".join(str(rng.randrange(1, 255)) for _ in range(4))
+    aws = "AKIA" + "".join(rng.choice("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789") for _ in range(16))
+    lines = code.split("\n")
+    lines.insert(1, f"# contact: {user}.{rng.randrange(99)}@{dom}")
+    lines.insert(2, f"HOST = '{ip}'")
+    lines.insert(3, f"ACCESS_KEY = '{aws}'")
+    return "\n".join(lines)
+
+
+def _with_toxicity(rng: random.Random, code: str) -> str:
+    word = rng.choice(_TOX_WORDS)
+    lines = code.split("\n")
+    lines.insert(1, f"# this {word} module is a {rng.choice(_TOX_WORDS)} mess")
+    return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# corpus assembly
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SynthRow:
+    repo: str
+    path: str
+    commit: str
+    lang: str
+    content: str
+    stratum: str  # test-side label; NOT part of the pipeline input schema
+
+
+# (stratum, weight). Weights sum to 100.
+STRATA = (
+    ("clean", 38),
+    ("blank_heavy", 7),
+    ("long_line", 6),
+    ("long_token", 6),
+    ("dup_heavy", 7),
+    ("low_alnum", 6),
+    ("prose_as_code", 7),
+    ("gibberish", 7),
+    ("pii", 9),
+    ("toxicity", 5),
+    ("mixed_pii_blank", 2),
+)
+
+
+def _commit(seed: int, i: int) -> str:
+    return hashlib.sha1(f"{seed}:{i}".encode()).hexdigest()
+
+
+def _make_content(stratum: str, lang: str, rng: random.Random) -> str:
+    code = _CODE_GENS[lang](rng)
+    if stratum == "clean":
+        return code
+    if stratum == "blank_heavy":
+        return _blank_heavy(rng, code)
+    if stratum == "long_line":
+        return _long_line(rng, lang)
+    if stratum == "long_token":
+        return _long_token(rng, code)
+    if stratum == "dup_heavy":
+        return _dup_heavy(rng, lang)
+    if stratum == "low_alnum":
+        return _low_alnum(rng)
+    if stratum == "prose_as_code":
+        return gen_prose(rng)
+    if stratum == "gibberish":
+        return gen_gibberish(rng)
+    if stratum == "pii":
+        return _with_pii(rng, code)
+    if stratum == "toxicity":
+        return _with_toxicity(rng, code)
+    if stratum == "mixed_pii_blank":
+        return _blank_heavy(rng, _with_pii(rng, code))
+    raise ValueError(stratum)
+
+
+def gen_corpus(n_files: int = 2000, seed: int = 42) -> list[SynthRow]:
+    """Deterministic corpus; repo distribution is skewed — two giant repos
+    hold ~30% of files (exercises salted repartitioning, SURVEY.md §4)."""
+    rng = random.Random(seed)
+    cum, labels = [], []
+    acc = 0
+    for name, w in STRATA:
+        acc += w
+        cum.append(acc)
+        labels.append(name)
+    rows: list[SynthRow] = []
+    langs = tuple(_CODE_GENS)
+    for i in range(n_files):
+        r = rng.randrange(100)
+        stratum = next(lbl for lbl, c in zip(labels, cum) if r < c)
+        lang = langs[rng.randrange(3)]
+        # skew: 30% of files in 2 giant repos, rest spread over 60 repos
+        if rng.random() < 0.30:
+            repo = f"bigorg/monorepo{rng.randrange(2)}"
+        else:
+            repo = f"org{rng.randrange(20)}/repo{rng.randrange(3)}"
+        path = f"src/{_ident(rng)}/{_ident(rng)}{_EXT[lang]}"
+        content = _make_content(stratum, lang, rng)
+        rows.append(SynthRow(repo, path, _commit(seed, i), lang, content, stratum))
+    return rows
+
+
+def training_texts(seed: int = 7, per_class: int = 80) -> dict[str, list[str]]:
+    """Training corpus for the langid + perplexity models. Separate seed
+    from the eval corpus so the models are not memorizing eval rows."""
+    rng = random.Random(seed)
+    out: dict[str, list[str]] = {}
+    for lang, gen in _CODE_GENS.items():
+        out[lang] = [gen(rng, n_funcs=5) for _ in range(per_class)]
+    out["text"] = [gen_prose(rng, n_sent=18) for _ in range(per_class)]
+    return out
+
+
+def corpus_to_rows(rows: list[SynthRow]) -> list[tuple]:
+    return [(r.repo, r.path, r.commit, r.lang, r.content) for r in rows]

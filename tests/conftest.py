@@ -1,0 +1,29 @@
+from __future__ import annotations
+
+import pytest
+
+from dataquality_cli_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app="dq-tests", master="local[8]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def corpus():
+    from dataquality_cli_spark.sources.synth import gen_corpus
+
+    return gen_corpus(600, seed=42)
+
+
+@pytest.fixture(scope="session")
+def corpus_df(spark, corpus):
+    from dataquality_cli_spark.sources.synth import corpus_to_rows
+
+    return spark.createDataFrame(
+        corpus_to_rows(corpus),
+        "repo string, path string, commit string, lang string, content string",
+    ).cache()

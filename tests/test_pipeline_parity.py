@@ -1,0 +1,110 @@
+"""North-rule gate: Spark pipeline verdicts vs pure-Python oracle labels
+(F1 >= 0.99), sha256(content) invariance for kept-unmodified rows, and
+per-stratum expected verdicts (FIXTURES.md §1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dataquality_cli_spark import oracle
+from dataquality_cli_spark.plans.pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def verdicts(spark, corpus_df):
+    return {
+        (r.repo, r.path): r
+        for r in run_pipeline(spark, corpus_df).select(
+            "repo", "path", "keep", "drop_reason", "total_scrub_hits",
+            "scrubbed_content", "content_sha256", "scrubbed_sha256",
+        ).collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def oracle_verdicts(corpus):
+    return {(o.repo, o.path): o for o in oracle.judge_corpus(corpus)}
+
+
+def test_keep_drop_f1(verdicts, oracle_verdicts):
+    tp = fp = fn = tn = 0
+    for k, o in oracle_verdicts.items():
+        s = verdicts[k]
+        if o.keep and s.keep:
+            tp += 1
+        elif o.keep and not s.keep:
+            fn += 1
+        elif not o.keep and s.keep:
+            fp += 1
+        else:
+            tn += 1
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall)
+    assert f1 >= 0.99, (tp, fp, fn, tn)
+
+
+def test_drop_reason_parity(verdicts, oracle_verdicts):
+    mismatches = [
+        (k, s.drop_reason, oracle_verdicts[k].drop_reason)
+        for k, s in verdicts.items()
+        if s.drop_reason != oracle_verdicts[k].drop_reason
+    ]
+    assert not mismatches, mismatches[:10]
+
+
+def test_scrubbed_content_parity(verdicts, oracle_verdicts):
+    bad = [
+        k for k, s in verdicts.items()
+        if s.keep and s.scrubbed_content != oracle_verdicts[k].scrubbed_content
+    ]
+    assert not bad, bad[:10]
+
+
+def test_sha256_invariant_for_unmodified(verdicts):
+    """kept rows with zero scrub hits must hash identically (north rule)."""
+    checked = 0
+    for s in verdicts.values():
+        if s.keep and s.total_scrub_hits == 0:
+            assert s.scrubbed_sha256 == s.content_sha256, s
+            checked += 1
+        elif s.keep and s.total_scrub_hits > 0:
+            assert s.scrubbed_sha256 != s.content_sha256
+    assert checked > 100  # the clean stratum is big enough to matter
+
+
+EXPECTED_BY_STRATUM = {
+    "clean": ("keep", 0),
+    "blank_heavy": ("drop", "blank_ratio"),
+    "long_line": ("drop", "line_length"),
+    "long_token": ("drop", "max_token"),
+    "dup_heavy": ("drop", "dup_lines"),
+    "low_alnum": ("drop", "alnum"),
+    "prose_as_code": ("drop", "langid"),
+    "gibberish": ("drop", "perplexity"),
+    "pii": ("keep", "modified"),
+    "toxicity": ("keep", "modified"),
+    "mixed_pii_blank": ("drop", "blank_ratio"),
+}
+
+
+def test_strata_land_on_designed_verdicts(verdicts, corpus):
+    """>= 98% of each stratum gets its designed verdict — proves every
+    rule is exercised with margin, not vacuously green."""
+    from collections import defaultdict
+
+    agree = defaultdict(int)
+    total = defaultdict(int)
+    for row in corpus:
+        s = verdicts[(row.repo, row.path)]
+        kind, detail = EXPECTED_BY_STRATUM[row.stratum]
+        total[row.stratum] += 1
+        if kind == "keep" and s.keep:
+            if detail == 0 and s.total_scrub_hits == 0:
+                agree[row.stratum] += 1
+            elif detail == "modified" and s.total_scrub_hits > 0:
+                agree[row.stratum] += 1
+        elif kind == "drop" and not s.keep and s.drop_reason == detail:
+            agree[row.stratum] += 1
+    for stratum, n in total.items():
+        assert agree[stratum] / n >= 0.98, (stratum, agree[stratum], n)

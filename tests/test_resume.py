@@ -1,0 +1,42 @@
+"""Checkpoint/resume idempotency (north rule): a job killed mid-run and
+resumed produces verdicts + drop-reason metrics identical to an
+uninterrupted run."""
+
+from __future__ import annotations
+
+import pytest
+
+from dataquality_cli_spark.plans import pipeline as P
+
+
+def _verdict_fingerprint(spark, out_dir):
+    df = P.read_verdicts(spark, out_dir)
+    rows = df.select("repo", "path", "keep", "drop_reason", "scrubbed_sha256").collect()
+    return sorted((r.repo, r.path, r.keep, r.drop_reason, r.scrubbed_sha256) for r in rows)
+
+
+def test_resume_after_kill_matches_clean_run(spark, corpus_df, tmp_path):
+    clean_dir = str(tmp_path / "clean")
+    resumed_dir = str(tmp_path / "resumed")
+    n_parts = 8
+
+    P.run_with_checkpoint(spark, corpus_df, clean_dir, n_parts=n_parts)
+
+    with pytest.raises(RuntimeError, match="simulated"):
+        P.run_with_checkpoint(spark, corpus_df, resumed_dir, n_parts=n_parts,
+                              fail_after_parts=3)
+    done_after_kill = P.completed_parts(spark, resumed_dir)
+    assert 0 < len(done_after_kill) < n_parts
+
+    P.run_with_checkpoint(spark, corpus_df, resumed_dir, n_parts=n_parts)
+    assert len(P.completed_parts(spark, resumed_dir)) == n_parts
+
+    assert _verdict_fingerprint(spark, resumed_dir) == _verdict_fingerprint(spark, clean_dir)
+
+
+def test_rerun_is_noop(spark, corpus_df, tmp_path):
+    out = str(tmp_path / "once")
+    P.run_with_checkpoint(spark, corpus_df, out, n_parts=4)
+    fp1 = _verdict_fingerprint(spark, out)
+    P.run_with_checkpoint(spark, corpus_df, out, n_parts=4)  # all parts done -> noop
+    assert _verdict_fingerprint(spark, out) == fp1

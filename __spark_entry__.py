@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 (plus the
+training-data-pipeline operators: dedup / similarity / text analysis /
+event windows) to a (spark, sf_dir) -> DataFrame callable; ``oracle_sql``
+holds the exact ANSI-SQL twin DuckDB runs on the same parquet views.
+
+Cross-engine parity rules used throughout (verified empirically):
+- doubles rounded to a fixed precision on BOTH sides, and rounding
+  happens BEFORE any rank/limit so tie-breaks are deterministic;
+- rlike/regexp_matches with anchored patterns (DuckDB TRY_CAST rounds
+  '12.5'->13 where Spark nulls it, so type votes are regex-based);
+- portable hashes only: md5/sha256 hex strings (lexicographic min for
+  MinHash), never engine hash();
+- counts cast to BIGINT (DuckDB SUM(int) is HUGEINT), ranks to INTEGER;
+- substr 1-based in both; Spark sequence(1,n) == DuckDB range(1,n+1).
 """
 
 from __future__ import annotations
@@ -12,27 +21,590 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dataquality_cli_spark import config as C
+from dataquality_cli_spark.operators import dedup, profile, similarity, text
+from dataquality_cli_spark.operators.profile import FLOAT_RE, INT_RE
+from dataquality_cli_spark.streaming import windows as W
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _augmented_docs(spark, sf_dir) -> DataFrame:
+    """documents + exact duplicates of every 5th doc (re-keyed) — gives the
+    dedup operators guaranteed positives."""
+    d = _t(spark, sf_dir, "documents")
+    dups = d.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10_000
+    )
+    return d.unionByName(dups)
+
+
+_AUG_SQL = (
+    "SELECT * FROM documents UNION ALL "
+    "SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars "
+    "FROM documents WHERE doc_id % 5 = 0"
+)
+
+_TOKS = "string_split(text, ' ')"
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(length(text)-7,1)+1),"
+    " i -> substr(text, i, 8)))"
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: keep/drop verdict over the sf0.001 documents corpus."""
+    return text.doc_quality_verdict(_t(spark, "/root/testdata/sf0.001", "documents"))
 
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- profiling surface (SURVEY.md §2a) ---
+    q["a1_rowcount_by_status"] = lambda s, d: (
+        _t(s, d, "orders").groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    )
 
+    def a3(s, d):
+        e = _t(s, d, "events")
+        rows = F.count(F.lit(1))
+        return e.agg(
+            rows.alias("n_rows"),
+            F.count("props").alias("n_props"),
+            (rows - F.count("props")).alias("null_props"),
+            F.count("value").alias("n_value"),
+            (rows - F.count("value")).alias("null_value"),
+        )
+
+    q["a3_null_counts"] = a3
+
+    def a4(s, d):
+        docs = _t(s, d, "documents")
+        sparse_pct = (
+            F.sum(F.when(F.col("n_chars") < 150, 1).otherwise(0)).cast("double")
+            * 100.0 / F.count(F.lit(1)).cast("double")
+        )
+        return docs.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(sparse_pct, 4).alias("sparse_pct"),
+            profile.quality_grade(sparse_pct).alias("grade"),
+        )
+
+    q["a4_sparse_pct_grade"] = a4
+
+    q["a5_group_aggregates"] = lambda s, d: (
+        _t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        )
+    )
+
+    q["a7_stddev_by_status"] = lambda s, d: (
+        _t(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.round(F.stddev_pop("l_quantity"), 4).alias("std_qty"),
+            F.round(F.avg("l_quantity"), 4).alias("mean_qty"),
+            F.round(F.min("l_quantity"), 4).alias("min_qty"),
+            F.round(F.max("l_quantity"), 4).alias("max_qty"),
+        )
+    )
+
+    q["a8_minmax_by_priority"] = lambda s, d: (
+        _t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+    q["a9_minmax_lexicographic"] = lambda s, d: (
+        _t(s, d, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.min("c_name").alias("name_min"), F.max("c_name").alias("name_max"))
+    )
+
+    def a10(s, d):
+        li = _t(s, d, "lineitem")
+        p = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
+        return li.groupBy("l_returnflag").agg(
+            F.round(p[0], 4).alias("q25"),
+            F.round(p[1], 4).alias("q50"),
+            F.round(p[2], 4).alias("q75"),
+        )
+
+    q["a10_quantiles_exact"] = a10
+
+    q["a11_distinct_exact"] = lambda s, d: (
+        _t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+    )
+
+    # HLL++ estimate — no SQL oracle (approx; driver does rows-only check)
+    q["a12_distinct_approx"] = lambda s, d: (
+        _t(s, d, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    )
+
+    def a13(s, d):
+        o = _t(s, d, "orders")
+        top = (
+            o.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("o_orderpriority"))
+            .limit(1)
+            .select(F.col("o_orderpriority").alias("top_value"), "freq")
+        )
+        uniq = o.agg(F.countDistinct("o_orderpriority").alias("unique"))
+        return top.crossJoin(uniq)
+
+    q["a13_top1_value"] = a13
+
+    def a15(s, d):
+        e = _t(s, d, "events")
+        raw = profile.type_vote(e, "props")
+        digits = profile.type_vote(
+            e.select(F.regexp_extract("props", "([0-9]+)", 1).alias("props_digits")),
+            "props_digits",
+        )
+        return raw.unionByName(digits)
+
+    q["a15_type_vote"] = a15
+
+    def a16(s, d):
+        per_source = (
+            _t(s, d, "documents")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("n_chars").alias("avg_chars"))
+        )
+        return per_source.agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.sum("n_docs").alias("total_docs"),
+            F.round(F.avg("avg_chars"), 4).alias("mean_source_avg_chars"),
+            F.max("n_docs").alias("max_docs_per_source"),
+        )
+
+    q["a16_two_level_summary"] = a16
+
+    q["p6_top3_per_segment"] = lambda s, d: (
+        profile.top_k_per_group(
+            _t(s, d, "customer").select(
+                "c_mktsegment", "c_custkey", F.round("c_acctbal", 2).alias("acctbal")
+            ),
+            group="c_mktsegment", order="acctbal", k=3, tiebreak="c_custkey",
+        )
+    )
+
+    q["f7_name_truncate"] = lambda s, d: (
+        _t(s, d, "part").select(
+            "p_partkey",
+            F.when(
+                F.length("p_name") > 15,
+                F.concat(F.substring("p_name", 1, 15), F.lit("...")),
+            ).otherwise(F.col("p_name")).alias("short_name"),
+            F.length("p_name").cast("long").alias("name_len"),
+        )
+    )
+
+    # --- text analysis over documents (SURVEY.md §2b + pipeline ops) ---
+    q["doc_token_stats"] = lambda s, d: text.token_stats(_t(s, d, "documents"))
+    q["doc_alnum_fraction"] = lambda s, d: text.alnum_fraction(_t(s, d, "documents"))
+    q["doc_stopword_langid"] = lambda s, d: text.stopword_langid(_t(s, d, "documents"))
+    q["doc_quality_score"] = lambda s, d: text.quality_score(_t(s, d, "documents"))
+    q["doc_fingerprint"] = lambda s, d: text.fingerprint(_t(s, d, "documents"))
+    q["doc_quality_verdict"] = lambda s, d: text.doc_quality_verdict(_t(s, d, "documents"))
+
+    q["corpus_lang_summary"] = lambda s, d: (
+        _t(s, d, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(
+                F.avg(F.size(F.split(F.col("text"), " ", -1)).cast("double")), 4
+            ).alias("avg_tokens"),
+        )
+    )
+
+    # --- dedup ---
+    q["dedup_exact_groups"] = lambda s, d: dedup.exact_dup_groups(_augmented_docs(s, d))
+    q["dedup_keep_first"] = lambda s, d: dedup.dedup_keep_first(_augmented_docs(s, d))
+    q["dedup_minhash_signatures"] = lambda s, d: dedup.minhash_signatures(_t(s, d, "documents"))
+    q["dedup_lsh_pairs"] = lambda s, d: dedup.lsh_candidate_pairs(_augmented_docs(s, d))
+    q["dedup_ngram_jaccard_top"] = lambda s, d: dedup.ngram_jaccard_pairs(_t(s, d, "documents"))
+    # simhash is UDF-based — rows-only check (no SQL-expressible twin)
+    q["dedup_simhash_neardup"] = lambda s, d: dedup.simhash_neardup_pairs(_augmented_docs(s, d))
+
+    # --- similarity search ---
+    def ann(s, d):
+        emb = _t(s, d, "embeddings")
+        return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+    q["ann_cosine_topk"] = ann
+
+    def ann_lsh(s, d):
+        emb = _t(s, d, "embeddings")
+        return similarity.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+    q["ann_lsh_topk"] = ann_lsh  # rows-only (seeded planes, not SQL-portable)
+
+    q["emb_neardup_pairs"] = lambda s, d: similarity.neardup_pairs_cosine(
+        _t(s, d, "embeddings"), threshold=0.80
+    )
+
+    q["emb_norm_stats"] = lambda s, d: (
+        _t(s, d, "embeddings")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(similarity.norm_col(F.col("embedding"))), 4).alias("avg_norm"),
+        )
+    )
+
+    # --- event-time windows (streaming-compatible aggregations) ---
+    q["events_hourly"] = lambda s, d: W.hourly_event_agg(_t(s, d, "events"))
+    q["events_sessionize"] = lambda s, d: W.sessionize(_t(s, d, "events"))
+
+    def top_users(s, d):
+        e = _t(s, d, "events")
+        totals = e.groupBy("event_type", "user_id").agg(
+            F.round(F.sum("value"), 4).alias("total_value")
+        )
+        return profile.top_k_per_group(
+            totals, group="event_type", order="total_value", k=3, tiebreak="user_id"
+        )
+
+    q["events_top3_users"] = top_users
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — one per query above, except the noted rows-only ops
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["a1_rowcount_by_status"] = (
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus"
+    )
+
+    o["a3_null_counts"] = """
+        SELECT COUNT(*) AS n_rows,
+               COUNT(props) AS n_props, COUNT(*) - COUNT(props) AS null_props,
+               COUNT(value) AS n_value, COUNT(*) - COUNT(value) AS null_value
+        FROM events
     """
-    return {}
+
+    o["a4_sparse_pct_grade"] = f"""
+        SELECT source, COUNT(*) AS n_docs,
+               round(CAST(SUM(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END) AS DOUBLE)
+                     * 100.0 / CAST(COUNT(*) AS DOUBLE), 4) AS sparse_pct,
+               CASE WHEN CAST(SUM(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END) AS DOUBLE)
+                         * 100.0 / CAST(COUNT(*) AS DOUBLE) > {C.QUALITY_POOR_NULL_PCT} THEN 'Poor'
+                    WHEN CAST(SUM(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END) AS DOUBLE)
+                         * 100.0 / CAST(COUNT(*) AS DOUBLE) > {C.QUALITY_FAIR_NULL_PCT} THEN 'Fair'
+                    ELSE 'Good' END AS grade
+        FROM documents GROUP BY source
+    """
+
+    o["a5_group_aggregates"] = """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               round(SUM(l_quantity), 2) AS sum_qty,
+               round(SUM(l_extendedprice), 2) AS sum_price,
+               round(AVG(l_discount), 6) AS avg_disc
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """
+
+    o["a7_stddev_by_status"] = """
+        SELECT l_linestatus,
+               round(stddev_pop(l_quantity), 4) AS std_qty,
+               round(AVG(l_quantity), 4) AS mean_qty,
+               round(MIN(l_quantity), 4) AS min_qty,
+               round(MAX(l_quantity), 4) AS max_qty
+        FROM lineitem GROUP BY l_linestatus
+    """
+
+    o["a8_minmax_by_priority"] = """
+        SELECT o_orderpriority,
+               round(MIN(o_totalprice), 2) AS min_price,
+               round(MAX(o_totalprice), 2) AS max_price
+        FROM orders GROUP BY o_orderpriority
+    """
+
+    o["a9_minmax_lexicographic"] = """
+        SELECT c_mktsegment, MIN(c_name) AS name_min, MAX(c_name) AS name_max
+        FROM customer GROUP BY c_mktsegment
+    """
+
+    o["a10_quantiles_exact"] = """
+        SELECT l_returnflag,
+               round(CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE), 4) AS q25,
+               round(CAST(quantile_cont(l_extendedprice, 0.50) AS DOUBLE), 4) AS q50,
+               round(CAST(quantile_cont(l_extendedprice, 0.75) AS DOUBLE), 4) AS q75
+        FROM lineitem GROUP BY l_returnflag
+    """
+
+    o["a11_distinct_exact"] = """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_supps
+        FROM lineitem GROUP BY l_returnflag
+    """
+
+    o["a13_top1_value"] = """
+        SELECT t.top_value, t.freq, u."unique"
+        FROM (SELECT o_orderpriority AS top_value, COUNT(*) AS freq
+              FROM orders GROUP BY o_orderpriority
+              ORDER BY freq DESC, top_value ASC LIMIT 1) t
+        CROSS JOIN (SELECT COUNT(DISTINCT o_orderpriority) AS "unique" FROM orders) u
+    """
+
+    o["a15_type_vote"] = f"""
+        WITH raw AS (
+          SELECT 'props' AS col_name, CAST(COUNT(props) AS BIGINT) AS n_values,
+                 CAST(COALESCE(SUM(CASE WHEN regexp_matches(props, '{INT_RE}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_int,
+                 CAST(COALESCE(SUM(CASE WHEN regexp_matches(props, '{FLOAT_RE}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_numeric
+          FROM events),
+        dig AS (
+          SELECT 'props_digits' AS col_name, CAST(COUNT(v) AS BIGINT) AS n_values,
+                 CAST(COALESCE(SUM(CASE WHEN regexp_matches(v, '{INT_RE}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_int,
+                 CAST(COALESCE(SUM(CASE WHEN regexp_matches(v, '{FLOAT_RE}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_numeric
+          FROM (SELECT regexp_extract(props, '([0-9]+)', 1) AS v FROM events)),
+        both_v AS (SELECT * FROM raw UNION ALL SELECT * FROM dig)
+        SELECT col_name, n_values, n_int, n_numeric,
+               CASE WHEN n_values = 0 THEN 'string'
+                    WHEN n_int = n_values THEN 'int'
+                    WHEN n_numeric = n_values THEN 'float'
+                    ELSE 'string' END AS inferred_type
+        FROM both_v
+    """
+
+    o["a16_two_level_summary"] = """
+        SELECT COUNT(*) AS n_sources,
+               CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+               round(AVG(avg_chars), 4) AS mean_source_avg_chars,
+               MAX(n_docs) AS max_docs_per_source
+        FROM (SELECT source, COUNT(*) AS n_docs, AVG(n_chars) AS avg_chars
+              FROM documents GROUP BY source)
+    """
+
+    o["p6_top3_per_segment"] = """
+        SELECT c_mktsegment, c_custkey, acctbal, CAST(rank AS INTEGER) AS rank
+        FROM (SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal,
+                     row_number() OVER (PARTITION BY c_mktsegment
+                                        ORDER BY round(c_acctbal, 2) DESC, c_custkey ASC) AS rank
+              FROM customer)
+        WHERE rank <= 3
+    """
+
+    o["f7_name_truncate"] = """
+        SELECT p_partkey,
+               CASE WHEN length(p_name) > 15 THEN substr(p_name, 1, 15) || '...'
+                    ELSE p_name END AS short_name,
+               CAST(length(p_name) AS BIGINT) AS name_len
+        FROM part
+    """
+
+    o["doc_token_stats"] = f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct_tokens,
+               CAST(list_aggregate(list_transform({_TOKS}, x -> length(x)), 'max') AS BIGINT) AS max_token_len,
+               round(CAST(list_aggregate(list_transform({_TOKS}, x -> length(x)), 'sum') AS DOUBLE)
+                     / CAST(len({_TOKS}) AS DOUBLE), 4) AS avg_token_len
+        FROM documents
+    """
+
+    o["doc_alnum_fraction"] = """
+        SELECT doc_id,
+               CASE WHEN length(text) > 0
+                    THEN round(CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+                               / CAST(length(text) AS DOUBLE), 4)
+                    ELSE 0.0 END AS alnum_fraction
+        FROM documents
+    """
+
+    sw_list = "[" + ", ".join(f"'{w}'" for w in text.EN_STOPWORDS) + "]"
+    o["doc_stopword_langid"] = f"""
+        SELECT doc_id, lang, round(ratio, 4) AS stopword_ratio,
+               CASE WHEN ratio > {text.EN_STOPWORD_RATIO_MIN} THEN 'en' ELSE 'other' END AS lang_pred
+        FROM (SELECT doc_id, lang,
+                     CAST(len(list_filter(string_split(lower(text), ' '),
+                                          x -> list_contains({sw_list}, x))) AS DOUBLE)
+                     / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS ratio
+              FROM documents)
+    """
+
+    o["doc_quality_score"] = f"""
+        SELECT doc_id, lang,
+               round((CAST(len(list_distinct({_TOKS})) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE)
+                      + CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+                        / CAST(length(text) AS DOUBLE)
+                      + CASE WHEN length(text) >= 100 AND length(text) <= 2000 THEN 1.0 ELSE 0.5 END
+                     ) / 3.0, 4) AS quality_score
+        FROM documents
+    """
+
+    o["doc_fingerprint"] = """
+        SELECT doc_id, sha256(text) AS sha256_raw, md5(lower(text)) AS md5_norm
+        FROM documents
+    """
+
+    o["doc_quality_verdict"] = f"""
+        SELECT doc_id, lang, n_tokens, round(diversity, 4) AS diversity,
+               round(alnum, 4) AS alnum_fraction, max_token_len, drop_reason,
+               (drop_reason IS NULL) AS keep
+        FROM (
+          SELECT doc_id, lang, n_tokens, diversity, alnum, max_token_len,
+                 CASE WHEN n_tokens < {C.DOC_MIN_TOKENS} THEN 'too_short'
+                      WHEN diversity < {C.DOC_DIVERSITY_MIN} THEN 'low_diversity'
+                      WHEN alnum < {C.DOC_ALNUM_MIN} THEN 'alnum'
+                      WHEN max_token_len > {C.DOC_MAX_TOKEN_LEN} THEN 'long_token'
+                      END AS drop_reason
+          FROM (SELECT doc_id, lang,
+                       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                       CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                         / CAST(len({_TOKS}) AS DOUBLE) AS diversity,
+                       CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+                         / CAST(length(text) AS DOUBLE) AS alnum,
+                       CAST(list_aggregate(list_transform({_TOKS}, x -> length(x)), 'max') AS BIGINT)
+                         AS max_token_len
+                FROM documents))
+    """
+
+    o["corpus_lang_summary"] = f"""
+        SELECT lang, COUNT(*) AS n_docs,
+               round(AVG(n_chars), 4) AS avg_chars,
+               round(AVG(CAST(len({_TOKS}) AS DOUBLE)), 4) AS avg_tokens
+        FROM documents GROUP BY lang
+    """
+
+    o["dedup_exact_groups"] = f"""
+        WITH aug AS ({_AUG_SQL})
+        SELECT sha256(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_id
+        FROM aug GROUP BY sha256(text) HAVING COUNT(*) > 1
+    """
+
+    o["dedup_keep_first"] = f"""
+        WITH aug AS ({_AUG_SQL})
+        SELECT MIN(doc_id) AS doc_id, sha256(text) AS content_hash
+        FROM aug GROUP BY sha256(text)
+    """
+
+    mh_cols = ",\n".join(
+        f"list_aggregate(list_transform({_SHINGLES}, s -> md5('salt{j}:' || s)), 'min') AS mh{j}"
+        for j in range(dedup.N_HASHES)
+    )
+    o["dedup_minhash_signatures"] = f"SELECT doc_id, {mh_cols} FROM documents"
+
+    o["dedup_lsh_pairs"] = f"""
+        WITH aug AS ({_AUG_SQL}),
+        sig AS (SELECT doc_id, {mh_cols} FROM aug),
+        bands AS (
+          SELECT doc_id, 0 AS band_id, md5(concat_ws('|', mh0, mh1, mh2)) AS band_hash FROM sig
+          UNION ALL
+          SELECT doc_id, 1 AS band_id, md5(concat_ws('|', mh3, mh4, mh5)) AS band_hash FROM sig)
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """
+
+    o["dedup_ngram_jaccard_top"] = f"""
+        WITH sh AS (SELECT doc_id, lang AS block, {_SHINGLES} AS sh FROM documents)
+        SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+        FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+                     / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+              FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id)
+        ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 20
+    """
+
+    _dot = "list_dot_product"
+    o["ann_cosine_topk"] = f"""
+        WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM t WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, t.vec_id AS neighbor_id,
+                 round({_dot}(qv, v) / (sqrt({_dot}(qv, qv)) * sqrt({_dot}(v, v))), 4) AS cosine
+          FROM q CROSS JOIN t WHERE t.vec_id != q.query_id)
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored)
+        WHERE rank <= 5
+    """
+
+    o["emb_neardup_pairs"] = f"""
+        WITH t AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_dot}(a.v, b.v) / (sqrt({_dot}(a.v, a.v)) * sqrt({_dot}(b.v, b.v))), 4) AS cosine
+        FROM t a JOIN t b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round({_dot}(a.v, b.v) / (sqrt({_dot}(a.v, a.v)) * sqrt({_dot}(b.v, b.v))), 4) > 0.80
+    """
+
+    o["emb_norm_stats"] = f"""
+        SELECT label, COUNT(*) AS n,
+               round(AVG(sqrt({_dot}(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
+        FROM embeddings GROUP BY label
+    """
+
+    o["events_hourly"] = """
+        SELECT date_trunc('hour', ts) AS hour_start, event_type,
+               COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+
+    o["events_sessionize"] = f"""
+        WITH flagged AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN CAST(epoch(ts) AS BIGINT)
+                           - lag(CAST(epoch(ts) AS BIGINT))
+                             OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           > {W.SESSION_GAP_MIN * 60} THEN 1 ELSE 0 END AS new_session
+          FROM events),
+        sessions AS (
+          SELECT user_id,
+                 CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM flagged),
+        per_session AS (
+          SELECT user_id, session_id, COUNT(*) AS n_events
+          FROM sessions GROUP BY user_id, session_id)
+        SELECT user_id, COUNT(*) AS n_sessions,
+               round(AVG(n_events), 4) AS avg_events_per_session,
+               MAX(n_events) AS max_session_events
+        FROM per_session GROUP BY user_id
+    """
+
+    o["events_top3_users"] = """
+        SELECT event_type, user_id, total_value, CAST(rank AS INTEGER) AS rank
+        FROM (SELECT event_type, user_id, round(SUM(value), 4) AS total_value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY round(SUM(value), 4) DESC, user_id ASC) AS rank
+              FROM events GROUP BY event_type, user_id)
+        WHERE rank <= 3
+    """
+
+    return o

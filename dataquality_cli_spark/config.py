@@ -103,6 +103,17 @@ SCRUB_RULES = (
 )
 
 # ---------------------------------------------------------------------------
+# documents-table verdict thresholds (the flagship query over the driver's
+# documents fixture; same keep/drop shape as the code pipeline)
+# ---------------------------------------------------------------------------
+
+DOC_MIN_TOKENS = 20
+DOC_DIVERSITY_MIN = 0.35   # distinct/total tokens
+DOC_ALNUM_MIN = 0.5
+DOC_MAX_TOKEN_LEN = 30
+DOC_DROP_ORDER = ("too_short", "low_diversity", "alnum", "long_token")
+
+# ---------------------------------------------------------------------------
 # Reference CSV-profiling thresholds kept verbatim (cmd/describe.go)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,207 @@
+"""Deduplication operators for a 100TB training-data pipeline:
+
+- exact:          sha256(content) groupBy — one shuffle on the hash key,
+                  maximally skew-resistant (hash keys are uniform).
+- minhash + LSH:  char-shingle MinHash signatures built from PORTABLE
+                  md5-string minima (identical in Spark and DuckDB — no
+                  engine-specific hash), banded into LSH buckets, then a
+                  bucket self-join yields candidate pairs WITHOUT the
+                  all-pairs cross join. At scale the join key is
+                  (band_id, band_hash) — uniform, broadcast-free,
+                  AQE-splittable.
+- n-gram Jaccard: exact verification for candidate pairs (or blocked
+                  small groups): |A∩B| / |A∪B| over distinct shingles.
+- simhash:        vectorized numpy pandas-UDF (64-bit, token-hash bit
+                  votes) — near-dup via Hamming distance on band keys.
+
+MinHash estimate: P[min_h(A)=min_h(B)] = J(A,B) (Broder 1997).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+SHINGLE_LEN = 8
+N_HASHES = 6
+N_BANDS = 2  # 3 hashes per band
+
+
+def shingles_col(text: Column, k: int = SHINGLE_LEN) -> Column:
+    """Distinct character k-gram shingles (substr is 1-based in BOTH
+    Spark and DuckDB — pinned portable)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1))),
+            lambda i: F.substring(text, i, k),
+        )
+    )
+
+
+def minhash_signature(text: Column, n_hashes: int = N_HASHES) -> list[Column]:
+    """MinHash via min over md5 hex strings with per-hash salt. String min
+    is lexicographic in both engines; md5 hex is lowercase in both."""
+    sh = shingles_col(text)
+
+    def salted(j: int):
+        # single-arg lambda only: a 2-arg lambda in F.transform is
+        # interpreted as (element, index) by PySpark
+        prefix = f"salt{j}:"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    return [
+        F.array_min(F.transform(sh, salted(j))).alias(f"mh{j}")
+        for j in range(n_hashes)
+    ]
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.select("doc_id", *minhash_signature(F.col(text_col)))
+
+
+def lsh_bands(sig_df: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """(doc_id, band_id, band_hash) — one row per band; band_hash is the
+    md5 of the concatenated per-band minima."""
+    per_band = N_HASHES // n_bands
+    rows = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * per_band + i}") for i in range(per_band)]
+        rows.append(
+            sig_df.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any LSH band bucket.
+    The self-join shuffles on (band_id, band_hash) — no cross join."""
+    bands = lsh_bands(minhash_signatures(df, text_col))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: sha256 groups with multiplicity > 1."""
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def dedup_keep_first(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep the lowest doc_id per exact content hash (the canonical
+    groupBy-hash dedup; one shuffle, skew-free keys)."""
+    keepers = df.groupBy(F.sha2(F.col(text_col), 256).alias("content_hash")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return keepers.select("doc_id", "content_hash")
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        block_col: str = "lang", top_n: int = 20) -> DataFrame:
+    """Exact shingle-Jaccard for pairs inside a blocking key (same lang) —
+    the verification stage after LSH at scale. Returns the top_n most
+    similar pairs (deterministic total order)."""
+    sh = df.select(
+        "doc_id", F.col(block_col).alias("block"), shingles_col(F.col(text_col)).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, F.col("a.block") == F.col("b.block"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (
+                F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+                / F.size(F.array_union("a.sh", "b.sh")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        pairs.orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
+        .limit(top_n)
+        .withColumn("jaccard", F.round("jaccard", 4))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (vectorized pandas UDF — 64-bit token-hash bit votes)
+# ---------------------------------------------------------------------------
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _fnv1a64(token: str) -> np.uint64:
+    h = _FNV_OFFSET
+    for byte in token.encode("utf-8", "replace"):
+        h = np.uint64((int(h) ^ byte) * int(_FNV_PRIME) & 0xFFFFFFFFFFFFFFFF)
+    return h
+
+
+def simhash64(text: str) -> int:
+    toks = text.split()
+    if not toks:
+        return 0
+    hashes = np.fromiter((_fnv1a64(t) for t in toks), dtype=np.uint64, count=len(toks))
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def _make_simhash_udf():
+    # created lazily: pandas_udf parses its DDL type against the active
+    # session, so the decorator can't run at import time
+    @pandas_udf("long")
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        def signed(t: str) -> int:
+            v = simhash64(t)
+            # stored as signed int64 (same 64 bits); hamming unaffected
+            return v - (1 << 64) if v >= 1 << 63 else v
+
+        return texts.fillna("").map(signed)
+
+    return simhash_udf
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.select("doc_id", _make_simhash_udf()(F.col(text_col)).alias("simhash"))
+
+
+def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
+                          max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the top-16-bit band (at scale:
+    4 rotated bands guarantee recall for distance<=3), verify Hamming via
+    bit_count(xor) <= max_hamming — all JVM-side."""
+    sig = simhash_signatures(df, text_col).withColumn(
+        "band", F.shiftrightunsigned(F.col("simhash"), 48)
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, F.col("a.band") == F.col("b.band"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

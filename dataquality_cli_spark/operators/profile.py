@@ -1,0 +1,166 @@
+"""pandas.describe()-style per-column profiling — the reference's entire
+query surface (SURVEY.md §2a A1-A16, P1-P6) rebuilt as Spark aggregates.
+
+Scale notes: numeric stats are ONE agg pass (partial+final hash agg, no
+extra shuffle); unique/top-1 melt to (column, value) — one shuffle over
+rows x profiled-cols, with map-side partial aggregation. No driver-side
+loops over data; `.collect()` never appears here.
+
+Reference citations (/root/reference):
+  counts/nulls   simple_engine.go:186-192,120
+  mean/std       simple_engine.go:217-219,287-293 (stddev -> F.stddev_pop)
+  min/max        simple_engine.go:221-226 (numeric), :325-342 (lexicographic)
+  quantiles      simple_engine.go:304-311 (exact; percentile_approx at scale)
+  unique         simple_engine.go:316-318 (exact), adaptive :324-352 (approx)
+  top-1 freq     simple_engine.go:239-245
+  type vote      simple_engine.go:262-270 (regex parse vote, NOT try_cast —
+                 DuckDB TRY_CAST rounds '12.5'->13 while Spark nulls it)
+  quality grade  cmd/describe.go:393-401
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .. import config as C
+
+# portable numeric-parse regexes (identical semantics in Java + DuckDB RE2)
+INT_RE = "^-?[0-9]+$"
+FLOAT_RE = r"^-?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][-+]?[0-9]+)?$"
+
+
+def numeric_profile(df: DataFrame, cols: list[str], group_by: list[str] | None = None,
+                    exact_quantiles: bool = True, round_to: int = 4) -> DataFrame:
+    """count / nulls / mean / stddev_pop / min / max / q25 / q50 / q75 per
+    numeric column, optionally per group. One aggregation pass."""
+    aggs = []
+    for c in cols:
+        q = (
+            F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))")
+            if exact_quantiles
+            else F.percentile_approx(c, [0.25, 0.5, 0.75], 10_000)
+        )
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}_rows"),
+            F.count(c).alias(f"{c}_count"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}_nulls"),
+            F.round(F.avg(c), round_to).alias(f"{c}_mean"),
+            F.round(F.stddev_pop(c), round_to).alias(f"{c}_std"),
+            F.round(F.min(c), round_to).alias(f"{c}_min"),
+            F.round(F.max(c), round_to).alias(f"{c}_max"),
+            F.round(q[0], round_to).alias(f"{c}_q25"),
+            F.round(q[1], round_to).alias(f"{c}_q50"),
+            F.round(q[2], round_to).alias(f"{c}_q75"),
+        ]
+    return df.groupBy(*(group_by or [])).agg(*aggs)
+
+
+def unique_and_top1(df: DataFrame, col: str, group_by: list[str] | None = None) -> DataFrame:
+    """Exact distinct count + top-1 value with frequency (tie-break: value
+    ascending — pinned for determinism)."""
+    gb = group_by or []
+    counted = df.groupBy(*gb, col).agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy(*gb).orderBy(F.desc("freq"), F.asc(col))
+    ranked = counted.withColumn("_rn", F.row_number().over(w))
+    uniq = df.groupBy(*gb).agg(F.countDistinct(col).alias("unique"))
+    top = ranked.filter(F.col("_rn") == 1).select(
+        *gb, F.col(col).alias("top"), "freq"
+    )
+    if gb:
+        return uniq.join(top, gb)
+    return uniq.crossJoin(top)
+
+
+def type_vote(df: DataFrame, col: str) -> DataFrame:
+    """Reference type inference (simple_engine.go:262-270): 'int' iff every
+    non-null value parses as int; 'float' if all parse numeric with at
+    least one non-int; else 'string'. Regex-based (portable)."""
+    v = F.col(col)
+    is_int = v.rlike(INT_RE)
+    is_num = v.rlike(FLOAT_RE)
+    agg = df.agg(
+        F.count(v).alias("n_values"),
+        F.sum(F.when(is_int, 1).otherwise(0)).alias("n_int"),
+        F.sum(F.when(is_num, 1).otherwise(0)).alias("n_numeric"),
+    )
+    return agg.select(
+        F.lit(col).alias("col_name"),
+        "n_values", "n_int", "n_numeric",
+        F.when(F.col("n_values") == 0, "string")
+        .when(F.col("n_int") == F.col("n_values"), "int")
+        .when(F.col("n_numeric") == F.col("n_values"), "float")
+        .otherwise("string")
+        .alias("inferred_type"),
+    )
+
+
+def quality_grade(null_pct: F.Column) -> F.Column:
+    """cmd/describe.go:393-401 verbatim thresholds."""
+    return (
+        F.when(null_pct > C.QUALITY_POOR_NULL_PCT, "Poor")
+        .when(null_pct > C.QUALITY_FAIR_NULL_PCT, "Fair")
+        .otherwise("Good")
+    )
+
+
+def top_k_per_group(df: DataFrame, group: str, order: str, k: int = C.TOP_DETAIL_LIMIT,
+                    tiebreak: str | None = None) -> DataFrame:
+    """O3 / P6: bounded top-k per group via window rank (cmd/describe.go:
+    403-417). Deterministic: secondary sort on `tiebreak`."""
+    order_cols = [F.desc(order)] + ([F.asc(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(group).orderBy(*order_cols)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def profile_table(df: DataFrame, numeric_cols: list[str], string_cols: list[str],
+                  approx: bool = False) -> DataFrame:
+    """Full describe(): long format, one row per column. `approx=True`
+    switches to the 100TB plan — approx_count_distinct (HLL++) and
+    percentile_approx (GK sketch) instead of exact shuffle-heavy ops."""
+    parts = []
+    for c in numeric_cols:
+        q = (
+            F.percentile_approx(c, [0.25, 0.5, 0.75], 10_000)
+            if approx
+            else F.expr(f"percentile({c}, array(0.25,0.5,0.75))")
+        )
+        uniq = F.approx_count_distinct(c) if approx else F.countDistinct(c)
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.count(c).alias("count"),
+                F.round(F.avg(c), 6).alias("mean"),
+                F.round(F.stddev_pop(c), 6).alias("std"),
+                F.round(F.min(c).cast("double"), 6).alias("min"),
+                F.round(q[0], 6).alias("q25"),
+                F.round(q[1], 6).alias("q50"),
+                F.round(q[2], 6).alias("q75"),
+                F.round(F.max(c).cast("double"), 6).alias("max"),
+                uniq.alias("unique"),
+            ).select(F.lit(c).alias("column"), F.lit("numeric").alias("kind"), "*")
+        )
+    for c in string_cols:
+        uniq = F.approx_count_distinct(c) if approx else F.countDistinct(c)
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.count(c).alias("count"),
+                F.lit(None).cast("double").alias("mean"),
+                F.lit(None).cast("double").alias("std"),
+                F.lit(None).cast("double").alias("min"),
+                F.lit(None).cast("double").alias("q25"),
+                F.lit(None).cast("double").alias("q50"),
+                F.lit(None).cast("double").alias("q75"),
+                F.lit(None).cast("double").alias("max"),
+                uniq.alias("unique"),
+            ).select(F.lit(c).alias("column"), F.lit("string").alias("kind"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,124 @@
+"""Similarity search over an embedding column (array<float>):
+
+- brute-force cosine top-k — the exactness baseline. dot/norms via
+  zip_with + aggregate (whole-stage-codegen JVM fold, no UDF); the
+  query side is BROADCAST so the scan side never shuffles.
+- LSH-bucketed ANN (random hyperplane signatures) — the scale path:
+  candidates only within matching sign-bucket, hyperplanes derived
+  deterministically from a seed (reproducible across runs/engines).
+- near-dup pairs by cosine threshold with label blocking.
+
+At 1000 executors the brute-force path is a broadcast-nested-loop of
+(scan x k queries) — linear in table size, no shuffle; the LSH path
+shuffles once on the bucket key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(dot_col(a, a))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors per query (excluding self). Query side is
+    broadcast — the big side streams through untouched."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    scored = (
+        df.alias("t")
+        .join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine_col(F.col("query_vec"), F.col(vec_col)), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def neardup_pairs_cosine(df: DataFrame, threshold: float = 0.95,
+                         block_col: str = "label", id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-duplicates: pairs above a cosine threshold inside a
+    blocking key (at scale the block comes from LSH, below)."""
+    a, b = df.alias("a"), df.alias("b")
+    return (
+        a.join(b, F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine_col(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") > threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH (scale path)
+# ---------------------------------------------------------------------------
+
+def hyperplanes(dim: int, n_planes: int = 12, seed: int = 41) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_col(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-pattern bucket id: bit j = 1 iff dot(vec, plane_j) > 0.
+    Pure column expressions — planes are baked in as literals (tiny)."""
+    bucket = F.lit(0).cast("long")
+    for j, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bucket = bucket + F.when(dot_col(vec, plane) > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def ann_lsh_topk(df: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 8,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 dim: int = 64, seed: int = 41) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket; exact
+    cosine re-rank inside the bucket. One shuffle on the bucket key."""
+    planes = hyperplanes(dim, n_planes, seed)
+    with_bucket = df.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        with_bucket.join(F.broadcast(q), "bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine_col(F.col("query_vec"), F.col(vec_col)), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

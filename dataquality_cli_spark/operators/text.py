@@ -1,0 +1,134 @@
+"""Text-analysis operators over a documents table (doc_id, text, lang,
+source, n_chars): token stats, stopword language-ID heuristic, quality
+scoring, fingerprinting. All built-in expressions (JVM-side); every op
+has an exact ANSI-SQL twin for the DuckDB oracle.
+
+These recast the reference's per-column stats (SURVEY.md §2b) onto the
+training-data-pipeline surface the north rule asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# single space tokenizer — the documents fixture is space-separated;
+# (the pipeline's code rules use the richer TOKEN_SEP_RE)
+TOKEN_SEP = " "
+
+# tiny English stopword list for the heuristic language guess (public
+# knowledge; fixed + sorted so both engines agree)
+EN_STOPWORDS = ("a", "an", "and", "in", "is", "of", "the", "to")
+EN_STOPWORD_RATIO_MIN = 0.12
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(text, TOKEN_SEP, -1)
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc token counts + length distribution (whitespace tokenizer,
+    SURVEY.md 'token counting')."""
+    t = tokens_col(F.col(text_col))
+    lens = F.transform(t, F.length)
+    return df.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct_tokens"),
+        F.array_max(lens).cast("long").alias("max_token_len"),
+        F.round(
+            F.aggregate(lens, F.lit(0).cast("long"), lambda a, x: a + x.cast("long"))
+            .cast("double") / F.size(t).cast("double"),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def alnum_fraction(df: DataFrame, text_col: str = "text") -> DataFrame:
+    n = F.length(F.col(text_col))
+    alnum = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z0-9]", ""))
+    return df.select(
+        "doc_id",
+        F.when(n > 0, F.round(alnum.cast("double") / n.cast("double"), 4))
+        .otherwise(F.lit(0.0))
+        .alias("alnum_fraction"),
+    )
+
+
+def stopword_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language-ID: English-stopword token ratio -> 'en'/'other'.
+    (The real model-based langid lives in functions/models.py; this is the
+    SQL-expressible heuristic variant with a DuckDB oracle.)"""
+    t = tokens_col(F.lower(F.col(text_col)))
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    hits = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    ratio = hits.cast("double") / F.size(t).cast("double")
+    return df.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 4).alias("stopword_ratio"),
+        F.when(ratio > EN_STOPWORD_RATIO_MIN, "en").otherwise("other").alias("lang_pred"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1]: length band + token diversity +
+    alnum fraction (recast of the reference quality grade,
+    cmd/describe.go:393-401, as a continuous score)."""
+    text = F.col(text_col)
+    t = tokens_col(text)
+    n_tok = F.size(t).cast("double")
+    diversity = F.size(F.array_distinct(t)).cast("double") / n_tok
+    alnum = (
+        F.length(F.regexp_replace(text, "[^A-Za-z0-9]", "")).cast("double")
+        / F.length(text).cast("double")
+    )
+    len_band = F.when((F.length(text) >= 100) & (F.length(text) <= 2000), 1.0).otherwise(0.5)
+    score = (diversity + alnum + len_band) / F.lit(3.0)
+    return df.select("doc_id", "lang", F.round(score, 4).alias("quality_score"))
+
+
+def doc_quality_verdict(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flagship keep/drop gate over the documents table — the same verdict
+    shape as the code pipeline (plans/pipeline.py), expressed entirely in
+    built-ins so it has an exact DuckDB oracle. Thresholds in config."""
+    from .. import config as C
+
+    text = F.col(text_col)
+    t = tokens_col(text)
+    n_tok = F.size(t).cast("long")
+    diversity = F.size(F.array_distinct(t)).cast("double") / F.size(t).cast("double")
+    alnum = (
+        F.length(F.regexp_replace(text, "[^A-Za-z0-9]", "")).cast("double")
+        / F.length(text).cast("double")
+    )
+    mtl = F.array_max(F.transform(t, F.length)).cast("long")
+    fails = {
+        "too_short": n_tok < C.DOC_MIN_TOKENS,
+        "low_diversity": diversity < C.DOC_DIVERSITY_MIN,
+        "alnum": alnum < C.DOC_ALNUM_MIN,
+        "long_token": mtl > C.DOC_MAX_TOKEN_LEN,
+    }
+    reason = F.lit(None).cast("string")
+    for r in reversed(C.DOC_DROP_ORDER):
+        reason = F.when(fails[r], F.lit(r)).otherwise(reason)
+    return df.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        F.round(diversity, 4).alias("diversity"),
+        F.round(alnum, 4).alias("alnum_fraction"),
+        mtl.alias("max_token_len"),
+        reason.alias("drop_reason"),
+        reason.isNull().alias("keep"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: sha256 of the raw text + md5 of the
+    lowercase-normalized text (both portable to the oracle)."""
+    return df.select(
+        "doc_id",
+        F.sha2(F.col(text_col), 256).alias("sha256_raw"),
+        F.md5(F.lower(F.col(text_col))).alias("md5_norm"),
+    )

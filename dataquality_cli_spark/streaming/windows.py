@@ -1,0 +1,83 @@
+"""Event-time analytics over the events table, written once and usable
+both as a batch DataFrame query and under Structured Streaming (the
+expressions are watermark-compatible: event-time window + keyed agg).
+
+The reference has no unbounded streams (SURVEY.md §1.2) — this is the
+forward-looking surface a training-data pipeline needs for incremental
+ingest. ``run_streaming_hourly`` drives the same aggregation through
+readStream -> memory sink for tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SESSION_GAP_MIN = 30
+
+
+def hourly_event_agg(events: DataFrame) -> DataFrame:
+    """Tumbling 1h window per event_type: count + sum(value).
+    Batch twin of the streaming agg (window start == date_trunc hour)."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Sessionization via lag + cumulative sum over per-user event time:
+    a new session starts when the gap to the previous event exceeds
+    ``gap_min``. Returns per-user session counts + mean session length
+    (in events). Two window passes over the same (user_id, ts) sort —
+    Spark reuses the sort/shuffle across both."""
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts may be TIMESTAMP_NTZ (parquet us) — route through TIMESTAMP to
+    # epoch seconds; session TZ is pinned UTC so it matches DuckDB epoch()
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap_flag = F.when(
+        epoch - F.lag(epoch).over(w_user) > gap_min * 60,
+        1,
+    ).otherwise(0)
+    with_session = events.withColumn("new_session", gap_flag).withColumn(
+        "session_id", F.sum("new_session").over(w_user)
+    )
+    per_session = with_session.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+def run_streaming_hourly(spark: SparkSession, parquet_path: str, schema) -> DataFrame:
+    """Drive the hourly agg through Structured Streaming (file source ->
+    watermark -> windowed agg -> memory sink), synchronously for tests."""
+    stream = (
+        spark.readStream.format("parquet").schema(schema).load(parquet_path)
+        .withWatermark("ts", "2 hours")
+    )
+    agg = hourly_event_agg(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hourly_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql("SELECT * FROM hourly_out")

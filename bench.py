@@ -1,0 +1,101 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Session startup and model training are excluded (warmup action first);
+each query timing covers plan + execute + materialize count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from __spark_entry__ import queries
+from dataquality_cli_spark.plans.pipeline import run_pipeline
+from dataquality_cli_spark.session import get_spark
+
+HEADLINE = [
+    "doc_quality_verdict",     # flagship keep/drop gate
+    "a5_group_aggregates",     # TPC-H-Q1-style heavy agg
+    "a10_quantiles_exact",     # exact percentile sort path
+    "dedup_minhash_signatures",  # shingle/md5-heavy
+    "dedup_lsh_pairs",         # self-join on band buckets
+    "ann_cosine_topk",         # broadcast knn
+    "events_hourly",           # window agg
+    "events_sessionize",       # window functions
+]
+
+
+def materialize(df) -> int:
+    """Force FULL computation of every output column (a bare count() lets
+    Catalyst prune the projections away and times the scan only):
+    aggregate a hash over the whole row struct."""
+    hashed = df.select(F.xxhash64(F.struct(*df.columns)).alias("h"))
+    row = hashed.agg(
+        F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("x")
+    ).collect()[0]
+    return row.n
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app="dq-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + parquet footer caches + Python UDF worker spawn
+    warm_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    warm_docs.count()
+    warm = run_pipeline(
+        spark,
+        warm_docs.limit(256).selectExpr(
+            "source AS repo", "CAST(doc_id AS string) AS path",
+            "'0' AS commit", "lang", "text AS content",
+        ).repartition(8),
+    )
+    materialize(warm)
+
+    qs = queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(qs[name](spark, sf_dir))
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    # the model pipeline over the documents table mapped to the code-file
+    # input shape (repo, path, commit, lang, content)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("0" * 40).alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    t0 = time.perf_counter()
+    materialize(run_pipeline(spark, docs))
+    dt = time.perf_counter() - t0
+    timings["quality_pipeline_full"] = round(dt, 3)
+    total += dt
+
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

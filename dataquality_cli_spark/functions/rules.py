@@ -28,6 +28,17 @@ BLANK_CHARS = " \t\r"
 # Python \s disagree on \x1c-\x1f and Unicode spaces (pinned both sides)
 TOKEN_SEP_RE = "[ \\t\\n\\x0B\\f\\r]+"
 
+ALNUM_CHARS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+)
+
+
+def alnum_count(content: Column) -> Column:
+    """# of [A-Za-z0-9] chars via single-pass translate-delete.
+    regexp_replace('[^A-Za-z0-9]','') computes the same thing ~20x
+    slower (per-char match + rebuild) — measured 10s vs 0.5s on 90 MB."""
+    return F.length(content) - F.length(F.translate(content, ALNUM_CHARS, ""))
+
 
 def lines_col(content: Column) -> Column:
     return F.split(content, "\n", -1)
@@ -60,8 +71,9 @@ def mean_line_len(content: Column) -> Column:
 
 def alnum_fraction(content: Column) -> Column:
     n = F.length(content)
-    alnum = F.length(F.regexp_replace(content, "[^A-Za-z0-9]", ""))
-    return F.when(n > 0, alnum.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    return F.when(
+        n > 0, alnum_count(content).cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
 
 
 def dup_line_ratio(content: Column) -> Column:

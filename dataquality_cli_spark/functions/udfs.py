@@ -52,3 +52,41 @@ def with_model_scores(df, bc, content_col: str = "content"):
         .withColumn("ppl", F.col("_scores.ppl"))
         .drop("_scores")
     )
+
+
+# ---------------------------------------------------------------------------
+# fully-fused scorer: models + heuristic metrics + scrub in ONE Arrow pass
+# (the pipeline hot path — see functions/textmetrics.py for why this is
+# Python-side instead of Column expressions)
+# ---------------------------------------------------------------------------
+
+def _full_schema() -> str:
+    from .. import config as C
+    from .textmetrics import METRIC_FIELDS
+
+    fields = ["langid_pred string", "ppl double"]
+    for f in METRIC_FIELDS:
+        kind = "double" if f.endswith(("ratio", "fraction")) or f == "mean_line_len" else "long"
+        fields.append(f"{f} {kind}")
+    fields += [f"hits_{name} long" for name, _p, _r in C.SCRUB_RULES]
+    fields.append("scrubbed string")
+    return ", ".join(fields)
+
+
+def full_score_udf(bc) -> "callable":
+    @pandas_udf(_full_schema())
+    def score(content: pd.Series) -> pd.DataFrame:
+        from .textmetrics import score_batch
+
+        d = bc.value
+        langid = LangIdModel.from_arrays(d["langid"])
+        lm = CharLM.from_arrays(d["lm"])
+        texts = content.fillna("").tolist()
+        return pd.DataFrame(score_batch(texts, langid, lm))
+
+    return score
+
+
+def with_full_scores(df, bc, content_col: str = "content"):
+    scored = df.withColumn("_s", full_score_udf(bc)(F.col(content_col)))
+    return scored.select("*", "_s.*").drop("_s")

@@ -59,6 +59,11 @@ def minhash_signature(text: Column, n_hashes: int = N_HASHES) -> list[Column]:
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+    # the salted-md5 signature projection is the expensive part — make
+    # sure it runs at cluster parallelism even off a one-partition source
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     return df.select("doc_id", *minhash_signature(F.col(text_col)))
 
 
@@ -84,8 +89,23 @@ def lsh_bands(sig_df: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
 
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Distinct candidate pairs (a < b) sharing any LSH band bucket.
-    The self-join shuffles on (band_id, band_hash) — no cross join."""
-    bands = lsh_bands(minhash_signatures(df, text_col))
+    The self-join shuffles on (band_id, band_hash) — no cross join.
+
+    Physical strategy: repartition the INPUT to the cluster's
+    parallelism so the md5-heavy signature projection runs on every core
+    even when the source is one file/partition. The self-join computes
+    the signature plan once per side (a broadcast side and a shuffle
+    side cannot share an exchange) — both passes run fully parallel. At
+    100 TB the signature table would be written out once (Iceberg) and
+    self-joined; here the double pass is cheaper than a cache round-trip.
+
+    Known hot spot: interpreted higher-order-function md5 costs ~1us per
+    shingle-hash; the md5-string MinHash is kept because it is portable
+    to the DuckDB oracle. A numpy pandas-UDF signature (xxhash-style)
+    would be ~10x faster when oracle portability is not needed."""
+    sc = df.sparkSession.sparkContext
+    spread = df.repartition(sc.defaultParallelism)
+    bands = lsh_bands(minhash_signatures(spread, text_col))
     a = bands.alias("a")
     b = bands.alias("b")
     return (

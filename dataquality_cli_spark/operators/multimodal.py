@@ -1,0 +1,125 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via ``mapInPandas`` (Arrow batch
+iterator — the correct shape for large blobs: no row-at-a-time Python,
+bounded batch memory via spark.sql.execution.arrow.maxRecordsPerBatch).
+
+The actual decoders (PIL/ffmpeg/torchaudio) are NOT in this container,
+so the decode step is STUBBED behind ``decode_image`` — a deterministic
+fake that parses our synthetic blob header. The Spark-side plumbing
+(schema, batch iteration, partition handling, output contract) is real
+and tested; swapping in a real decoder changes one function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),       # image | audio | video
+    StructField("mime", StringType()),
+    StructField("width", IntegerType()),     # metadata as ingested
+    StructField("height", IntegerType()),
+    StructField("payload", BinaryType()),    # opaque blob
+])
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, sha256 string, "
+    "decoded_width int, decoded_height int, mean_luma double, valid boolean"
+)
+
+_MAGIC = b"SYNM"  # synthetic media header: SYNM | u16 w | u16 h | pixel bytes
+
+
+def make_synthetic_blob(media_id: int, width: int, height: int) -> bytes:
+    """Deterministic fake 'image': header + seeded pixel bytes."""
+    rng = np.random.RandomState(media_id % (2**31))
+    pixels = rng.randint(0, 256, size=width * height, dtype=np.int64).astype("uint8")
+    return _MAGIC + struct.pack("<HH", width, height) + pixels.tobytes()
+
+
+def decode_image(payload: bytes):
+    """STUB decoder. Real deployments replace this with PIL/turbojpeg —
+    raising NotImplementedError for non-synthetic blobs keeps the
+    contract explicit."""
+    if payload is None or len(payload) < 8 or payload[:4] != _MAGIC:
+        raise NotImplementedError(
+            "real image decoding requires PIL/libjpeg (not in this container); "
+            "only synthetic SYNM blobs are decodable here"
+        )
+    w, h = struct.unpack("<HH", payload[4:8])
+    pix = np.frombuffer(payload[8 : 8 + w * h], dtype=np.uint8)
+    return w, h, pix
+
+
+def synthetic_media_df(spark: SparkSession, n: int = 64) -> DataFrame:
+    rows = []
+    for i in range(n):
+        w, h = 8 + (i % 8) * 4, 8 + (i % 5) * 4
+        rows.append((i, "image", "image/x-syn", w, h, bytearray(make_synthetic_blob(i, w, h))))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Decode + feature-extract via mapInPandas: per-partition Arrow batch
+    iterator, one decode per row inside the batch, vectorized stats."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "kind", "n_bytes", "sha256",
+                                   "decoded_width", "decoded_height",
+                                   "mean_luma", "valid")}
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["n_bytes"].append(len(raw))
+                out["sha256"].append(hashlib.sha256(raw).hexdigest())
+                try:
+                    w, h, pix = decode_image(raw)
+                    out["decoded_width"].append(w)
+                    out["decoded_height"].append(h)
+                    out["mean_luma"].append(float(pix.mean()) if pix.size else 0.0)
+                    out["valid"].append(True)
+                except NotImplementedError:
+                    out["decoded_width"].append(0)
+                    out["decoded_height"].append(0)
+                    out["mean_luma"].append(0.0)
+                    out["valid"].append(False)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(gen, FEATURE_SCHEMA)
+
+
+def resize_stub(df: DataFrame, target: int = 32) -> DataFrame:
+    """Resize plumbing: same mapInPandas shape; the resample itself is a
+    deterministic stride subsample of the synthetic pixels (a real
+    deployment swaps in PIL.Image.resize)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    w, h, pix = decode_image(raw)
+                    stride = max(1, (w * h) // (target * target))
+                    small = pix[::stride][: target * target]
+                    ids.append(mid)
+                    blobs.append(_MAGIC + struct.pack("<HH", target, target) + small.tobytes())
+                except NotImplementedError:
+                    ids.append(mid)
+                    blobs.append(raw)
+            yield pd.DataFrame({"media_id": ids, "payload": blobs})
+
+    return df.mapInPandas(gen, "media_id long, payload binary")

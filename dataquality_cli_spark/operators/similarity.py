@@ -99,25 +99,51 @@ def lsh_bucket_col(vec: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
-def ann_lsh_topk(df: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 8,
-                 id_col: str = "vec_id", vec_col: str = "embedding",
+def _table_buckets(vec: Column, planes: np.ndarray, n_tables: int) -> Column:
+    """Array of per-table bucket ids (planes split evenly over tables)."""
+    per = len(planes) // n_tables
+    return F.array(*[
+        lsh_bucket_col(vec, planes[t * per : (t + 1) * per]) for t in range(n_tables)
+    ])
+
+
+def ann_lsh_topk(df: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 4,
+                 n_tables: int = 16, id_col: str = "vec_id", vec_col: str = "embedding",
                  dim: int = 64, seed: int = 41) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket; exact
-    cosine re-rank inside the bucket. One shuffle on the bucket key."""
-    planes = hyperplanes(dim, n_planes, seed)
-    with_bucket = df.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
-    q = queries.select(
+    """Approximate top-k via MULTI-TABLE hyperplane LSH: a candidate is
+    any vector sharing the query's bucket in >= 1 of ``n_tables`` tables
+    (single-table recall is (1-theta/pi)^planes — too low for weakly
+    clustered data; L tables lift it to 1-(1-p)^L). Candidates are then
+    exactly re-ranked by cosine.
+
+    Physical shape: bucket membership is exploded to (table, bucket)
+    rows and the candidate join shuffles on that key — the big side
+    never cross-joins; at scale the bucket table is a materialized
+    index."""
+    planes = hyperplanes(dim, n_planes * n_tables, seed)
+    buckets = _table_buckets(F.col(vec_col), planes, n_tables)
+    t_b = df.select(F.col(id_col), F.posexplode(buckets).alias("table", "bucket"))
+    q_b = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("query_vec"),
-        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        F.posexplode(buckets).alias("table", "bucket"),
     )
-    scored = (
-        with_bucket.join(F.broadcast(q), "bucket")
+    cands = (
+        t_b.join(F.broadcast(q_b), ["table", "bucket"])
         .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+        .distinct()
+    )
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    t_vecs = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("t_vec"))
+    scored = (
+        cands.join(F.broadcast(q_vecs), "query_id")
+        .join(t_vecs, "neighbor_id")
         .select(
             "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            F.round(cosine_col(F.col("query_vec"), F.col(vec_col)), 4).alias("cosine"),
+            "neighbor_id",
+            F.round(cosine_col(F.col("query_vec"), F.col("t_vec")), 4).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

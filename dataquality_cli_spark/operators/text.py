@@ -45,8 +45,10 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def alnum_fraction(df: DataFrame, text_col: str = "text") -> DataFrame:
+    from ..functions.rules import alnum_count
+
     n = F.length(F.col(text_col))
-    alnum = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z0-9]", ""))
+    alnum = alnum_count(F.col(text_col))
     return df.select(
         "doc_id",
         F.when(n > 0, F.round(alnum.cast("double") / n.cast("double"), 4))
@@ -75,14 +77,13 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Composite quality score in [0,1]: length band + token diversity +
     alnum fraction (recast of the reference quality grade,
     cmd/describe.go:393-401, as a continuous score)."""
+    from ..functions.rules import alnum_count
+
     text = F.col(text_col)
     t = tokens_col(text)
     n_tok = F.size(t).cast("double")
     diversity = F.size(F.array_distinct(t)).cast("double") / n_tok
-    alnum = (
-        F.length(F.regexp_replace(text, "[^A-Za-z0-9]", "")).cast("double")
-        / F.length(text).cast("double")
-    )
+    alnum = alnum_count(text).cast("double") / F.length(text).cast("double")
     len_band = F.when((F.length(text) >= 100) & (F.length(text) <= 2000), 1.0).otherwise(0.5)
     score = (diversity + alnum + len_band) / F.lit(3.0)
     return df.select("doc_id", "lang", F.round(score, 4).alias("quality_score"))
@@ -94,14 +95,13 @@ def doc_quality_verdict(df: DataFrame, text_col: str = "text") -> DataFrame:
     built-ins so it has an exact DuckDB oracle. Thresholds in config."""
     from .. import config as C
 
+    from ..functions.rules import alnum_count
+
     text = F.col(text_col)
     t = tokens_col(text)
     n_tok = F.size(t).cast("long")
     diversity = F.size(F.array_distinct(t)).cast("double") / F.size(t).cast("double")
-    alnum = (
-        F.length(F.regexp_replace(text, "[^A-Za-z0-9]", "")).cast("double")
-        / F.length(text).cast("double")
-    )
+    alnum = alnum_count(text).cast("double") / F.length(text).cast("double")
     mtl = F.array_max(F.transform(t, F.length)).cast("long")
     fails = {
         "too_short": n_tok < C.DOC_MIN_TOKENS,

@@ -25,21 +25,16 @@ from pyspark.sql import functions as F
 
 from .. import config as C
 from ..functions import rules, scrub
-from ..functions.udfs import broadcast_models, with_model_scores
+from ..functions.udfs import broadcast_models, with_full_scores
 
 INPUT_COLS = ("repo", "path", "commit", "lang", "content")
 
 
-def score_files(df: DataFrame, bc) -> DataFrame:
-    """Adds all rule metrics + model scores. Narrow (no shuffle)."""
-    content = F.col("content")
-    metrics = rules.rule_metrics(content)
-    out = df.select("*", *(expr.alias(name) for name, expr in metrics.items()))
-    return with_model_scores(out, bc)
-
-
 def apply_verdict(scored: DataFrame) -> DataFrame:
-    """drop_reason = first failing rule in pinned precedence order."""
+    """drop_reason = first failing rule in pinned precedence order; scrub
+    output gated on keep. Every reference here is a cheap struct-field
+    extraction of the fused-UDF output (the ArrowEvalPython node is a
+    CollapseProject barrier, so nothing heavy is ever recomputed)."""
     fails = rules.heuristic_failures()
     fails["perplexity"] = F.col("ppl") > C.PPL_MAX
     fails["langid"] = F.col("langid_pred") == C.LANGID_PROSE_CLASS
@@ -47,39 +42,39 @@ def apply_verdict(scored: DataFrame) -> DataFrame:
     reason = F.lit(None).cast("string")
     for r in reversed(C.DROP_REASON_ORDER):
         reason = F.when(fails[r], F.lit(r)).otherwise(reason)
-    return scored.withColumn("drop_reason", reason).withColumn(
+    out = scored.withColumn("drop_reason", reason).withColumn(
         "keep", F.col("drop_reason").isNull()
     )
-
-
-def apply_scrub(verdicts: DataFrame) -> DataFrame:
-    """Scrub kept rows; sha256 invariant columns for the pytest check."""
-    content = F.col("content")
-    hit_cols = scrub.scrub_hit_cols(content)
-    out = verdicts.select("*", *(e.alias(n) for n, e in hit_cols.items()))
     out = out.withColumn("total_scrub_hits", scrub.total_hits_col())
-    out = out.withColumn(
-        "scrubbed_content",
-        F.when(F.col("keep"), scrub.scrubbed_col(content)).otherwise(F.lit(None)),
-    )
-    return (
-        out.withColumn("content_sha256", F.sha2(content, 256))
+    out = (
+        out.withColumn(
+            "scrubbed_content",
+            F.when(F.col("keep"), F.col("scrubbed")).otherwise(F.lit(None)),
+        )
         .withColumn(
             "scrubbed_sha256",
-            F.when(F.col("keep"), F.sha2(F.col("scrubbed_content"), 256)),
+            F.when(F.col("keep"), F.sha2(F.col("scrubbed"), 256)),
         )
+        .withColumn("content_sha256", F.sha2(F.col("content"), 256))
     )
+    return out.drop("scrubbed")
 
 
 def run_pipeline(spark: SparkSession, df: DataFrame, *, salt_partitions: int | None = None,
                  bc=None) -> DataFrame:
-    """Full verdict DataFrame. ``salt_partitions`` spreads giant-repo skew
-    by hashing on (repo, path) — file-level granularity, so one huge repo
-    lands on many partitions (SURVEY.md §4)."""
-    if salt_partitions:
-        df = df.repartition(salt_partitions, F.xxhash64("repo", "path"))
+    """Full verdict DataFrame.
+
+    Plan shape: scan -> Exchange(salted on xxhash64(repo, path), breaks
+    giant-repo skew) -> ArrowEvalPython(ONE fused UDF: langid + ppl +
+    heuristic metrics + scrub; Python worker processes have isolated
+    heaps, so this scales where interpreted JVM array expressions went
+    GC-bound — see functions/textmetrics.py) -> Project(verdict CASE +
+    sha2) -> sink. One shuffle total; the scan reads only the 5 input
+    columns."""
+    salt_partitions = salt_partitions or spark.sparkContext.defaultParallelism * 2
+    staged = df.repartition(salt_partitions, F.xxhash64("repo", "path"))
     bc = bc or broadcast_models(spark)
-    return apply_scrub(apply_verdict(score_files(df, bc)))
+    return apply_verdict(with_full_scores(staged, bc))
 
 
 VERDICT_COLS = [

@@ -1,0 +1,102 @@
+"""CSV-directory source: the reference's discovery + describe surface
+(SURVEY.md §2a S1-S5, E2) as Spark reads.
+
+Reference semantics (/root/reference):
+  - recursive/non-recursive walk + case-insensitive extension match:
+    connectors/filescanner.go:28-89  -> recursiveFileLookup +
+    pathGlobFilter (glob is case-sensitive, so the filter is applied on
+    the _metadata column instead for case-insensitivity)
+  - size / mtime predicates: filescanner.go:118-132 -> `_metadata`
+    file-constant columns (pushed to the file index, no data read)
+  - per-file identity: input_file_name -> _metadata.file_path
+  - quoted-CSV parsing: encoding/csv semantics -> Spark CSV datasource
+    (univocity), PERMISSIVE mode tolerates ragged rows like
+    FieldsPerRecord=-1 (simple_engine.go:100)
+
+The whole-directory describe (E2's per-file fan-out, cmd/describe.go:
+193-259) becomes ONE DataFrame job: every file is a scan split and the
+per-file grouping is a hash aggregation on _file — Spark's scheduler IS
+the reference's worker pool (SURVEY.md §3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import config as C
+
+
+def read_csv_dir(
+    spark: SparkSession,
+    root: str,
+    ext: str = "csv",
+    recursive: bool = True,
+    min_size: int | None = None,
+    max_size: int | None = None,
+    modified_after=None,
+    modified_before=None,
+) -> DataFrame:
+    """All matching CSVs under ``root`` as one DataFrame with a ``_file``
+    identity column. File-level predicates use the `_metadata` struct —
+    they prune at the file index, before any row is parsed."""
+    df = (
+        spark.read.option("header", True)
+        .option("recursiveFileLookup", str(recursive).lower())
+        .option("mode", "PERMISSIVE")
+        .csv(root)
+        .select("*", "_metadata")
+    )
+    meta = F.col("_metadata")
+    df = df.filter(F.lower(meta.file_path).endswith("." + ext.lower()))
+    if min_size is not None:
+        df = df.filter(meta.file_size >= min_size)
+    if max_size is not None:
+        df = df.filter(meta.file_size <= max_size)
+    if modified_after is not None:
+        df = df.filter(meta.file_modification_time > modified_after)
+    if modified_before is not None:
+        df = df.filter(meta.file_modification_time < modified_before)
+    return df.withColumn("_file", meta.file_path).drop("_metadata")
+
+
+def describe_files(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Per-file, per-column profile with the reference's exact semantics
+    (simple engine): null = empty-after-trim, type vote over parsed
+    values, exact stats. One aggregation pass per file group."""
+    from ..operators.profile import FLOAT_RE, INT_RE
+
+    aggs = [F.count(F.lit(1)).alias("row_count")]
+    for c in columns:
+        v = F.col(c)
+        is_null = v.isNull() | (F.btrim(v, F.lit(" \t\r")) == "")
+        num = v.cast("double")
+        aggs += [
+            F.sum(F.when(is_null, 1).otherwise(0)).alias(f"{c}_nulls"),
+            F.sum(F.when(v.rlike(INT_RE), 1).otherwise(0)).alias(f"{c}_n_int"),
+            F.sum(F.when(v.rlike(FLOAT_RE), 1).otherwise(0)).alias(f"{c}_n_num"),
+            F.count(F.when(~is_null, 1)).alias(f"{c}_count"),
+            F.avg(F.when(v.rlike(FLOAT_RE), num)).alias(f"{c}_mean"),
+            F.stddev_pop(F.when(v.rlike(FLOAT_RE), num)).alias(f"{c}_std"),
+            F.min(F.when(v.rlike(FLOAT_RE), num)).alias(f"{c}_min"),
+            F.max(F.when(v.rlike(FLOAT_RE), num)).alias(f"{c}_max"),
+            F.countDistinct(F.when(~is_null, v)).alias(f"{c}_unique"),
+        ]
+    out = df.groupBy("_file").agg(*aggs)
+    for c in columns:
+        out = out.withColumn(
+            f"{c}_type",
+            F.when(F.col(f"{c}_count") == 0, "string")
+            .when(F.col(f"{c}_n_int") == F.col(f"{c}_count"), "int")
+            .when(F.col(f"{c}_n_num") == F.col(f"{c}_count"), "float")
+            .otherwise("string"),
+        )
+    total_cells = F.lit(len(columns)) * F.col("row_count")
+    total_nulls = sum(F.col(f"{c}_nulls") for c in columns)
+    null_pct = total_nulls.cast("double") * 100.0 / total_cells.cast("double")
+    return out.withColumn("null_pct", null_pct).withColumn(
+        "quality",
+        F.when(null_pct > C.QUALITY_POOR_NULL_PCT, "Poor")
+        .when(null_pct > C.QUALITY_FAIR_NULL_PCT, "Fair")
+        .otherwise("Good"),
+    )

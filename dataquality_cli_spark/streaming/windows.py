@@ -64,11 +64,17 @@ def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
     )
 
 
-def run_streaming_hourly(spark: SparkSession, parquet_path: str, schema) -> DataFrame:
+def run_streaming_hourly(spark: SparkSession, parquet_dir: str, schema,
+                         glob: str = "*.parquet") -> DataFrame:
     """Drive the hourly agg through Structured Streaming (file source ->
-    watermark -> windowed agg -> memory sink), synchronously for tests."""
+    watermark -> windowed agg -> memory sink), synchronously for tests.
+    The file source takes a DIRECTORY; ``glob`` selects files in it."""
     stream = (
-        spark.readStream.format("parquet").schema(schema).load(parquet_path)
+        spark.readStream.format("parquet").schema(schema)
+        .option("pathGlobFilter", glob).load(parquet_dir)
+        # watermarks require TIMESTAMP (event time); parquet gives NTZ.
+        # Session TZ is pinned UTC so the cast is value-preserving.
+        .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", "2 hours")
     )
     agg = hourly_event_agg(stream)

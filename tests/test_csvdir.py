@@ -1,0 +1,65 @@
+"""Reference CSV-profiling behavior parity (SURVEY.md §5 item 4): the
+describe surface on fixtures equivalent to the reference's own
+testdata/sample.csv and 1.csv (recreated inline — values, not code)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dataquality_cli_spark.sources.csvdir import describe_files, read_csv_dir
+
+SAMPLE = "id,name,value\n1,test,3.14\n2,another,42\n"
+ONE = "id, name\n1,foo\n2,bar\n3,bar\n3,bar\n4,\n"
+
+
+@pytest.fixture(scope="module")
+def csv_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("csvs")
+    (root / "sample.csv").write_text(SAMPLE)
+    (root / "one.csv").write_text(ONE)
+    sub = root / "nested"
+    sub.mkdir()
+    (sub / "deep.csv").write_text(SAMPLE)
+    (root / "ignore.txt").write_text("not,a,csv\n1,2,3\n")
+    return str(root)
+
+
+def test_discovery_recursive_and_extension_filter(spark, csv_root):
+    rec = read_csv_dir(spark, csv_root, recursive=True)
+    files = {os.path.basename(r._file) for r in rec.select("_file").distinct().collect()}
+    assert files == {"sample.csv", "one.csv", "deep.csv"}
+
+
+def test_size_filter_prunes(spark, csv_root):
+    big_only = read_csv_dir(spark, csv_root, min_size=len(ONE) + 1)
+    files = {os.path.basename(r._file) for r in big_only.select("_file").distinct().collect()}
+    assert "one.csv" not in files
+
+
+def test_sample_csv_profile_matches_reference_semantics(spark, csv_root):
+    df = read_csv_dir(spark, csv_root).filter("_file LIKE '%sample.csv'")
+    prof = describe_files(df, ["id", "name", "value"]).collect()[0]
+    assert prof.row_count == 2
+    assert prof.id_type == "int"
+    assert prof.name_type == "string"
+    # mixed int+float column votes "float" (simple_engine.go:262-270)
+    assert prof.value_type == "float"
+    assert prof.value_mean == pytest.approx((3.14 + 42) / 2)
+    assert prof.null_pct == 0.0
+    assert prof.quality == "Good"
+
+
+def test_one_csv_profile_matches_reference_semantics(spark, csv_root):
+    df = read_csv_dir(spark, csv_root).filter("_file LIKE '%one.csv'")
+    # header is "id, name" -> second column name has a leading space
+    name_col = [c for c in df.columns if c.strip() == "name"][0]
+    prof = describe_files(df, ["id", name_col]).collect()[0]
+    assert prof.row_count == 5
+    assert prof[f"{name_col}_nulls"] == 1
+    assert prof[f"{name_col}_unique"] == 2  # foo, bar
+    assert prof.id_unique == 4  # 1,2,3,3,4 -> {1,2,3,4}
+    assert prof.null_pct == pytest.approx(100.0 * 1 / 10)
+    # exactly 10% is NOT > 10 -> Good (cmd/describe.go:393-401 boundary)
+    assert prof.quality == "Good"

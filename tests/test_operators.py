@@ -1,0 +1,123 @@
+"""Operator tests over the driver's sf0.001 tables: dedup (exact /
+minhash / LSH / simhash), similarity (brute-force vs LSH recall),
+profiling helpers, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataquality_cli_spark.operators import dedup, multimodal, profile, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def aug(docs):
+    dups = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10_000
+    )
+    return docs.unionByName(dups).cache()
+
+
+def test_exact_dedup_finds_planted_duplicates(docs, aug):
+    n_planted = docs.filter(F.col("doc_id") % 5 == 0).count()
+    groups = dedup.exact_dup_groups(aug)
+    assert groups.count() == n_planted
+    # keeper is always the original (lower id)
+    assert groups.filter(F.col("keeper_id") >= 10_000).count() == 0
+    survivors = dedup.dedup_keep_first(aug)
+    assert survivors.count() == docs.count()
+
+
+def test_minhash_identical_texts_share_signature(spark, aug):
+    sig = dedup.minhash_signatures(aug)
+    joined = (
+        sig.alias("a")
+        .join(sig.alias("b"), F.col("a.doc_id") + 10_000 == F.col("b.doc_id"))
+    )
+    for j in range(dedup.N_HASHES):
+        assert joined.filter(F.col(f"a.mh{j}") != F.col(f"b.mh{j}")).count() == 0
+
+
+def test_lsh_pairs_recall_exact_duplicates(docs, aug):
+    n_planted = docs.filter(F.col("doc_id") % 5 == 0).count()
+    pairs = dedup.lsh_candidate_pairs(aug)
+    exact_pairs = pairs.filter(F.col("id_b") - F.col("id_a") == 10_000).count()
+    assert exact_pairs == n_planted  # identical text => identical bands, always
+
+
+def test_simhash_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    variant = base.replace("lazy", "idle", 1)  # one token changed
+    different = "completely unrelated words about database engines " * 8
+    a, b, c = (dedup.simhash64(t) for t in (base, variant, different))
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert ham(a, b) < 12
+    assert ham(a, c) > 12
+
+
+def test_ann_lsh_recall_vs_bruteforce(emb):
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_lsh_topk(emb, q, k=5).collect()
+    }
+    # multi-table LSH: measured recall 0.96 at defaults on this data
+    assert len(approx & exact) / len(exact) >= 0.6
+
+
+def test_profile_table_runs_exact_and_approx(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    for approx in (False, True):
+        prof = profile.profile_table(
+            li, ["l_quantity", "l_extendedprice"], ["l_returnflag"], approx=approx
+        ).collect()
+        assert len(prof) == 3
+        byname = {r.column: r for r in prof}
+        assert byname["l_quantity"]["count"] == li.count()
+        assert byname["l_quantity"]["min"] == 1.0
+        assert byname["l_returnflag"]["kind"] == "string"
+
+
+def test_multimodal_feature_extraction(spark):
+    media = multimodal.synthetic_media_df(spark, n=32)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 32
+    assert all(r.valid for r in rows)
+    assert all(r.decoded_width > 0 and 0 <= r.mean_luma <= 255 for r in rows)
+
+
+def test_multimodal_decode_stub_rejects_real_blobs(spark):
+    media = spark.createDataFrame(
+        [(1, "image", "image/jpeg", 8, 8, bytearray(b"\xff\xd8\xff\xe0 not a real jpeg"))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.extract_features(media).collect()[0]
+    assert row.valid is False and row.n_bytes > 0
+
+
+def test_multimodal_resize_plumbing(spark):
+    media = multimodal.synthetic_media_df(spark, n=8)
+    resized = multimodal.resize_stub(media, target=16)
+    feats = multimodal.extract_features(
+        resized.join(media.select("media_id", "kind"), "media_id")
+        .select("media_id", "kind", F.lit("image/x-syn").alias("mime"),
+                F.lit(16).alias("width"), F.lit(16).alias("height"), "payload")
+    )
+    assert all(r.decoded_width == 16 for r in feats.collect())

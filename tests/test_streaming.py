@@ -1,0 +1,37 @@
+"""Structured Streaming: the hourly event aggregation driven through
+readStream -> watermark -> windowed agg -> memory sink must match the
+batch twin exactly (same expressions, same data)."""
+
+from __future__ import annotations
+
+from dataquality_cli_spark.streaming import windows as W
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streaming_hourly_matches_batch(spark):
+    batch_df = spark.read.parquet(f"{SF}/events.parquet")
+    batch = {
+        (r.hour_start, r.event_type): (r.n_events, r.sum_value)
+        for r in W.hourly_event_agg(batch_df).collect()
+    }
+    streamed = W.run_streaming_hourly(spark, SF, batch_df.schema, glob="events.parquet")
+    got = {
+        (r.hour_start, r.event_type): (r.n_events, r.sum_value)
+        for r in streamed.collect()
+    }
+    assert got == batch
+    assert len(got) > 10
+
+
+def test_sessionize_sane(spark):
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    out = W.sessionize(events)
+    rows = out.collect()
+    assert len(rows) == events.select("user_id").distinct().count()
+    total_sessions = sum(r.n_sessions for r in rows)
+    total_events = events.count()
+    assert 0 < total_sessions <= total_events
+    for r in rows[:20]:
+        assert r.max_session_events >= 1
+        assert r.avg_events_per_session >= 1.0

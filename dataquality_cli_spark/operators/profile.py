@@ -105,6 +105,16 @@ def quality_grade(null_pct: F.Column) -> F.Column:
     )
 
 
+def needs_detail(null_pct: F.Column, rows: F.Column, cols: F.Column) -> F.Column:
+    """P5 'needs detailed analysis' predicate (cmd/describe.go:419-421):
+    nullPct>5 OR rows>100000 OR cols>20."""
+    return (
+        (null_pct > C.NEEDS_DETAIL_NULL_PCT)
+        | (rows > C.NEEDS_DETAIL_ROWS)
+        | (cols > C.NEEDS_DETAIL_COLS)
+    )
+
+
 def top_k_per_group(df: DataFrame, group: str, order: str, k: int = C.TOP_DETAIL_LIMIT,
                     tiebreak: str | None = None) -> DataFrame:
     """O3 / P6: bounded top-k per group via window rank (cmd/describe.go:

@@ -27,6 +27,21 @@ from pyspark.sql import functions as F
 from .. import config as C
 
 
+def sniff_delimiter(spark: SparkSession, path: str, sample_lines: int = 5,
+                    candidates: str = ",;\t|") -> str:
+    """Delimiter sniffing (parser/csv_parser.go:352-391): count candidate
+    delimiters over the first lines, pick the max (ties -> first in
+    ``candidates``, comma first, like the reference's iteration order).
+    Driver-side read of a few KB — the one place a driver-side peek is
+    the right tool (SURVEY.md §2a S7)."""
+    head = spark.read.text(path).limit(sample_lines).collect()
+    counts = {d: 0 for d in candidates}
+    for row in head:
+        for d in candidates:
+            counts[d] += row.value.count(d)
+    return max(candidates, key=lambda d: counts[d])
+
+
 def read_csv_dir(
     spark: SparkSession,
     root: str,

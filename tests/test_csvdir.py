@@ -8,7 +8,9 @@ import os
 
 import pytest
 
-from dataquality_cli_spark.sources.csvdir import describe_files, read_csv_dir
+from dataquality_cli_spark.sources.csvdir import (
+    describe_files, read_csv_dir, sniff_delimiter,
+)
 
 SAMPLE = "id,name,value\n1,test,3.14\n2,another,42\n"
 ONE = "id, name\n1,foo\n2,bar\n3,bar\n3,bar\n4,\n"
@@ -30,6 +32,18 @@ def test_discovery_recursive_and_extension_filter(spark, csv_root):
     rec = read_csv_dir(spark, csv_root, recursive=True)
     files = {os.path.basename(r._file) for r in rec.select("_file").distinct().collect()}
     assert files == {"sample.csv", "one.csv", "deep.csv"}
+
+
+def test_sniff_delimiter(spark, tmp_path):
+    semi = tmp_path / "semi.csv"
+    semi.write_text("a;b;c\n1;2;3\n4;5;6\n")
+    tab = tmp_path / "tab.csv"
+    tab.write_text("a\tb\n1\t2\n")
+    comma = tmp_path / "c.csv"
+    comma.write_text("a,b\n1,2\n")
+    assert sniff_delimiter(spark, str(semi)) == ";"
+    assert sniff_delimiter(spark, str(tab)) == "\t"
+    assert sniff_delimiter(spark, str(comma)) == ","
 
 
 def test_size_filter_prunes(spark, csv_root):

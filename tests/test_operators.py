@@ -94,6 +94,17 @@ def test_profile_table_runs_exact_and_approx(spark):
         assert byname["l_returnflag"]["kind"] == "string"
 
 
+def test_needs_detail_predicate(spark):
+    df = spark.createDataFrame(
+        [(6.0, 10, 3), (1.0, 200_000, 3), (1.0, 10, 25), (1.0, 10, 3)],
+        "null_pct double, rows long, cols int",
+    )
+    got = df.select(
+        profile.needs_detail(F.col("null_pct"), F.col("rows"), F.col("cols")).alias("x")
+    ).collect()
+    assert [r.x for r in got] == [True, True, True, False]
+
+
 def test_multimodal_feature_extraction(spark):
     media = multimodal.synthetic_media_df(spark, n=32)
     feats = multimodal.extract_features(media)

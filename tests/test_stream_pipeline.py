@@ -1,0 +1,51 @@
+"""Streaming quality filter: verdicts from the streaming path must equal
+the batch pipeline's verdicts on the same corpus (stateless parity)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from dataquality_cli_spark.plans.pipeline import run_pipeline
+from dataquality_cli_spark.sources.synth import corpus_to_rows, gen_corpus
+from dataquality_cli_spark.streaming.stream_pipeline import stream_quality_filter
+
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    rows = corpus_to_rows(gen_corpus(150, seed=77))
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # several files => several micro-batches with maxFilesPerTrigger
+    for i in range(3):
+        chunk = rows[i * 50 : (i + 1) * 50]
+        cols = list(zip(*chunk))
+        pq.write_table(
+            pa.table({n: list(c) for n, c in zip(
+                ("repo", "path", "commit", "lang", "content"), cols)}),
+            str(in_dir / f"part{i}.parquet"),
+        )
+    out_dir = str(tmp_path / "out")
+
+    q = stream_quality_filter(
+        spark, str(in_dir),
+        spark.createDataFrame([], SCHEMA).schema,
+        out_dir,
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        (r.repo, r.path): (r.keep, r.drop_reason, r.scrubbed_sha256)
+        for r in spark.read.parquet(os.path.join(out_dir, "data")).collect()
+    }
+    batch_df = spark.createDataFrame(rows, SCHEMA)
+    batch = {
+        (r.repo, r.path): (r.keep, r.drop_reason, r.scrubbed_sha256)
+        for r in run_pipeline(spark, batch_df).collect()
+    }
+    assert streamed == batch
+    metrics = spark.read.parquet(os.path.join(out_dir, "metrics")).collect()
+    assert sum(m.n for m in metrics) == 150

@@ -1,0 +1,86 @@
+"""Regenerate PLANS.md: physical-plan evidence for the headline queries
+(column pruning, filter pushdown, broadcast strategy, Arrow stages,
+shuffle count). Run after changing any operator:
+
+    python tools/plan_report.py
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+CHECKS = {
+    "doc_quality_verdict": "scan must read only (doc_id, text, lang) — no source/n_chars",
+    "a5_group_aggregates": "partial+final hash agg; scan pruned to the 5 referenced cols",
+    "a10_quantiles_exact": "sort-based exact percentile per group",
+    "ann_cosine_topk": "query side BROADCAST (BuildRight); vec_id<5 pushed to scan",
+    "dedup_lsh_pairs": "equi-join on (band_id, band_hash) — NO cross join",
+    "events_hourly": "single shuffle into the windowed agg",
+    "pipeline": "scan(5 cols) -> salt Exchange -> ONE ArrowEvalPython -> project",
+}
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def summarize(txt: str) -> list[str]:
+    keep = []
+    for line in txt.splitlines():
+        s = line.strip()
+        if s.startswith(("ReadSchema", "PushedFilters")):
+            keep.append(s[:200])
+    ops = re.findall(r"^\s*(?:[:+\-\s]*)\b(\w*(?:Join|Exchange|ArrowEvalPython|HashAggregate|Sort|Window)\w*)\b",
+                     txt, re.M)
+    from collections import Counter
+
+    keep.append("operators: " + ", ".join(f"{k} x{v}" for k, v in sorted(Counter(ops).items())))
+    return keep
+
+
+def main() -> None:
+    from __spark_entry__ import queries
+    from dataquality_cli_spark.plans.pipeline import run_pipeline
+    from dataquality_cli_spark.session import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+
+    out = ["# PLANS — physical-plan evidence (regenerate: python tools/plan_report.py)",
+           "",
+           "What to look for per query (and what the plan shows at sf0.01):", ""]
+    for name, expectation in CHECKS.items():
+        if name == "pipeline":
+            docs = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+                "source repo", "CAST(doc_id AS string) path", "'c' commit",
+                "lang", "text content")
+            df = run_pipeline(spark, docs)
+        else:
+            df = qs[name](spark, SF)
+        out.append(f"## {name}")
+        out.append(f"*expectation:* {expectation}")
+        out.append("```")
+        out.extend(summarize(plan_text(df)))
+        out.append("```")
+        out.append("")
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print("wrote PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

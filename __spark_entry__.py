@@ -267,6 +267,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_topk"] = ann_lsh  # rows-only (seeded planes, not SQL-portable)
 
+    def ann_ivf(s, d):
+        emb = _t(s, d, "embeddings")
+        cents = similarity.train_ivf_centroids(emb, n_centroids=8)
+        return similarity.ann_ivf_topk(emb, emb.filter(F.col("vec_id") < 5), cents, k=5)
+
+    q["ann_ivf_topk"] = ann_ivf  # rows-only (trained centroids, not SQL-portable)
+
     q["emb_neardup_pairs"] = lambda s, d: similarity.neardup_pairs_cosine(
         _t(s, d, "embeddings"), threshold=0.80
     )

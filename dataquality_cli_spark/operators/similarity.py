@@ -79,6 +79,75 @@ def neardup_pairs_cosine(df: DataFrame, threshold: float = 0.95,
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the other scale path
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(df: DataFrame, n_centroids: int = 16, dim: int = 64,
+                        vec_col: str = "embedding", seed: int = 43,
+                        iterations: int = 2, sample: int = 2048) -> np.ndarray:
+    """k-means centroids via a couple of Lloyd iterations over a driver
+    sample (standard IVF practice: train on a sample, assign at scale).
+    Deterministic: seeded init, fixed sample (lowest ids)."""
+    rows = (
+        df.orderBy(df.columns[0]).limit(sample).select(vec_col).collect()
+    )
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=n_centroids, replace=False)]
+    for _ in range(iterations):
+        d = x @ cent.T  # cosine-ish assignment on roughly-normalized data
+        assign = d.argmax(axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def _centroid_assign_col(vec: Column, centroids: np.ndarray, nprobe: int = 1) -> Column:
+    """Array of the nprobe best centroid ids by dot product — pure column
+    expressions (centroids baked as literals; 16x64 doubles is tiny)."""
+    scores = F.array(*[
+        dot_col(vec, F.array(*[F.lit(float(v)) for v in c])) for c in centroids
+    ])
+    idx = F.array_sort(
+        F.transform(scores, lambda s, i: F.struct(s.alias("s"), i.alias("i"))),
+        lambda a, b: F.when(a["s"] > b["s"], -1).when(a["s"] < b["s"], 1).otherwise(0),
+    )
+    return F.slice(F.transform(idx, lambda x: x["i"]), 1, nprobe)
+
+
+def ann_ivf_topk(df: DataFrame, queries: DataFrame, centroids: np.ndarray,
+                 k: int = 5, nprobe: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN: table vectors live in their single best centroid's
+    inverted list; each query probes its ``nprobe`` nearest centroids and
+    exact-reranks inside them. The probe join shuffles on the centroid id
+    (bounded fanout = nprobe) — never a cross join."""
+    t = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("t_vec"),
+        _centroid_assign_col(F.col(vec_col), centroids, 1)[0].alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.explode(_centroid_assign_col(F.col(vec_col), centroids, nprobe)).alias("cell"),
+    )
+    scored = (
+        t.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine_col(F.col("query_vec"), F.col("t_vec")), 4).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
 # random-hyperplane LSH (scale path)
 # ---------------------------------------------------------------------------
 

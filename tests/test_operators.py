@@ -94,6 +94,20 @@ def test_profile_table_runs_exact_and_approx(spark):
         assert byname["l_returnflag"]["kind"] == "string"
 
 
+def test_ann_ivf_recall_vs_bruteforce(emb):
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, q, k=5).collect()
+    }
+    cents = similarity.train_ivf_centroids(emb, n_centroids=8)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_ivf_topk(emb, q, cents, k=5, nprobe=4).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.5
+
+
 def test_needs_detail_predicate(spark):
     df = spark.createDataFrame(
         [(6.0, 10, 3), (1.0, 200_000, 3), (1.0, 10, 25), (1.0, 10, 3)],

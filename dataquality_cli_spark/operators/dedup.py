@@ -87,7 +87,8 @@ def lsh_bands(sig_df: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     return out
 
 
-def lsh_candidate_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
+def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing any LSH band bucket.
     The self-join shuffles on (band_id, band_hash) — no cross join.
 
@@ -102,10 +103,24 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
     Known hot spot: interpreted higher-order-function md5 costs ~1us per
     shingle-hash; the md5-string MinHash is kept because it is portable
     to the DuckDB oracle. A numpy pandas-UDF signature (xxhash-style)
-    would be ~10x faster when oracle portability is not needed."""
+    would be ~10x faster when oracle portability is not needed.
+
+    ``max_bucket_size`` drops buckets bigger than the cap before pairing
+    — the 100 TB guard against quadratic candidate blowup from
+    boilerplate shared by millions of files (candidates per bucket are
+    O(size^2); an over-full bucket carries no dedup signal anyway)."""
     sc = df.sparkSession.sparkContext
     spread = df.repartition(sc.defaultParallelism)
     bands = lsh_bands(minhash_signatures(spread, text_col))
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band_id", "band_hash").agg(
+            F.count(F.lit(1)).alias("_bucket_n")
+        )
+        bands = (
+            bands.join(sizes, ["band_id", "band_hash"])
+            .filter(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (

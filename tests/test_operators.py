@@ -57,6 +57,20 @@ def test_lsh_pairs_recall_exact_duplicates(docs, aug):
     assert exact_pairs == n_planted  # identical text => identical bands, always
 
 
+def test_lsh_bucket_cap_drops_megabuckets(spark, docs):
+    # every doc shares one band bucket with its planted twin, so cap=2
+    # keeps those; cap=1 removes everything
+    dups = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10_000
+    )
+    aug2 = docs.unionByName(dups)
+    capped = dedup.lsh_candidate_pairs(aug2, max_bucket_size=1)
+    assert capped.count() == 0
+    kept = dedup.lsh_candidate_pairs(aug2, max_bucket_size=2).count()
+    uncapped = dedup.lsh_candidate_pairs(aug2).count()
+    assert 0 < kept <= uncapped
+
+
 def test_simhash_near_duplicates(spark):
     base = "the quick brown fox jumps over the lazy dog " * 8
     variant = base.replace("lazy", "idle", 1)  # one token changed

@@ -291,6 +291,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_hourly"] = lambda s, d: W.hourly_event_agg(_t(s, d, "events"))
     q["events_sessionize"] = lambda s, d: W.sessionize(_t(s, d, "events"))
 
+    def asof(s, d):
+        from dataquality_cli_spark.operators.asof import asof_join
+
+        e = _t(s, d, "events")
+        left = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+        right = (
+            e.filter(F.col("event_type") == "view")
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("ref_value"))
+        )
+        out = asof_join(left, right, on="ts", by="user_id", value_cols=["ref_value"])
+        return out.select(
+            "user_id", "event_id", "ts",
+            F.round("ref_value_asof", 4).alias("ref_value"),
+        )
+
+    q["events_asof_join"] = asof
+
     def top_users(s, d):
         e = _t(s, d, "events")
         totals = e.groupBy("event_type", "user_id").agg(
@@ -301,6 +319,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["events_top3_users"] = top_users
+
+    # custom stateful streaming (applyInPandasWithState) — genuinely
+    # non-SQL-expressible; rows-only check. Runs the running-totals query
+    # over the events parquet as a file stream and returns the final state.
+    def stateful(s, d):
+        import tempfile
+
+        from pyspark.sql.window import Window as _Win
+
+        from dataquality_cli_spark.streaming.stateful import run_to_completion
+
+        events = s.read.parquet(f"{d}/events.parquet").select("user_id", "value")
+        out_dir = tempfile.mkdtemp(prefix="dq_stateful_")
+        run_to_completion(s, f"{d}", events.schema, out_dir,
+                          glob="events.parquet")
+        w = _Win.partitionBy("user_id").orderBy(F.desc("epoch_id"))
+        return (
+            s.read.parquet(out_dir)
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("user_id", "n_events", F.round("total_value", 4).alias("total_value"))
+        )
+
+    q["events_stateful_running_totals"] = stateful
 
     return q
 
@@ -603,6 +645,21 @@ def oracle_sql() -> dict[str, str]:
                round(AVG(n_events), 4) AS avg_events_per_session,
                MAX(n_events) AS max_session_events
         FROM per_session GROUP BY user_id
+    """
+
+    o["events_asof_join"] = """
+        WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, ts, max(value) AS ref_value
+              FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+        SELECT l.user_id, l.event_id, l.ts, round(r.ref_value, 4) AS ref_value
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+
+    # stateful streaming running totals converge to the batch groupBy answer
+    o["events_stateful_running_totals"] = """
+        SELECT user_id, count(*) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM events GROUP BY user_id
     """
 
     o["events_top3_users"] = """

@@ -1,0 +1,52 @@
+"""As-of join — an operator Spark lacks natively (SURVEY §2a notes the
+reference has no joins at all; this is part of the 'beyond the
+reference' training-pipeline surface, e.g. attach the latest model/rule
+version active at each file's commit time).
+
+Implementation is a composition of existing DataFrame ops (the preferred
+strategy per the brief): union the two sides tagged, sort within the
+key by event time, and carry the right side's latest values forward
+with ``last(..., ignorenulls=True)`` over an unbounded-preceding window.
+ONE shuffle on (key), one sort — same cost shape as a sort-merge join,
+no applyInPandas needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
+              value_cols: list[str], suffix: str = "_asof") -> DataFrame:
+    """For every left row, the most recent right row with
+    ``right.on <= left.on`` within the same ``by`` group (ties: the
+    right row at the exact same timestamp counts — '<=' semantics,
+    matching pandas merge_asof and DuckDB ASOF JOIN defaults).
+
+    Rows from the right side are tagged 0 and sort BEFORE left rows (tag
+    1) at equal timestamps, which is exactly what yields '<=' semantics.
+    """
+    lcols = left.columns
+    l = left.select(*lcols, F.lit(1).alias("_tag"),
+                    *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+                      for c in value_cols])
+    r = right.select(*[F.lit(None).cast(left.schema[c].dataType).alias(c)
+                       if c not in (on, by) else F.col(c) for c in lcols],
+                     F.lit(0).alias("_tag"),
+                     *[F.col(c).alias(f"_r_{c}") for c in value_cols])
+    unioned = l.unionByName(r)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+          for c in value_cols],
+    )
+    return carried.filter(F.col("_tag") == 1).drop(
+        "_tag", *[f"_r_{c}" for c in value_cols]
+    )

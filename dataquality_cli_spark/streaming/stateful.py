@@ -1,0 +1,64 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``:
+per-user running totals that survive across micro-batches (the building
+block for incremental corpus accounting — e.g. per-repo running
+keep/drop counters as snapshots stream in).
+
+State = (n_events, total_value) per user; each micro-batch folds its
+rows into the state and emits the updated running totals. Output mode
+'update' — downstream takes the row with the highest epoch per key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
+STATE_SCHEMA = "n_events long, total_value double"
+
+
+def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+
+def running_user_totals(events_stream: DataFrame) -> DataFrame:
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _update, OUTPUT_SCHEMA, STATE_SCHEMA, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_completion(spark: SparkSession, input_dir: str, schema, out_dir: str,
+                      glob: str = "*.parquet", files_per_trigger: int = 1) -> None:
+    """Drive the stateful query over existing files, one file per
+    micro-batch (so state carry-over is actually exercised), writing each
+    batch's updates with its epoch id."""
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .load(input_dir)
+    )
+    updates = running_user_totals(stream)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        (batch_df.withColumn("epoch_id", F.lit(epoch_id))
+         .write.mode("append").parquet(out_dir))
+
+    q = (
+        updates.writeStream.outputMode("update").foreachBatch(sink)
+        .option("checkpointLocation", out_dir + "_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)

@@ -160,3 +160,23 @@ def test_multimodal_resize_plumbing(spark):
                 F.lit(16).alias("width"), F.lit(16).alias("height"), "payload")
     )
     assert all(r.decoded_width == 16 for r in feats.collect())
+
+
+def test_asof_join_small_fixture(spark):
+    from dataquality_cli_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 2, "c"), (2, 7, "d"), (3, 1, "e")],
+        "user_id int, ts int, event_id string",
+    )
+    right = spark.createDataFrame(
+        [(1, 3, 30.0), (1, 5, 50.0), (1, 9, 90.0), (2, 8, 80.0)],
+        "user_id int, ts int, ref_value double",
+    )
+    out = asof_join(left, right, on="ts", by="user_id", value_cols=["ref_value"])
+    got = {r.event_id: r.ref_value_asof for r in out.collect()}
+    # a: ts=5 -> right ts=5 (<= semantics, tie counts) -> 50
+    # b: ts=10 -> right ts=9 -> 90;  c: ts=2 -> none -> None
+    # d: ts=7 -> right(2) ts=8 is in the future -> None;  e: no right rows -> None
+    assert got == {"a": 50.0, "b": 90.0, "c": None, "d": None, "e": None}
+    assert out.count() == left.count()

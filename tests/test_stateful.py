@@ -1,0 +1,54 @@
+"""applyInPandasWithState: running per-user totals across micro-batches
+must converge to the batch groupBy answer."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dataquality_cli_spark.streaming.stateful import run_to_completion
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stateful_running_totals_match_batch(spark, tmp_path):
+    events = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    pdf = events.toPandas()
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    third = len(pdf) // 3
+    for i in range(3):  # 3 files -> 3 micro-batches -> state carry-over
+        chunk = pdf.iloc[i * third : (i + 1) * third if i < 2 else len(pdf)]
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False),
+                       str(in_dir / f"p{i}.parquet"))
+    out_dir = str(tmp_path / "out")
+
+    run_to_completion(spark, str(in_dir), events.schema, out_dir)
+
+    updates = spark.read.parquet(out_dir)
+    assert updates.select("epoch_id").distinct().count() >= 2  # real carry-over
+    w = Window.partitionBy("user_id").orderBy(F.desc("epoch_id"))
+    final = (
+        updates.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "n_events", "total_value")
+    )
+    got = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in final.collect()}
+    expected = {
+        r.user_id: (r.n, round(r.tv, 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert len(got) == len(expected)
+    mismatches = {
+        u: (got[u], expected[u]) for u in expected
+        if got[u][0] != expected[u][0]
+        or got[u][1] != pytest.approx(expected[u][1], rel=1e-9)
+    }
+    assert not mismatches, list(mismatches.items())[:5]

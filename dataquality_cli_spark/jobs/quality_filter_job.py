@@ -1,0 +1,93 @@
+"""spark-submit entrypoint for the quality-filter pipeline (north rule:
+"deployed via spark-submit --py-files on multi-executor clusters").
+
+    spark-submit --master <cluster> \
+        --py-files dist/dataquality_cli_spark.zip \
+        dataquality_cli_spark/jobs/quality_filter_job.py \
+        --input <parquet dir | iceberg cat.db.tbl> \
+        --output <dir> [--n-parts 16] [--run-id r0] [--synth N]
+
+The session comes from spark-submit's conf (master/executors decided at
+submit time); the job only sets SQL-level knobs it owns. Reads the
+corpus through sources.iceberg.read_corpus (Iceberg when the runtime is
+present, parquet otherwise), runs the checkpointed pipeline, prints one
+JSON line with row counts + per-reason metrics for the submitting
+wrapper to parse.
+
+``--synth N`` generates a deterministic N-file corpus in-place instead
+of reading ``--input`` — the smoke path used by tools/submit.sh and the
+deployment test (no external data, per the brief).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default=None)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--n-parts", type=int, default=16)
+    ap.add_argument("--run-id", default="run0")
+    ap.add_argument("--synth", type=int, default=None,
+                    help="generate an N-file synthetic corpus instead of --input")
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.appName("dq-quality-filter")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+        .getOrCreate()
+    )
+
+    # imports resolved from --py-files zip on executors + driver
+    from dataquality_cli_spark.plans.pipeline import (
+        read_verdicts, run_with_checkpoint)
+    from dataquality_cli_spark.sources.iceberg import CORPUS_SCHEMA, read_corpus
+
+    if args.synth:
+        from dataquality_cli_spark.sources.synth import corpus_to_rows, gen_corpus
+        df = spark.createDataFrame(
+            corpus_to_rows(gen_corpus(args.synth, seed=args.seed)), CORPUS_SCHEMA
+        )
+    elif args.input:
+        df = read_corpus(spark, args.input)
+    else:
+        ap.error("one of --input / --synth is required")
+
+    t0 = time.time()
+    run_with_checkpoint(spark, df, args.output,
+                        n_parts=args.n_parts, run_id=args.run_id)
+    wall = time.time() - t0
+
+    verdicts = read_verdicts(spark, args.output)
+    summary = verdicts.agg(
+        F.count("*").alias("files"),
+        F.sum(F.col("keep").cast("int")).alias("kept"),
+        F.sum("total_scrub_hits").alias("scrub_hits"),
+    ).collect()[0]
+    reasons = {
+        r.drop_reason: r.n
+        for r in verdicts.groupBy("drop_reason").agg(F.count("*").alias("n")).collect()
+        if r.drop_reason is not None
+    }
+    print(json.dumps({
+        "job": "quality_filter", "files": summary.files, "kept": summary.kept,
+        "scrub_hits": int(summary.scrub_hits or 0), "drop_reasons": reasons,
+        "wall_sec": round(wall, 3), "files_per_sec": round(summary.files / wall, 1),
+        "master": spark.sparkContext.master, "run_id": args.run_id,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

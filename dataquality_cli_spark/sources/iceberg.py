@@ -1,0 +1,68 @@
+"""Iceberg source/sink adapter, gated behind runtime detection.
+
+The north rule targets an Iceberg table of source-code repositories
+`(repo, path, commit, lang, content)`. This container has no Iceberg
+runtime jars, so the adapter detects availability at runtime and falls
+back to a parquet directory with the identical schema — every caller
+(jobs, tests, bench) goes through `read_corpus` / `write_corpus` and is
+oblivious to which path was taken.
+
+On a real cluster the table would be created as
+
+    CREATE TABLE cat.corpus.files (
+        repo string, path string, commit string, lang string,
+        content string)
+    USING iceberg
+    PARTITIONED BY (bucket(1024, repo))
+
+`bucket(repo)` keeps one repo's files co-located (scrub/dedup locality)
+while bounding any single partition — the giant-monorepo skew is then
+finished off by the pipeline's salted repartition on
+xxhash64(repo, path). Resume state (plans/pipeline.py manifest) maps to
+Iceberg snapshot metadata: a completed part is a committed snapshot,
+and `completed_parts` becomes a query over the metrics table instead of
+a directory listing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+CORPUS_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _is_table_ref(ref: str) -> bool:
+    # catalog.db.table (no path separators) vs a filesystem path
+    return "/" not in ref and "\\" not in ref and ref.count(".") >= 1 \
+        and not ref.endswith(".parquet")
+
+
+def read_corpus(spark: SparkSession, ref: str) -> DataFrame:
+    """Read the corpus from an Iceberg table ref (``cat.db.tbl``) when the
+    runtime is present, else from a parquet file/directory path."""
+    if _is_table_ref(ref):
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                f"'{ref}' looks like an Iceberg table ref but no Iceberg "
+                "runtime is on the classpath; pass a parquet path instead"
+            )
+        return spark.read.format("iceberg").load(ref)
+    return spark.read.parquet(ref)
+
+
+def write_corpus(df: DataFrame, ref: str, mode: str = "append") -> None:
+    if _is_table_ref(ref):
+        df.writeTo(ref).append() if mode == "append" else df.writeTo(ref).replace()
+        return
+    df.write.mode(mode).parquet(ref)

@@ -1,0 +1,49 @@
+"""Deployment-path evidence: the job must run through real
+`spark-submit --py-files <zip>` (north rule), and the Iceberg adapter
+must degrade cleanly to parquet in a runtime without Iceberg jars."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+
+import pytest
+
+from dataquality_cli_spark.sources import iceberg
+
+REPO = "/root/repo"
+
+
+@pytest.mark.slow
+def test_spark_submit_py_files_smoke(tmp_path):
+    out = str(tmp_path / "out")
+    proc = subprocess.run(
+        ["bash", f"{REPO}/tools/submit.sh", "local[4]", "300", out],
+        capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    payload = next(
+        json.loads(line) for line in proc.stdout.splitlines()
+        if line.startswith('{"job": "quality_filter"')
+    )
+    assert payload["files"] == 300
+    assert 0 < payload["kept"] < 300
+    assert payload["master"] == "local[4]"
+
+
+def test_iceberg_table_ref_detection():
+    assert iceberg._is_table_ref("cat.corpus.files")
+    assert not iceberg._is_table_ref("/root/testdata/sf0.01/documents.parquet")
+    assert not iceberg._is_table_ref("data/events.parquet")
+
+
+def test_iceberg_falls_back_to_parquet(spark):
+    df = iceberg.read_corpus(spark, "/root/testdata/sf0.001/documents.parquet")
+    assert df.count() > 0
+
+
+def test_iceberg_table_ref_without_runtime_is_loud(spark):
+    # no Iceberg jars in this container -> must raise, not silently misread
+    assert not iceberg.iceberg_available(spark)
+    with pytest.raises(RuntimeError, match="Iceberg"):
+        iceberg.read_corpus(spark, "cat.corpus.files")

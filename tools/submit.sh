@@ -1,0 +1,28 @@
+#!/usr/bin/env bash
+# Package the library and run the quality-filter job via spark-submit
+# --py-files — the deployment path the north rule requires. Defaults to
+# a local[8] smoke run over a 2000-file synthetic corpus; on a real
+# cluster swap --master (e.g. yarn / k8s) and point --input at the
+# Iceberg table.
+#
+#   tools/submit.sh [master] [n_files] [out_dir]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+MASTER="${1:-local[8]}"
+N_FILES="${2:-2000}"
+OUT="${3:-$(mktemp -d /tmp/dq_submit.XXXXXX)/out}"
+
+mkdir -p dist
+rm -f dist/dataquality_cli_spark.zip
+# zip only source files — the zip lands on every executor's PYTHONPATH
+find dataquality_cli_spark -name '*.py' | zip -q dist/dataquality_cli_spark.zip -@
+
+spark-submit \
+  --master "$MASTER" \
+  --conf spark.sql.shuffle.partitions=8 \
+  --conf spark.ui.enabled=false \
+  --py-files dist/dataquality_cli_spark.zip \
+  dataquality_cli_spark/jobs/quality_filter_job.py \
+  --synth "$N_FILES" --output "$OUT" --n-parts 8 --run-id submit-smoke
+echo "verdicts at: $OUT"

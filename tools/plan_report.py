@@ -25,6 +25,7 @@ CHECKS = {
     "ann_cosine_topk": "query side BROADCAST (BuildRight); vec_id<5 pushed to scan",
     "dedup_lsh_pairs": "equi-join on (band_id, band_hash) — NO cross join",
     "events_hourly": "single shuffle into the windowed agg",
+    "events_asof_join": "ONE shuffle on user_id (union + window carry) — no sort-merge join",
     "pipeline": "scan(5 cols) -> salt Exchange -> ONE ArrowEvalPython -> project",
 }
 

@@ -309,6 +309,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_asof_join"] = asof
 
+    def rjoin(s, d):
+        from dataquality_cli_spark.operators.rangejoin import range_join
+
+        e = _t(s, d, "events")
+        clicks = (
+            e.filter(F.col("event_type") == "click")
+            .select("user_id", F.col("event_id").alias("click_id"),
+                    F.unix_timestamp("ts").alias("start"))
+            .withColumn("end", F.col("start") + 3600)
+        )
+        views = e.filter(F.col("event_type") == "view").select(
+            "user_id", F.unix_timestamp("ts").alias("ts"), "value"
+        )
+        out = range_join(clicks, views, by="user_id")
+        return out.groupBy("user_id", "click_id").agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.round(F.sum("value"), 4).alias("view_value"),
+        )
+
+    q["events_range_join"] = rjoin
+
+    # multi-resolution rollup (hypertable-style): one shuffle via ROLLUP
+    q["events_rollup_day"] = lambda s, d: (
+        _t(s, d, "events")
+        .rollup("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
     def top_users(s, d):
         e = _t(s, d, "events")
         totals = e.groupBy("event_type", "user_id").agg(
@@ -660,6 +692,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, count(*) AS n_events,
                round(sum(value), 4) AS total_value
         FROM events GROUP BY user_id
+    """
+
+    o["events_range_join"] = """
+        WITH c AS (SELECT user_id, event_id AS click_id, epoch(ts) AS s
+                   FROM events WHERE event_type = 'click'),
+             v AS (SELECT user_id, epoch(ts) AS t, value
+                   FROM events WHERE event_type = 'view')
+        SELECT c.user_id, c.click_id, count(*) AS n_views,
+               round(sum(v.value), 4) AS view_value
+        FROM c JOIN v ON c.user_id = v.user_id AND v.t BETWEEN c.s AND c.s + 3600
+        GROUP BY c.user_id, c.click_id
+    """
+
+    o["events_rollup_day"] = """
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+               round(sum(value), 4) AS total_value,
+               CAST(GROUPING(event_type, day) AS INTEGER) AS gid
+        FROM events GROUP BY ROLLUP(event_type, day)
     """
 
     o["events_top3_users"] = """

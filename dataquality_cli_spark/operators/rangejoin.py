@@ -1,0 +1,44 @@
+"""Range (interval) join — Spark has no native range-join optimization
+(Databricks' range-join hint is proprietary), and a naive
+`ON r.ts BETWEEN l.start AND l.end` theta-join degenerates to
+BroadcastNestedLoopJoin, which is O(|L|x|R|) and driver-OOMs at scale.
+
+Scale path: bucketize time into fixed-width buckets sized to the
+maximum interval length. Each left interval overlaps at most
+ceil(len/W)+1 buckets (= 2 when W >= max interval length); explode the
+left side to its overlapped buckets, equi-join on (key, bucket) —
+a plain shuffled hash join Catalyst can plan, AQE can skew-split — then
+apply the exact BETWEEN as a residual filter. Cost: one small constant
+expansion of the left side instead of a quadratic nested loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(left: DataFrame, right: DataFrame, *, by: str,
+               start: str = "start", end: str = "end", ts: str = "ts",
+               bucket_width: int | None = None) -> DataFrame:
+    """Inner-join each right row (point ``ts``, epoch seconds or any
+    monotonic long) to every left interval ``[start, end]`` with the same
+    ``by`` key. ``bucket_width`` must be >= the longest interval; when
+    None it is computed with one tiny agg over the left side.
+    """
+    if bucket_width is None:
+        row = left.agg(
+            F.max(F.col(end) - F.col(start)).alias("m")).collect()[0]
+        bucket_width = max(int(row.m or 0), 1)
+
+    w = F.lit(int(bucket_width))
+    lb = left.withColumn(
+        "_bucket",
+        F.explode(F.sequence(
+            F.floor(F.col(start) / w), F.floor(F.col(end) / w))),
+    )
+    rb = right.withColumn("_bucket", F.floor(F.col(ts) / w))
+    joined = lb.join(rb, on=[by, "_bucket"], how="inner").filter(
+        (F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end))
+    )
+    return joined.drop("_bucket")

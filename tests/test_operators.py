@@ -180,3 +180,28 @@ def test_asof_join_small_fixture(spark):
     # d: ts=7 -> right(2) ts=8 is in the future -> None;  e: no right rows -> None
     assert got == {"a": 50.0, "b": 90.0, "c": None, "d": None, "e": None}
     assert out.count() == left.count()
+
+
+def test_range_join_matches_theta_join_and_avoids_nested_loop(spark):
+    from dataquality_cli_spark.operators.rangejoin import range_join
+
+    import random
+    rng = random.Random(7)
+    left = spark.createDataFrame(
+        [(rng.randrange(5), i, (s := rng.randrange(1000)), s + rng.randrange(1, 50))
+         for i in range(120)],
+        "user_id int, click_id int, start long, end long",
+    )
+    right = spark.createDataFrame(
+        [(rng.randrange(5), rng.randrange(1050), float(i)) for i in range(300)],
+        "user_id int, ts long, value double",
+    )
+    got = range_join(left, right, by="user_id")
+    naive = left.join(right, "user_id").filter("ts >= start AND ts <= end")
+    key = ["user_id", "click_id", "ts", "value"]
+    assert sorted(map(tuple, got.select(key).collect())) == \
+        sorted(map(tuple, naive.select(key).collect()))
+    assert got.count() > 0
+    # scale guard: the plan must be an equi join, not a nested loop
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan

@@ -87,3 +87,32 @@ def run_streaming_hourly(spark: SparkSession, parquet_dir: str, schema,
     q.processAllAvailable()
     q.stop()
     return spark.sql("SELECT * FROM hourly_out")
+
+
+def run_streaming_hourly_append(spark: SparkSession, parquet_dir: str, schema,
+                                glob: str = "*.parquet",
+                                watermark: str = "2 hours",
+                                name: str = "hourly_append_out") -> DataFrame:
+    """Append-mode variant: only FINALIZED windows (window end <= event
+    watermark) are emitted, and rows older than the watermark are
+    DROPPED — the late-data semantics the batch twin can't express.
+    ``maxFilesPerTrigger=1`` makes each input file its own micro-batch
+    so the watermark actually advances between files."""
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", "1")
+        .load(parquet_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+    )
+    agg = hourly_event_agg(stream)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")

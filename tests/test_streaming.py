@@ -35,3 +35,43 @@ def test_sessionize_sane(spark):
     for r in rows[:20]:
         assert r.max_session_events >= 1
         assert r.avg_events_per_session >= 1.0
+
+
+def test_append_mode_drops_late_data_and_emits_only_final_windows(spark, tmp_path):
+    """Watermark semantics, asserted in the direction Spark guarantees:
+    a late row arriving AFTER its window's state was evicted is dropped;
+    windows the watermark has not passed are never emitted. (A late row
+    whose window state is still live may legally be merged — Spark's
+    watermark bounds state, it is not a strict admission filter.)"""
+    import time as _time
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    schema = "ts long, event_type string, value double"
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(str(tmp_path / name))
+        import glob as _g, shutil
+        part = _g.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.copy(part, str(in_dir / f"{name}.parquet"))
+        _time.sleep(1.1)  # file-source orders batches by mtime
+
+    h = 3600
+    # b1: hour 0 + hour 5 -> watermark after = 3:30
+    write("b1", [(h // 2, "click", 1.0), (5 * h + h // 2, "click", 4.0)])
+    # b2: hour 7 -> wm 3:30 finalizes+evicts hour 0; wm after = 5:30
+    write("b2", [(7 * h + h // 2, "click", 8.0)])
+    # b3: LATE row for hour 0 (state already evicted -> must drop) + hour 8
+    write("b3", [(h // 4, "click", 100.0), (8 * h + h // 2, "click", 16.0)])
+
+    from dataquality_cli_spark.streaming import windows as W
+    out = W.run_streaming_hourly_append(spark, str(in_dir), schema)
+    got = {r.hour_start.hour: (r.n_events, r.sum_value) for r in out.collect()}
+
+    # hour 0 was finalized in b2 WITHOUT the late row from b3
+    assert got[0] == (1, 1.0)
+    # hour 5 finalized once the watermark passed 6:00
+    assert got[5] == (1, 4.0)
+    # hours 7/8: window end > final watermark (6:30) -> never emitted
+    assert 7 not in got and 8 not in got

@@ -341,6 +341,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    # TPC-H-Q5-shaped 6-table join: dims (region/nation/supplier/customer)
+    # broadcast so the only shuffles are the two fact-fact joins; the
+    # canonical "broadcast the small side" showcase at 100 TB.
+    def q5(s, d):
+        r = _t(s, d, "region").filter(F.col("r_name") == "ASIA")
+        n = _t(s, d, "nation").join(F.broadcast(r),
+                                    F.col("n_regionkey") == F.col("r_regionkey"))
+        sup = _t(s, d, "supplier").join(
+            F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        cust = _t(s, d, "customer")
+        o = _t(s, d, "orders")
+        li = _t(s, d, "lineitem")
+        joined = (
+            li.join(F.broadcast(sup.select("s_suppkey", "s_nationkey", "n_name")),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            # local-supplier semantics: customer in the supplier's nation
+            .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        )
+        return joined.groupBy("n_name").agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue")
+        )
+
+    q["q5_regional_revenue"] = q5
+
     def top_users(s, d):
         e = _t(s, d, "events")
         totals = e.groupBy("event_type", "user_id").agg(
@@ -710,6 +738,16 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 4) AS total_value,
                CAST(GROUPING(event_type, day) AS INTEGER) AS gid
         FROM events GROUP BY ROLLUP(event_type, day)
+    """
+
+    o["q5_regional_revenue"] = """
+        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+        GROUP BY n_name
     """
 
     o["events_top3_users"] = """

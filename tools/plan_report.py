@@ -26,6 +26,7 @@ CHECKS = {
     "dedup_lsh_pairs": "equi-join on (band_id, band_hash) — NO cross join",
     "events_hourly": "single shuffle into the windowed agg",
     "events_asof_join": "ONE shuffle on user_id (union + window carry) — no sort-merge join",
+    "q5_regional_revenue": "dims broadcast (BroadcastHashJoin x3+); only the fact-fact join shuffles",
     "pipeline": "scan(5 cols) -> salt Exchange -> ONE ArrowEvalPython -> project",
 }
 

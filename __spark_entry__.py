@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- text analysis over documents (SURVEY.md §2b + pipeline ops) ---
     q["doc_token_stats"] = lambda s, d: text.token_stats(_t(s, d, "documents"))
+    q["doc_bpe_tokens"] = lambda s, d: text.bpe_token_stats(_t(s, d, "documents"))
     q["doc_alnum_fraction"] = lambda s, d: text.alnum_fraction(_t(s, d, "documents"))
     q["doc_stopword_langid"] = lambda s, d: text.stopword_langid(_t(s, d, "documents"))
     q["doc_quality_score"] = lambda s, d: text.quality_score(_t(s, d, "documents"))
@@ -543,6 +544,18 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(list_aggregate(list_transform({_TOKS}, x -> length(x)), 'sum') AS DOUBLE)
                      / CAST(len({_TOKS}) AS DOUBLE), 4) AS avg_token_len
         FROM documents
+    """
+
+    o["doc_bpe_tokens"] = r"""
+        WITH t AS (SELECT doc_id,
+                          regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks
+                   FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_bpe_types,
+               round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                     / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS type_token_ratio
+        FROM t
     """
 
     o["doc_alnum_fraction"] = """

@@ -30,6 +30,9 @@ HEADLINE = [
     "ann_cosine_topk",         # broadcast knn
     "events_hourly",           # window agg
     "events_sessionize",       # window functions
+    "events_asof_join",        # custom as-of join (union + window carry)
+    "events_range_join",       # bucketized interval join
+    "q5_regional_revenue",     # star join, broadcast dims
 ]
 
 

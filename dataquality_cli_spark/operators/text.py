@@ -44,6 +44,29 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenization: alpha runs, digit runs, single punctuation
+# marks — the merge-free approximation of a GPT-2-style pre-tokenizer.
+# RE2-compatible (no backrefs/lookarounds) so Spark and DuckDB agree.
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc BPE-ish token counts (SURVEY.md 'token counting:
+    whitespace + a BPE-ish regex'; complements token_stats). JVM-side
+    regexp_extract_all — no Python in the loop."""
+    # function API, not F.expr: SQL string literals would eat the \s escape
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), F.lit(0))
+    return df.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_bpe_types"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)).cast("double"), 4,
+        ).alias("type_token_ratio"),
+    )
+
+
 def alnum_fraction(df: DataFrame, text_col: str = "text") -> DataFrame:
     from ..functions.rules import alnum_count
 

@@ -205,3 +205,18 @@ def test_range_join_matches_theta_join_and_avoids_nested_loop(spark):
     # scale guard: the plan must be an equi join, not a nested loop
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_bpe_token_stats_small_fixture(spark):
+    from dataquality_cli_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(1, "foo_bar 12ab, (x)=3"), (2, ""), (3, "aaa aaa aaa")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_bpe_tokens, r.n_bpe_types, r.type_token_ratio)
+           for r in text.bpe_token_stats(df).collect()}
+    # foo,_,bar,12,ab,",","(",x,")","=",3  -> 11 tokens, all distinct
+    assert got[1] == (11, 11, 1.0)
+    assert got[2] == (0, 0, 0.0)
+    assert got[3] == (3, 1, 0.3333)

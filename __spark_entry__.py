@@ -234,6 +234,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_fingerprint"] = lambda s, d: text.fingerprint(_t(s, d, "documents"))
     q["doc_quality_verdict"] = lambda s, d: text.doc_quality_verdict(_t(s, d, "documents"))
 
+    # reporting surface: per-repo keep rate + representative drop reason
+    # (the metrics-table rollup a corpus owner reads after a filter run)
+    def repo_report(s, d):
+        docs = _t(s, d, "documents").select("doc_id", "source")
+        v = text.doc_quality_verdict(_t(s, d, "documents")).select(
+            "doc_id", "keep", "drop_reason")
+        return docs.join(v, "doc_id").groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).alias("n_kept"),
+            F.round(F.avg(F.col("keep").cast("double")), 4).alias("keep_rate"),
+            F.max("drop_reason").alias("top_drop_reason"),
+        )
+
+    q["doc_repo_quality_report"] = repo_report
+
     q["corpus_lang_summary"] = lambda s, d: (
         _t(s, d, "documents")
         .groupBy("lang")
@@ -613,6 +628,16 @@ def oracle_sql() -> dict[str, str]:
                        CAST(list_aggregate(list_transform({_TOKS}, x -> length(x)), 'max') AS BIGINT)
                          AS max_token_len
                 FROM documents))
+    """
+
+    o["doc_repo_quality_report"] = f"""
+        WITH v AS ({o["doc_quality_verdict"]})
+        SELECT d.source, count(*) AS n_docs,
+               sum(CASE WHEN v.keep THEN 1 ELSE 0 END) AS n_kept,
+               round(avg(CASE WHEN v.keep THEN 1.0 ELSE 0.0 END), 4) AS keep_rate,
+               max(v.drop_reason) AS top_drop_reason
+        FROM documents d JOIN v ON d.doc_id = v.doc_id
+        GROUP BY d.source
     """
 
     o["corpus_lang_summary"] = f"""

@@ -77,3 +77,19 @@ def test_one_csv_profile_matches_reference_semantics(spark, csv_root):
     assert prof.null_pct == pytest.approx(100.0 * 1 / 10)
     # exactly 10% is NOT > 10 -> Good (cmd/describe.go:393-401 boundary)
     assert prof.quality == "Good"
+
+
+def test_cli_describe_smoke(tmp_path, capsys):
+    """python -m dataquality_cli_spark describe — the reference's only
+    command (cmd/describe.go), end to end through the CLI entrypoint."""
+    (tmp_path / "sample.csv").write_text("id,name,value\n1,test,3.14\n2,another,42\n")
+    from dataquality_cli_spark.__main__ import main
+    rc = main(["describe", str(tmp_path), "--master", "local[2]", "--json"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    import json as _json
+    rows = [_json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["row_count"] == 2 and r["quality"] == "Good"
+    assert r["value_type"] == "float" and r["id_type"] == "int"

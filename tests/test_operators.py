@@ -220,3 +220,44 @@ def test_bpe_token_stats_small_fixture(spark):
     assert got[1] == (11, 11, 1.0)
     assert got[2] == (0, 0, 0.0)
     assert got[3] == (3, 1, 0.3333)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property check against the independent pandas implementation."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dataquality_cli_spark.operators.asof import asof_join
+
+    row = st.tuples(st.integers(0, 3), st.integers(0, 50))
+
+    @settings(max_examples=12, deadline=None)
+    @given(left=st.lists(row, min_size=1, max_size=20),
+           right=st.lists(row, min_size=1, max_size=20))
+    def check(left, right):
+        ldf = spark.createDataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(left)],
+            "k int, ts int, row_id int")
+        # dedupe right on (k, ts): merge_asof needs unique sort keys per
+        # group to be deterministic; keep the max value like the driver query
+        rmap = {}
+        for k, t in right:
+            rmap[(k, t)] = max(rmap.get((k, t), -1.0), float(t + k))
+        rdf = spark.createDataFrame(
+            [(k, t, v) for (k, t), v in rmap.items()], "k int, ts int, val double")
+        got = {
+            r.row_id: r.val_asof
+            for r in asof_join(ldf, rdf, on="ts", by="k",
+                               value_cols=["val"]).collect()
+        }
+        lp = pd.DataFrame([(k, t, i) for i, (k, t) in enumerate(left)],
+                          columns=["k", "ts", "row_id"]).sort_values("ts")
+        rp = pd.DataFrame([(k, t, v) for (k, t), v in rmap.items()],
+                          columns=["k", "ts", "val"]).sort_values("ts")
+        exp = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+        for _, r in exp.iterrows():
+            e = None if pd.isna(r["val"]) else r["val"]
+            assert got[r["row_id"]] == e, (r["row_id"], got[r["row_id"]], e)
+
+    check()

@@ -123,3 +123,54 @@ def resize_stub(df: DataFrame, target: int = 32) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "payload": blobs})
 
     return df.mapInPandas(gen, "media_id long, payload binary")
+
+
+_VMAGIC = b"SYNV"  # synthetic video: SYNV | u16 w | u16 h | u16 n_frames | frames
+
+
+def make_synthetic_video(media_id: int, width: int, height: int,
+                         n_frames: int) -> bytes:
+    rng = np.random.RandomState((media_id * 7919 + 13) % (2**31))
+    frames = rng.randint(0, 256, size=n_frames * width * height,
+                         dtype=np.int64).astype("uint8")
+    return (_VMAGIC + struct.pack("<HHH", width, height, n_frames)
+            + frames.tobytes())
+
+
+def synthetic_video_df(spark: SparkSession, n: int = 16) -> DataFrame:
+    rows = []
+    for i in range(n):
+        w, h, nf = 8, 8, 4 + (i % 5) * 3
+        rows.append((i, "video", "video/x-syn", w, h,
+                     bytearray(make_synthetic_video(i, w, h, nf))))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_k: int = 3) -> DataFrame:
+    """Frame sampling: one output row per kept frame (frame_idx 0, k,
+    2k, ...), each an image blob reusing the SYNM format so downstream
+    extract_features/resize work unchanged. mapInPandas fan-OUT — the
+    output batch is larger than the input batch, which is exactly what
+    the iterator contract allows (a row-UDF could not do this). A real
+    deployment swaps the body for ffmpeg keyframe extraction; the
+    partitioning/batching/fan-out shape is the part that matters at
+    scale (one task per blob-batch, no driver involvement)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, idxs, blobs = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                if len(raw) < 10 or raw[:4] != _VMAGIC:
+                    continue  # not a video blob
+                w, h, nf = struct.unpack("<HHH", raw[4:10])
+                fsize = w * h
+                for fi in range(0, nf, every_k):
+                    frame = raw[10 + fi * fsize : 10 + (fi + 1) * fsize]
+                    mids.append(mid)
+                    idxs.append(fi)
+                    blobs.append(_MAGIC + struct.pack("<HH", w, h) + frame)
+            yield pd.DataFrame(
+                {"media_id": mids, "frame_idx": idxs, "payload": blobs})
+
+    return df.mapInPandas(gen, "media_id long, frame_idx int, payload binary")

@@ -261,3 +261,22 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             assert got[r["row_id"]] == e, (r["row_id"], got[r["row_id"]], e)
 
     check()
+
+
+def test_video_frame_sampling_plumbing(spark):
+    vids = multimodal.synthetic_video_df(spark, n=12)
+    frames = multimodal.sample_frames(vids, every_k=3)
+    rows = frames.collect()
+    # every video contributes ceil(n_frames/3) frames at indices 0,3,6...
+    import struct as _s
+    expected = sum(
+        -(-(_s.unpack("<HHH", bytes(v.payload)[4:10])[2]) // 3)
+        for v in vids.collect()
+    )
+    assert len(rows) == expected
+    assert all(r.frame_idx % 3 == 0 for r in rows)
+    # sampled frames are valid SYNM images for the downstream extractor
+    feats = multimodal.extract_features(
+        frames.selectExpr("media_id", "'image' AS kind", "'image/x-syn' AS mime",
+                          "8 AS width", "8 AS height", "payload"))
+    assert all(f.valid for f in feats.collect())

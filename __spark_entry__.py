@@ -149,6 +149,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["a10_quantiles_exact"] = a10
 
+    # fixed-width histogram (profiling extension; width_bucket semantics
+    # via portable floor arithmetic — one small-cardinality shuffle)
+    q["a_hist_totalprice"] = lambda s, d: profile.histogram(
+        _t(s, d, "orders"), "o_totalprice", width=50000.0, n_buckets=10
+    )
+
     q["a11_distinct_exact"] = lambda s, d: (
         _t(s, d, "lineitem")
         .groupBy("l_returnflag")
@@ -786,6 +792,13 @@ def oracle_sql() -> dict[str, str]:
           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
           AND r_name = 'ASIA'
         GROUP BY n_name
+    """
+
+    o["a_hist_totalprice"] = """
+        SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS INTEGER) AS bucket,
+               CAST(round(CAST(least(floor(o_totalprice / 50000.0), 9) AS INTEGER) * 50000.0, 2) AS DOUBLE) AS lo,
+               count(*) AS n
+        FROM orders GROUP BY 1, 2
     """
 
     o["events_top3_users"] = """

@@ -174,3 +174,23 @@ def profile_table(df: DataFrame, numeric_cols: list[str], string_cols: list[str]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def histogram(df, col: str, width: float, n_buckets: int):
+    """Fixed-width histogram: one partial-aggregated shuffle of at most
+    ``n_buckets`` groups (values past the top edge clamp into the last
+    bucket). Pure arithmetic bucketing — floor(x/width) capped — so it
+    is portable to the DuckDB oracle (no width_bucket there) and stays
+    inside whole-stage codegen."""
+    b = F.least(F.floor(F.col(col) / F.lit(float(width))),
+                F.lit(n_buckets - 1)).cast("int")
+    return (
+        df.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            F.round(F.col("bucket") * width, 2).alias("lo"),
+            "n",
+        )
+    )

@@ -280,3 +280,26 @@ def test_video_frame_sampling_plumbing(spark):
         frames.selectExpr("media_id", "'image' AS kind", "'image/x-syn' AS mime",
                           "8 AS width", "8 AS height", "payload"))
     assert all(f.valid for f in feats.collect())
+
+
+def test_fast_minhash_lsh_properties(spark):
+    """Vectorized-numpy MinHash variant: exact duplicates always pair;
+    pairs strongly overlap the portable md5-LSH candidates."""
+    from dataquality_cli_spark.operators import dedup
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # append exact copies of docs 0..9 under new ids -> guaranteed dups
+    n = base.count()
+    copies = base.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + n).alias("doc_id"), "text",
+        *[c for c in base.columns if c not in ("doc_id", "text")])
+    docs = base.unionByName(copies.select(base.columns))
+    pairs = set(map(tuple, dedup.fast_lsh_candidate_pairs(docs).collect()))
+    expected_dups = {(float(i), float(i + n)) for i in range(10)}
+    got_pairs = {(float(a), float(b)) for a, b in pairs}
+    # exact dups (identical text) share every band -> always candidates
+    assert expected_dups <= got_pairs, expected_dups - got_pairs
+    md5_pairs = set(map(tuple, dedup.lsh_candidate_pairs(docs).collect()))
+    # steeper banding (4x4) is a subset-leaning filter of the loose 2x3
+    # config on this corpus: most fast pairs are also md5 candidates
+    assert len(pairs & md5_pairs) / max(len(pairs), 1) > 0.5

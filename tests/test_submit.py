@@ -47,3 +47,12 @@ def test_iceberg_table_ref_without_runtime_is_loud(spark):
     assert not iceberg.iceberg_available(spark)
     with pytest.raises(RuntimeError, match="Iceberg"):
         iceberg.read_corpus(spark, "cat.corpus.files")
+
+
+def test_iceberg_write_corpus_parquet_fallback(spark, tmp_path):
+    df = iceberg.read_corpus(spark, "/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "corpus_out")
+    iceberg.write_corpus(df, out, mode="overwrite")
+    back = iceberg.read_corpus(spark, out)
+    assert back.count() == df.count()
+    assert set(back.columns) == set(df.columns)

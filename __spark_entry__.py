@@ -272,6 +272,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_keep_first"] = lambda s, d: dedup.dedup_keep_first(_augmented_docs(s, d))
     q["dedup_minhash_signatures"] = lambda s, d: dedup.minhash_signatures(_t(s, d, "documents"))
     q["dedup_lsh_pairs"] = lambda s, d: dedup.lsh_candidate_pairs(_augmented_docs(s, d))
+    # full production flow: LSH candidates -> exact Jaccard verification
+    q["dedup_lsh_verified"] = lambda s, d: dedup.lsh_verified_pairs(
+        _augmented_docs(s, d), threshold=0.5)
     q["dedup_ngram_jaccard_top"] = lambda s, d: dedup.ngram_jaccard_pairs(_t(s, d, "documents"))
     # simhash is UDF-based — rows-only check (no SQL-expressible twin)
     q["dedup_simhash_neardup"] = lambda s, d: dedup.simhash_neardup_pairs(_augmented_docs(s, d))
@@ -681,6 +684,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
           ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """
+
+    o["dedup_lsh_verified"] = f"""
+        WITH aug AS ({_AUG_SQL}),
+        sig AS (SELECT doc_id, {mh_cols} FROM aug),
+        bands AS (
+          SELECT doc_id, 0 AS band_id, md5(concat_ws('|', mh0, mh1, mh2)) AS band_hash FROM sig
+          UNION ALL
+          SELECT doc_id, 1 AS band_id, md5(concat_ws('|', mh3, mh4, mh5)) AS band_hash FROM sig),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM aug)
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT c.id_a, c.id_b,
+                 round(CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+                       / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) AS jaccard
+          FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b)
+        WHERE jaccard >= 0.5
     """
 
     o["dedup_ngram_jaccard_top"] = f"""

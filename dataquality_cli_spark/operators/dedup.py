@@ -365,3 +365,29 @@ def fast_lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
+
+
+def lsh_verified_pairs(df: DataFrame, text_col: str = "text",
+                       threshold: float = 0.5,
+                       max_bucket_size: int | None = None) -> DataFrame:
+    """The production dedup flow in one plan: LSH candidate generation
+    followed by exact shingle-Jaccard verification on the CANDIDATES
+    ONLY — cost linear in candidate count, versus the quadratic
+    within-block join of ngram_jaccard_pairs. At 100 TB this is the only
+    viable shape: candidates ~ O(dups), not O(n^2/blocks); the two
+    shingle joins are equi-joins on doc_id (uniform keys)."""
+    pairs = lsh_candidate_pairs(df, text_col, max_bucket_size)
+    sh = df.select("doc_id", shingles_col(F.col(text_col)).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"), 4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -275,6 +275,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full production flow: LSH candidates -> exact Jaccard verification
     q["dedup_lsh_verified"] = lambda s, d: dedup.lsh_verified_pairs(
         _augmented_docs(s, d), threshold=0.5)
+
+    # -> connected components: cluster_id = min(doc_id) per component
+    q["dedup_clusters"] = lambda s, d: dedup.neardup_clusters(
+        dedup.lsh_verified_pairs(_augmented_docs(s, d), threshold=0.5)
+    )
     q["dedup_ngram_jaccard_top"] = lambda s, d: dedup.ngram_jaccard_pairs(_t(s, d, "documents"))
     # simhash is UDF-based — rows-only check (no SQL-expressible twin)
     q["dedup_simhash_neardup"] = lambda s, d: dedup.simhash_neardup_pairs(_augmented_docs(s, d))
@@ -704,6 +709,23 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) AS jaccard
           FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b)
         WHERE jaccard >= 0.5
+    """
+
+    # connected components via recursive transitive closure (small
+    # components in the fixture make the closure tractable for the oracle;
+    # the Spark side uses iterative min-label propagation instead)
+    o["dedup_clusters"] = f"""
+        WITH RECURSIVE pairs AS ({o["dedup_lsh_verified"]}),
+        e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+              UNION SELECT id_a, id_a FROM pairs
+              UNION SELECT id_b, id_b FROM pairs),
+        reach(src, dst) AS (
+            SELECT src, dst FROM e
+            UNION
+            SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+        )
+        SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
     """
 
     o["dedup_ngram_jaccard_top"] = f"""

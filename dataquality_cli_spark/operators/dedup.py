@@ -391,3 +391,48 @@ def lsh_verified_pairs(df: DataFrame, text_col: str = "text",
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over verified near-dup pairs: every doc in a
+    component gets cluster_id = min(doc_id in component) — the 'keep one
+    per cluster' end action of dedup. Iterative min-label propagation
+    (Spark-first alternative to GraphX/graphframes, which aren't needed
+    for this diameter): each round, a node's label becomes the min of
+    its own and its neighbors' labels; converges in O(component
+    diameter) rounds, each ONE shuffle join + agg. The loop is
+    driver-side control flow over distributed data — no collect of the
+    graph itself; the convergence check is a count of changed labels.
+    localCheckpoint each round truncates the exponentially growing
+    lineage (the classic iterative-algorithm failure mode)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                (F.coalesce("nbr_label", "label") < F.col("label")).alias("_chg"),
+            )
+        ).localCheckpoint()
+        changed = updated.filter("_chg").count()
+        labels = updated.drop("_chg")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))

@@ -303,3 +303,18 @@ def test_fast_minhash_lsh_properties(spark):
     # steeper banding (4x4) is a subset-leaning filter of the loose 2x3
     # config on this corpus: most fast pairs are also md5 candidates
     assert len(pairs & md5_pairs) / max(len(pairs), 1) > 0.5
+
+
+def test_neardup_clusters_chain_and_triangle(spark):
+    from dataquality_cli_spark.operators.dedup import neardup_clusters
+
+    # chain 1-2-3-4-5 (diameter 4 -> needs several propagation rounds),
+    # triangle 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r.doc_id: r.cluster_id for r in neardup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}

@@ -24,6 +24,7 @@ CHECKS = {
     "a10_quantiles_exact": "sort-based exact percentile per group",
     "ann_cosine_topk": "query side BROADCAST (BuildRight); vec_id<5 pushed to scan",
     "dedup_lsh_pairs": "equi-join on (band_id, band_hash) — NO cross join",
+    "dedup_lsh_verified": "Jaccard verification joins candidates on doc_id equi-keys — still no cross join",
     "events_hourly": "single shuffle into the windowed agg",
     "events_asof_join": "ONE shuffle on user_id (union + window carry) — no sort-merge join",
     "q5_regional_revenue": "dims broadcast (BroadcastHashJoin x3+); only the fact-fact join shuffles",

@@ -50,6 +50,24 @@ _AUG_SQL = (
     "FROM documents WHERE doc_id % 5 = 0"
 )
 
+
+def _augmented_embeddings(spark, sf_dir) -> DataFrame:
+    """embeddings + exact copies of vec_id<3 (re-keyed, same label) — the
+    near-dup query gets guaranteed positives (cosine 1.0), so its oracle
+    comparison is never a vacuous 0-rows-vs-0-rows match."""
+    e = _t(spark, sf_dir, "embeddings")
+    dups = e.filter(F.col("vec_id") < 3).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    return e.unionByName(dups)
+
+
+_AUG_EMB_SQL = (
+    "SELECT * FROM embeddings UNION ALL "
+    "SELECT vec_id + 100000 AS vec_id, embedding, label "
+    "FROM embeddings WHERE vec_id < 3"
+)
+
 _TOKS = "string_split(text, ' ')"
 _SHINGLES = (
     "list_distinct(list_transform(range(1, greatest(length(text)-7,1)+1),"
@@ -271,14 +289,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact_groups"] = lambda s, d: dedup.exact_dup_groups(_augmented_docs(s, d))
     q["dedup_keep_first"] = lambda s, d: dedup.dedup_keep_first(_augmented_docs(s, d))
     q["dedup_minhash_signatures"] = lambda s, d: dedup.minhash_signatures(_t(s, d, "documents"))
-    q["dedup_lsh_pairs"] = lambda s, d: dedup.lsh_candidate_pairs(_augmented_docs(s, d))
+    # bucket cap ON (the 100 TB boilerplate-flood guard) — the oracles
+    # implement the same cap so parity is semantic, not accidental
+    q["dedup_lsh_pairs"] = lambda s, d: dedup.lsh_candidate_pairs(
+        _augmented_docs(s, d), max_bucket_size=dedup.DEFAULT_MAX_BUCKET)
     # full production flow: LSH candidates -> exact Jaccard verification
     q["dedup_lsh_verified"] = lambda s, d: dedup.lsh_verified_pairs(
-        _augmented_docs(s, d), threshold=0.5)
+        _augmented_docs(s, d), threshold=0.5,
+        max_bucket_size=dedup.DEFAULT_MAX_BUCKET)
 
     # -> connected components: cluster_id = min(doc_id) per component
     q["dedup_clusters"] = lambda s, d: dedup.neardup_clusters(
-        dedup.lsh_verified_pairs(_augmented_docs(s, d), threshold=0.5)
+        dedup.lsh_verified_pairs(_augmented_docs(s, d), threshold=0.5,
+                                 max_bucket_size=dedup.DEFAULT_MAX_BUCKET)
     )
     q["dedup_ngram_jaccard_top"] = lambda s, d: dedup.ngram_jaccard_pairs(_t(s, d, "documents"))
     # simhash is UDF-based — rows-only check (no SQL-expressible twin)
@@ -305,7 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_topk"] = ann_ivf  # rows-only (trained centroids, not SQL-portable)
 
     q["emb_neardup_pairs"] = lambda s, d: similarity.neardup_pairs_cosine(
-        _t(s, d, "embeddings"), threshold=0.80
+        _augmented_embeddings(s, d), threshold=0.80
     )
 
     q["emb_norm_stats"] = lambda s, d: (
@@ -647,7 +670,7 @@ def oracle_sql() -> dict[str, str]:
     o["doc_repo_quality_report"] = f"""
         WITH v AS ({o["doc_quality_verdict"]})
         SELECT d.source, count(*) AS n_docs,
-               sum(CASE WHEN v.keep THEN 1 ELSE 0 END) AS n_kept,
+               CAST(sum(CASE WHEN v.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                round(avg(CASE WHEN v.keep THEN 1.0 ELSE 0.0 END), 4) AS keep_rate,
                max(v.drop_reason) AS top_drop_reason
         FROM documents d JOIN v ON d.doc_id = v.doc_id
@@ -679,13 +702,22 @@ def oracle_sql() -> dict[str, str]:
     )
     o["dedup_minhash_signatures"] = f"SELECT doc_id, {mh_cols} FROM documents"
 
+    # the same bucket-size cap the Spark flow applies by default
+    _bands_capped = f"""
+        bands_all AS (
+          SELECT doc_id, 0 AS band_id, md5(concat_ws('|', mh0, mh1, mh2)) AS band_hash FROM sig
+          UNION ALL
+          SELECT doc_id, 1 AS band_id, md5(concat_ws('|', mh3, mh4, mh5)) AS band_hash FROM sig),
+        bands AS (
+          SELECT doc_id, band_id, band_hash FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash) AS _bn
+            FROM bands_all)
+          WHERE _bn <= {dedup.DEFAULT_MAX_BUCKET})"""
+
     o["dedup_lsh_pairs"] = f"""
         WITH aug AS ({_AUG_SQL}),
         sig AS (SELECT doc_id, {mh_cols} FROM aug),
-        bands AS (
-          SELECT doc_id, 0 AS band_id, md5(concat_ws('|', mh0, mh1, mh2)) AS band_hash FROM sig
-          UNION ALL
-          SELECT doc_id, 1 AS band_id, md5(concat_ws('|', mh3, mh4, mh5)) AS band_hash FROM sig)
+        {_bands_capped}
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
           ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
@@ -694,10 +726,7 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_lsh_verified"] = f"""
         WITH aug AS ({_AUG_SQL}),
         sig AS (SELECT doc_id, {mh_cols} FROM aug),
-        bands AS (
-          SELECT doc_id, 0 AS band_id, md5(concat_ws('|', mh0, mh1, mh2)) AS band_hash FROM sig
-          UNION ALL
-          SELECT doc_id, 1 AS band_id, md5(concat_ws('|', mh3, mh4, mh5)) AS band_hash FROM sig),
+        {_bands_capped},
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM bands a JOIN bands b
@@ -754,7 +783,8 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["emb_neardup_pairs"] = f"""
-        WITH t AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        WITH aug AS ({_AUG_EMB_SQL}),
+        t AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM aug)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round({_dot}(a.v, b.v) / (sqrt({_dot}(a.v, a.v)) * sqrt({_dot}(b.v, b.v))), 4) AS cosine
         FROM t a JOIN t b ON a.label = b.label AND a.vec_id < b.vec_id

@@ -3,23 +3,20 @@ cmd/describe.go:78-131 and cmd/root.go:11-29 in the reference):
 
     python -m dataquality_cli_spark describe DIR [--ext csv]
         [--no-recursive] [--min-size N] [--max-size N]
+        [--delimiter CHAR|sniff] [--approx] [--output FILE]
         [--master local[N]] [--json]
 
 Profiles every matching CSV under DIR — per-column type vote, count,
-nulls, mean/std/min/max, unique — plus the file-level null% and
-Good/Fair/Poor quality grade, with the reference's exact semantics
-(null = empty-after-trim, type from value parse votes). One Spark job
-for the whole directory; file-size filters prune at the file index
-before any row is parsed.
+nulls, mean/std/min/max, Q25/Q50/Q75, top-1 value+freq, unique — plus
+the file-level null% and Good/Fair/Poor quality grade, with the
+reference's exact semantics (null = empty-after-trim, type from value
+parse votes), and a summary section (cmd/describe.go:306-359): total
+files/rows, numeric-vs-string column counts, completeness %.
 
-Known deviation from the reference (documented, deliberate): the
-directory is read with ONE unified schema (first file's header wins,
-Spark CSV datasource semantics), so in a directory of heterogeneous
-headers a file missing a column reports it as all-null. The reference
-re-reads each header per file — fine for 41 files, a per-file driver
-loop at 10^6 files. Homogeneous-schema directories (the reference's
-own fixture layout, generate_test_data.sh) match exactly; mixed
-directories should be described per subdirectory.
+Files are grouped by header signature and each schema group runs as one
+Spark job (per-file header semantics, adaptive_streaming_engine.go:
+136-142) — a directory of heterogeneous CSVs describes each shape
+correctly instead of reporting missing columns as all-null.
 """
 
 from __future__ import annotations
@@ -33,44 +30,95 @@ def _describe(args) -> int:
     from pyspark.sql import SparkSession
 
     from dataquality_cli_spark.session import get_spark
-    from dataquality_cli_spark.sources.csvdir import describe_files, read_csv_dir
+    from dataquality_cli_spark.sources.csvdir import describe_dir
 
     # only stop the session on exit if WE created it (getOrCreate may
     # hand back a caller's live session, e.g. under pytest)
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app="dataqa-describe", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
-    df = read_csv_dir(
-        spark, args.dir, ext=args.ext, recursive=not args.no_recursive,
-        min_size=args.min_size, max_size=args.max_size,
-    )
-    columns = [c for c in df.columns if c != "_file"]
-    if not columns:
-        print(f"no .{args.ext} files under {args.dir}", file=sys.stderr)
+    try:
+        groups = describe_dir(
+            spark, args.dir, ext=args.ext, recursive=not args.no_recursive,
+            min_size=args.min_size, max_size=args.max_size,
+            delimiter=args.delimiter, approx=args.approx,
+        )
+        if not groups:
+            print(f"no .{args.ext} files under {args.dir}", file=sys.stderr)
+            return 1
+
+        lines: list[str] = []
+        n_files = 0
+        total_rows = 0
+        total_cells = 0
+        total_nulls = 0
+        numeric_cols: set[str] = set()
+        string_cols: set[str] = set()
+        for columns, stats in groups:
+            for r in stats.orderBy("_file").collect():
+                d = r.asDict()
+                n_files += 1
+                total_rows += d["row_count"]
+                total_cells += d["row_count"] * len(columns)
+                for c in columns:
+                    total_nulls += d[f"{c}_nulls"]
+                    kind = d[f"{c}_type"]
+                    (numeric_cols if kind in ("int", "float") else string_cols).add(c)
+                if args.json:
+                    lines.append(json.dumps(d, default=str))
+                    continue
+                lines.append(f"\n{d['_file']}")
+                lines.append(f"  rows={d['row_count']}  null%={d['null_pct']:.2f}"
+                             f"  quality={d['quality']}")
+                for c in columns:
+                    if d[f"{c}_type"] in ("int", "float"):
+                        stats_s = (
+                            f"mean={d[f'{c}_mean']:.6g} std={d[f'{c}_std']:.6g} "
+                            f"min={d[f'{c}_min']:.6g} max={d[f'{c}_max']:.6g}"
+                        )
+                        if d.get(f"{c}_q50") is not None:
+                            stats_s += (f" q25={d[f'{c}_q25']:.6g}"
+                                        f" q50={d[f'{c}_q50']:.6g}"
+                                        f" q75={d[f'{c}_q75']:.6g}")
+                    else:
+                        stats_s = ""
+                    if d.get(f"{c}_top") is not None:
+                        stats_s += f" top={d[f'{c}_top']!r} freq={d[f'{c}_top_freq']}"
+                    lines.append(
+                        f"  {c:<20} {d[f'{c}_type']:<7} count={d[f'{c}_count']:<8}"
+                        f" nulls={d[f'{c}_nulls']:<6} unique={d[f'{c}_unique']:<8}"
+                        f" {stats_s}")
+
+        # summary section (cmd/describe.go:306-359): totals + completeness
+        completeness = (100.0 * (1 - total_nulls / total_cells)
+                        if total_cells else 100.0)
+        summary = {
+            "total_files": n_files,
+            "total_rows": total_rows,
+            "schema_groups": len(groups),
+            "numeric_columns": len(numeric_cols),
+            "string_columns": len(string_cols),
+            "completeness_pct": round(completeness, 2),
+        }
+        if args.json:
+            lines.append(json.dumps({"summary": summary}))
+        else:
+            lines.append("\n=== Summary ===")
+            lines.append(f"  files={n_files}  rows={total_rows}"
+                         f"  schema_groups={len(groups)}")
+            lines.append(f"  numeric_columns={len(numeric_cols)}"
+                         f"  string_columns={len(string_cols)}")
+            lines.append(f"  completeness={completeness:.2f}%")
+
+        report = "\n".join(lines)
+        print(report)
+        if args.output:
+            with open(args.output, "w") as f:
+                f.write(report + "\n")
+        return 0
+    finally:
         if owns_session:
             spark.stop()
-        return 1
-    rows = describe_files(df, columns).orderBy("_file").collect()
-
-    for r in rows:
-        d = r.asDict()
-        if args.json:
-            print(json.dumps(d, default=str))
-            continue
-        print(f"\n{d['_file']}")
-        print(f"  rows={d['row_count']}  null%={d['null_pct']:.2f}"
-              f"  quality={d['quality']}")
-        for c in columns:
-            if d[f"{c}_type"] in ("int", "float"):
-                stats = (f"mean={d[f'{c}_mean']:.6g} std={d[f'{c}_std']:.6g} "
-                         f"min={d[f'{c}_min']:.6g} max={d[f'{c}_max']:.6g}")
-            else:
-                stats = ""
-            print(f"  {c:<20} {d[f'{c}_type']:<7} count={d[f'{c}_count']:<8}"
-                  f" nulls={d[f'{c}_nulls']:<6} unique={d[f'{c}_unique']:<8} {stats}")
-    if owns_session:
-        spark.stop()
-    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -82,6 +130,14 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--no-recursive", action="store_true")
     d.add_argument("--min-size", type=int, default=None)
     d.add_argument("--max-size", type=int, default=None)
+    d.add_argument("--delimiter", default=None,
+                   help="field delimiter; 'sniff' counts candidates over "
+                        "the first lines (default: ',')")
+    d.add_argument("--approx", action="store_true",
+                   help="single-pass scale mode: HLL++ uniques + sketch "
+                        "quantiles, no top-1 (no value shuffle)")
+    d.add_argument("--output", default=None,
+                   help="also write the report to this file")
     d.add_argument("--master", default=None)
     d.add_argument("--json", action="store_true")
     args = ap.parse_args(argv)

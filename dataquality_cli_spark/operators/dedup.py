@@ -90,7 +90,8 @@ def lsh_bands(sig_df: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
 
 
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
-                        max_bucket_size: int | None = None) -> DataFrame:
+                        max_bucket_size: int | None = None,
+                        metrics_out: dict | None = None) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing any LSH band bucket.
     The self-join shuffles on (band_id, band_hash) — no cross join.
 
@@ -127,6 +128,13 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
         sizes = bands.groupBy("band_id", "band_hash").agg(
             F.count(F.lit(1)).alias("_bucket_n")
         )
+        if metrics_out is not None:
+            # explicit opt-in observation (it is its own action): how many
+            # over-full buckets the cap dropped — the number a corpus owner
+            # watches to tell "boilerplate flood" from "real near-dups"
+            metrics_out["dropped_buckets"] = sizes.filter(
+                F.col("_bucket_n") > max_bucket_size
+            ).count()
         bands = (
             bands.join(sizes, ["band_id", "band_hash"])
             .filter(F.col("_bucket_n") <= max_bucket_size)
@@ -175,16 +183,19 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            (
+            # round BEFORE rank/limit (pinned parity rule): the DuckDB
+            # oracle's ORDER BY binds to the rounded SELECT alias, so the
+            # Spark side must rank by the same rounded key or ties near a
+            # rounding boundary select different top-n rows
+            F.round(
                 F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
-                / F.size(F.array_union("a.sh", "b.sh")).cast("double")
+                / F.size(F.array_union("a.sh", "b.sh")).cast("double"), 4
             ).alias("jaccard"),
         )
     )
     return (
         pairs.orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
         .limit(top_n)
-        .withColumn("jaccard", F.round("jaccard", 4))
     )
 
 
@@ -367,16 +378,27 @@ def fast_lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+DEFAULT_MAX_BUCKET = 64
+
+
 def lsh_verified_pairs(df: DataFrame, text_col: str = "text",
                        threshold: float = 0.5,
-                       max_bucket_size: int | None = None) -> DataFrame:
+                       max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+                       metrics_out: dict | None = None) -> DataFrame:
     """The production dedup flow in one plan: LSH candidate generation
     followed by exact shingle-Jaccard verification on the CANDIDATES
     ONLY — cost linear in candidate count, versus the quadratic
     within-block join of ngram_jaccard_pairs. At 100 TB this is the only
     viable shape: candidates ~ O(dups), not O(n^2/blocks); the two
-    shingle joins are equi-joins on doc_id (uniform keys)."""
-    pairs = lsh_candidate_pairs(df, text_col, max_bucket_size)
+    shingle joins are equi-joins on doc_id (uniform keys).
+
+    ``max_bucket_size`` defaults ON: one boilerplate license header
+    shared by 10^8 files is one quadratic bucket, so the unguarded flow
+    is not scale-safe as a default. An over-full bucket carries no dedup
+    signal (everything in it is 'similar to everything'); pass
+    ``metrics_out`` to observe how many buckets the cap dropped, or
+    ``max_bucket_size=None`` to explicitly opt out."""
+    pairs = lsh_candidate_pairs(df, text_col, max_bucket_size, metrics_out)
     sh = df.select("doc_id", shingles_col(F.col(text_col)).alias("sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -416,6 +438,7 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -435,4 +458,13 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # a component with diameter > max_iter would get silently split
+        # into wrong cluster_ids — never return a wrong answer quietly
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter — rounds "
+            f"needed = component diameter, pathological only for chain-"
+            f"shaped near-dup graphs"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))

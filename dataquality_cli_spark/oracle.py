@@ -76,11 +76,10 @@ def scrub(content: str) -> tuple[str, dict[str, int]]:
 
 def judge(repo: str, path: str, content: str) -> OracleVerdict:
     if content is None:
-        # pinned parity with the Spark pipeline: null content fails the
-        # alnum rule (all heuristic exprs are null -> false, except the
-        # guarded alnum_fraction which defaults to 0.0 < ALNUM_FRACTION_MIN)
-        return OracleVerdict(repo, path, False, "alnum",
-                             None, hashlib.sha256(b"").hexdigest(), None, {})
+        # pinned parity with the Spark pipeline, which fillna('')s content
+        # before the fused UDF: null runs the NORMAL metric path as '',
+        # where blank_ratio = 1.0 fails first in DROP_REASON_ORDER
+        content = ""
     langid, lm = get_models()
     m = _heuristic_metrics(content)
     fails = _heuristic_failures(m)

@@ -318,3 +318,46 @@ def test_neardup_clusters_chain_and_triangle(spark):
     got = {r.doc_id: r.cluster_id for r in neardup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_lsh_verified_default_cap_bounds_megabucket(spark, docs):
+    """One boilerplate text shared by many docs is ONE quadratic bucket;
+    the production flow's default cap must bound the candidate count and
+    report the dropped buckets via metrics_out."""
+    boiler = spark.range(500).select(
+        (F.col("id") + 50_000).alias("doc_id"),
+        F.lit("permission is hereby granted free of charge to any person "
+              "obtaining a copy of this software and associated files " * 3
+              ).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("boiler").alias("source"),
+        F.lit(200).alias("n_chars"),
+    )
+    flood = docs.unionByName(boiler)
+    metrics: dict = {}
+    pairs = dedup.lsh_verified_pairs(flood, metrics_out=metrics)
+    n = pairs.count()
+    # uncapped, the 500-doc bucket alone would emit 124,750 pairs
+    assert n < 10_000
+    assert metrics["dropped_buckets"] >= 1
+    # and the real near-dups elsewhere in the corpus are unaffected
+    uncapped_real = dedup.lsh_verified_pairs(
+        docs, max_bucket_size=None).count()
+    capped_real = dedup.lsh_verified_pairs(docs).count()
+    assert capped_real == uncapped_real
+
+
+def test_neardup_clusters_nonconvergence_raises(spark):
+    """A chain longer than max_iter must raise, never silently return
+    split clusters (ADVICE r1)."""
+    import pytest
+    from dataquality_cli_spark.operators.dedup import neardup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_clusters(chain, max_iter=2)
+    got = {r.doc_id: r.cluster_id
+           for r in neardup_clusters(chain, max_iter=20).collect()}
+    assert set(got.values()) == {0}

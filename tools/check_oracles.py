@@ -21,6 +21,27 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def canon_type(t: str) -> str:
+    """Canonical cross-engine type label. Deliberately does NOT merge
+    hugeint->bigint or decimal->double: the driver's value hash is
+    type-sensitive, so an uncast DuckDB SUM(int) (HUGEINT) or round()
+    (DECIMAL) must FAIL here even though the Python values stringify
+    identically — that exact gap let CORRECTNESS_r01's one hash-fail
+    through a green local check."""
+    t = t.strip().lower()
+    if t.startswith("decimal"):
+        return "decimal"
+    if t.startswith("array") or t.endswith("[]"):
+        return "array"
+    return {
+        "varchar": "string", "text": "string",
+        "integer": "int", "smallint": "int", "tinyint": "int",
+        "boolean": "bool",
+        "timestamp_ntz": "timestamp", "timestamp with time zone": "timestamp",
+        "real": "float",
+    }.get(t, t)
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -56,6 +77,7 @@ def main():
         try:
             sdf = fn(spark, SF_DIR)
             s_cols = sdf.columns
+            s_types = dict(sdf.dtypes)
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: SPARK ERROR {e}")
@@ -68,6 +90,7 @@ def main():
         try:
             rel = con.sql(os_[name])
             d_cols = rel.columns
+            d_types = {c: str(t) for c, t in zip(rel.columns, rel.types)}
             d_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: DUCKDB ERROR {str(e).splitlines()[0][:150]}")
@@ -76,6 +99,14 @@ def main():
         problems = []
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        else:
+            bad = [
+                f"{c}: spark={canon_type(s_types[c])} duck={canon_type(d_types[c])}"
+                for c in s_cols
+                if canon_type(s_types[c]) != canon_type(d_types[c])
+            ]
+            if bad:
+                problems.append("types differ: " + "; ".join(bad))
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
         if not problems:

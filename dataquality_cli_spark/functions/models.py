@@ -40,6 +40,87 @@ def text_bytes(text: str) -> np.ndarray:
     return np.frombuffer(text.encode("utf-8", "replace"), dtype=np.uint8)
 
 
+def _concat_batch(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(concat_bytes, lens, starts) for a whole batch — the shared setup
+    of the batch-vectorized scorers: one byte array for ALL documents, so
+    the hash/lookup math runs once per batch with no per-document Python
+    loop (the dedup fast-MinHash pattern)."""
+    encoded = [(t or "").encode("utf-8", "replace") for t in texts]
+    lens = np.fromiter((len(e) for e in encoded), dtype=np.int64, count=len(encoded))
+    concat = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1].astype(np.int64)
+    return concat, lens, starts
+
+
+# chunk size for the batched scorers: keeps the window-space working set
+# (~6 arrays x chunk bytes x 8B) inside L2 — full-batch arrays on multi-MB
+# Arrow batches measured memory-bandwidth-bound (2.5x slower than per-doc)
+_CHUNK_BYTES = 64 * 1024
+
+
+def _chunks(texts: list, target_bytes: int = _CHUNK_BYTES):
+    """Split a batch into byte-bounded chunks. Safe because per-document
+    results are bit-identical at any batch composition (see
+    _segment_sums); len(t) is a fine proxy for encoded size."""
+    out, cur, size = [], [], 0
+    for t in texts:
+        cur.append(t)
+        size += len(t or "")
+        if size >= target_bytes:
+            out.append(cur)
+            cur, size = [], 0
+    if cur:
+        out.append(cur)
+    return out
+
+
+def _batch_segments(lens: np.ndarray, starts: np.ndarray, n: int,
+                    n_windows: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(invalid_idx, seg, region) for the n-gram windows over the batch
+    concatenation. invalid_idx lists the window positions whose n bytes
+    cross a document boundary — at most n-1 per document, so it is a
+    TINY array (never O(total_bytes); building full per-window doc-id /
+    mask arrays measured 4-5x slower than the hash pass itself on
+    multi-MB batches). seg holds reduceat boundaries (window-space
+    region start per document); region is each document's window-region
+    length, used to zero reduceat's empty-segment artifacts."""
+    W = n_windows
+    ends = starts + lens
+    # invalid windows: the last n-1 positions of each doc's byte span
+    # (or its whole span when len < n), clipped to [0, W)
+    inv_start = np.maximum(starts, ends - (n - 1)) if n > 1 else ends
+    counts = np.clip(np.minimum(ends, W) - np.minimum(inv_start, W), 0, None)
+    total = int(counts.sum())
+    base = np.repeat(np.minimum(inv_start, W), counts)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts)
+    invalid_idx = base + within
+    return invalid_idx, starts, lens
+
+
+def _segment_sums(values: np.ndarray, seg: np.ndarray, lens: np.ndarray,
+                  total_bytes: int) -> np.ndarray:
+    """Per-document sums of a window-space array via ONE np.add.reduceat
+    over segments padded to each document's FULL byte span (crossing /
+    missing window slots hold exactly 0.0). The segment a document
+    reduces over therefore has the same length and contents at ANY batch
+    composition — np.add.reduce's pairwise-summation grouping depends
+    only on segment length, so a document's sum is bit-identical whether
+    it arrives in a batch of 1 (the oracle) or 10,000 (the Arrow UDF).
+    reduceat's empty-segment artifact (it returns a[i], not 0) is zeroed
+    via lens==0."""
+    if len(seg) == 0:
+        return np.zeros(0, dtype=np.float64)
+    padded = np.zeros(total_bytes + 1, dtype=np.float64)
+    padded[: values.size] = values
+    # explicit end boundary so the LAST doc's segment is exactly its own
+    # span too (not span + trailing pad) — segment length must not depend
+    # on position in the batch
+    bounds = np.concatenate((seg, [total_bytes]))
+    sums = np.add.reduceat(padded, bounds)[:-1]
+    return np.where(lens > 0, sums, 0.0)
+
+
 def ngram_hashes(b: np.ndarray, n: int, dim: int) -> np.ndarray:
     """Vectorized polynomial hash of every char n-gram in byte array *b*."""
     if b.size < n:
@@ -71,17 +152,56 @@ class LangIdModel:
         weights = np.log(counts / counts.sum(axis=1, keepdims=True))
         return cls(classes, weights)
 
-    def score_one(self, text: str) -> np.ndarray:
-        b = text_bytes(text)
-        total = np.zeros(len(self.classes), dtype=np.float64)
+    def score_batch(self, texts) -> np.ndarray:
+        """(n_docs, n_classes) log-prob sums, computed over the WHOLE
+        batch at once: one hash pass over the concatenated bytes per
+        n-gram order; boundary-crossing windows (at most n-1 per doc)
+        are rerouted to a sentinel hash bucket whose weight is exactly
+        0.0 (a float no-op); per-document sums via one sequential
+        np.add.reduceat — in-order accumulation, so a document's score
+        is IDENTICAL whether it arrives in a batch of 1 (the oracle) or
+        10,000 (the Arrow UDF). Replaces the per-document Python loop
+        (the r1 latent hot-path knob). Batches are processed in
+        cache-sized chunks (_CHUNK_BYTES) — chunking cannot change any
+        result, see _segment_sums."""
+        texts = list(texts)
+        if not texts:
+            return np.zeros((0, len(self.classes)), dtype=np.float64)
+        return np.concatenate(
+            [self._score_chunk(c) for c in _chunks(texts)], axis=0
+        )
+
+    def _score_chunk(self, texts: list) -> np.ndarray:
+        n_docs = len(texts)
+        total = np.zeros((n_docs, len(self.classes)), dtype=np.float64)
+        dim = self.weights.shape[1]
+        # weights padded with a zero column at index `dim` (the sentinel)
+        wpad = self._weights_padded()
+        concat, lens, starts = _concat_batch(texts)
         for n in LANGID_NGRAM_ORDERS:
-            hs = ngram_hashes(b, n, self.weights.shape[1])
-            if hs.size:
-                total += self.weights[:, hs].sum(axis=1)
+            if concat.size < n:
+                continue
+            hs = ngram_hashes(concat, n, dim)
+            invalid_idx, seg, seg_lens = _batch_segments(lens, starts, n, hs.size)
+            hs[invalid_idx] = dim
+            for ci in range(len(self.classes)):
+                total[:, ci] += _segment_sums(wpad[ci, hs], seg, seg_lens,
+                                              concat.size)
         return total
 
+    def _weights_padded(self) -> np.ndarray:
+        if not hasattr(self, "_wpad"):
+            self._wpad = np.concatenate(
+                (self.weights, np.zeros((len(self.classes), 1))), axis=1
+            )
+        return self._wpad
+
     def predict(self, texts) -> list[str]:
-        return [self.classes[int(np.argmax(self.score_one(t)))] for t in texts]
+        texts = list(texts)
+        if not texts:
+            return []
+        scores = self.score_batch(texts)
+        return [self.classes[i] for i in np.argmax(scores, axis=1)]
 
     def to_arrays(self) -> dict:
         return {"classes": list(self.classes), "weights": self.weights}
@@ -118,18 +238,42 @@ class CharLM:
         m.dim = dim
         return m
 
-    def nll(self, text: str) -> float:
-        """Mean negative log p(c3|c1c2) over all trigrams; 0.0 for texts
-        shorter than one trigram."""
-        b = text_bytes(text)
-        h3 = ngram_hashes(b, PPL_ORDER, self.dim)
-        if h3.size == 0:
-            return 0.0
-        h2 = ngram_hashes(b, PPL_ORDER - 1, self.dim)[: h3.size]
-        lp = self.ltri[h3] - self.lbi[h2]
+    def nll_batch(self, texts) -> np.ndarray:
+        """Mean negative log p(c3|c1c2) per document over the WHOLE
+        batch: one trigram+bigram hash pass over the concatenated bytes,
+        boundary windows masked, per-document mean = bincount sum /
+        bincount count (sequential in-order accumulation — a document's
+        nll is identical at any batch size, so the pure-Python oracle
+        and the Arrow UDF agree bit-for-bit by construction). 0.0 for
+        texts shorter than one trigram."""
+        texts = list(texts)
+        if not texts:
+            return np.zeros(0, dtype=np.float64)
+        return np.concatenate([self._nll_chunk(c) for c in _chunks(texts)])
+
+    def _nll_chunk(self, texts: list) -> np.ndarray:
+        n_docs = len(texts)
+        concat, lens, starts = _concat_batch(texts)
+        if concat.size < PPL_ORDER:
+            return np.zeros(n_docs, dtype=np.float64)
+        h3 = ngram_hashes(concat, PPL_ORDER, self.dim)
+        h2 = ngram_hashes(concat, PPL_ORDER - 1, self.dim)[: h3.size]
+        invalid_idx, seg, seg_lens = _batch_segments(lens, starts, PPL_ORDER,
+                                                     h3.size)
+        ltri = self.ltri[h3]
+        lp = ltri - self.lbi[h2]
         lp = np.minimum(lp, 0.0)  # hash collisions can make ratio > 1
-        lp = np.where(self.ltri[h3] <= PPL_FLOOR_LOGP, PPL_FLOOR_LOGP, lp)
-        return float(-lp.mean())
+        lp = np.where(ltri <= PPL_FLOOR_LOGP, PPL_FLOOR_LOGP, lp)
+        lp[invalid_idx] = 0.0     # boundary windows: exact float no-op
+        sums = _segment_sums(lp, seg, seg_lens, concat.size)
+        counts = np.maximum(lens - (PPL_ORDER - 1), 0)  # valid windows/doc
+        return np.where(counts > 0, -sums / np.maximum(counts, 1), 0.0)
+
+    def nll(self, text: str) -> float:
+        return float(self.nll_batch([text])[0])
+
+    def ppl_batch(self, texts) -> np.ndarray:
+        return np.exp(self.nll_batch(list(texts)))
 
     def ppl(self, text: str) -> float:
         return float(np.exp(self.nll(text)))

@@ -78,8 +78,8 @@ def score_batch(texts: list[str], langid, lm) -> dict[str, np.ndarray | list]:
     """Full per-file scoring for one Arrow batch: models + heuristics +
     scrub. Returns column arrays aligned with the input order."""
     n = len(texts)
-    preds = langid.predict(texts)
-    ppls = np.fromiter((lm.ppl(t) for t in texts), dtype=np.float64, count=n)
+    preds = langid.predict(texts)          # batch-vectorized (models.py)
+    ppls = lm.ppl_batch(texts)             # one concat pass, no doc loop
     met = [metrics_one(t) for t in texts]
     scrubs = [scrub_one(t) for t in texts]
     out: dict[str, np.ndarray | list] = {

@@ -37,8 +37,8 @@ def model_score_udf(bc) -> "callable":
         langid = LangIdModel.from_arrays(d["langid"])
         lm = CharLM.from_arrays(d["lm"])
         texts = content.fillna("").tolist()
-        preds = langid.predict(texts)
-        ppls = np.fromiter((lm.ppl(t) for t in texts), dtype=np.float64, count=len(texts))
+        preds = langid.predict(texts)      # batch-vectorized (models.py)
+        ppls = lm.ppl_batch(texts)
         return pd.DataFrame({"langid_pred": preds, "ppl": ppls})
 
     return score

@@ -98,14 +98,23 @@ def test_ann_lsh_recall_vs_bruteforce(emb):
 def test_profile_table_runs_exact_and_approx(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     for approx in (False, True):
-        prof = profile.profile_table(
+        out = profile.profile_table(
             li, ["l_quantity", "l_extendedprice"], ["l_returnflag"], approx=approx
-        ).collect()
+        )
+        # single-pass guarantee: ONE scan of the input (the r1 version
+        # unioned one full-table agg per column) and no Expand
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan parquet") == 1
+        assert "Expand" not in plan
+        prof = out.collect()
         assert len(prof) == 3
         byname = {r.column: r for r in prof}
         assert byname["l_quantity"]["count"] == li.count()
         assert byname["l_quantity"]["min"] == 1.0
         assert byname["l_returnflag"]["kind"] == "string"
+        if not approx:  # exact mode: true distinct count + exact median
+            assert byname["l_quantity"]["unique"] == 50
+            assert byname["l_quantity"]["q50"] == 25.0
 
 
 def test_ann_ivf_recall_vs_bruteforce(emb):

@@ -229,6 +229,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["a16_two_level_summary"] = a16
 
+    # full-table describe (long format) through the single-scan melt
+    # plan — oracle-verifies the weighted-aggregate semantics (exact
+    # unique, frequency-weighted exact percentiles) end to end
+    q["profile_documents_table"] = lambda s, d: profile.profile_table(
+        _t(s, d, "documents"), ["n_chars", "doc_id"], ["lang", "source"]
+    )
+
     q["p6_top3_per_segment"] = lambda s, d: (
         profile.top_k_per_group(
             _t(s, d, "customer").select(
@@ -570,6 +577,42 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT source, COUNT(*) AS n_docs, AVG(n_chars) AS avg_chars
               FROM documents GROUP BY source)
     """
+
+    # the std formula is written EXACTLY like the Spark side's weighted
+    # aggregate (sqrt(sumsq/n - (sum/n)^2)) so both engines perform the
+    # same double ops on the same exact-integer sums — Welford-style
+    # stddev_pop would drift in the last ulp
+    def _profile_num(c: str) -> str:
+        s, n = f"SUM(CAST({c} AS DOUBLE))", f"COUNT({c})"
+        sq = f"SUM(CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE))"
+        return f"""
+          SELECT '{c}' AS "column", 'numeric' AS kind,
+                 COUNT(*) AS rows, {n} AS "count",
+                 round({s} / {n}, 6) AS mean,
+                 round(sqrt(greatest({sq} / {n} - ({s} / {n}) * ({s} / {n}), 0.0)), 6) AS std,
+                 round(CAST(MIN({c}) AS DOUBLE), 6) AS min,
+                 round(CAST(quantile_cont({c}, 0.25) AS DOUBLE), 6) AS q25,
+                 round(CAST(quantile_cont({c}, 0.50) AS DOUBLE), 6) AS q50,
+                 round(CAST(quantile_cont({c}, 0.75) AS DOUBLE), 6) AS q75,
+                 round(CAST(MAX({c}) AS DOUBLE), 6) AS max,
+                 COUNT(DISTINCT {c}) AS "unique"
+          FROM documents"""
+
+    def _profile_str(c: str) -> str:
+        return f"""
+          SELECT '{c}' AS "column", 'string' AS kind,
+                 COUNT(*) AS rows, COUNT({c}) AS "count",
+                 CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS std,
+                 CAST(NULL AS DOUBLE) AS min, CAST(NULL AS DOUBLE) AS q25,
+                 CAST(NULL AS DOUBLE) AS q50, CAST(NULL AS DOUBLE) AS q75,
+                 CAST(NULL AS DOUBLE) AS max,
+                 COUNT(DISTINCT {c}) AS "unique"
+          FROM documents"""
+
+    o["profile_documents_table"] = " UNION ALL ".join(
+        [_profile_num("n_chars"), _profile_num("doc_id"),
+         _profile_str("lang"), _profile_str("source")]
+    )
 
     o["p6_top3_per_segment"] = """
         SELECT c_mktsegment, c_custkey, acctbal, CAST(rank AS INTEGER) AS rank

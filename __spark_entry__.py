@@ -337,6 +337,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_neardup_pairs"] = lambda s, d: similarity.neardup_pairs_cosine(
         _augmented_embeddings(s, d), threshold=0.80
     )
+    # the production block: hyperplane-LSH buckets instead of a label
+    # column (seeded planes — not SQL-portable, rows-only check; recall
+    # vs the exact label-blocked twin is pytest-asserted)
+    q["emb_neardup_lsh"] = lambda s, d: similarity.neardup_pairs_lsh(
+        _augmented_embeddings(s, d), threshold=0.80
+    )
 
     q["emb_norm_stats"] = lambda s, d: (
         _t(s, d, "embeddings")

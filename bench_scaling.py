@@ -217,8 +217,10 @@ A/B probes, see git history):
   skew-spreader for giant repos;
 - model scorers batch-vectorized (concat + reduceat over segments
   padded to each doc's full byte span — bit-identical at any batch
-  size, 64KB cache-sized chunks): local[2] 98.6s -> 72.0s, peak
-  17.5k -> 29.6k files/sec, efficiency 0.85 -> 0.94 vs round 1.
+  size, 64KB cache-sized chunks): local[2] 98.6s -> 72.0s vs round 1;
+- scrub rules gated by superset prescreens (required literals / cheap
+  shape regexes) so clean docs skip the 7 findall scans: fused UDF
+  634 -> 481 us/doc. Net vs round 1: peak 17.5k -> 42.3k files/sec.
 
 Reference baseline (BASELINE.md): 41 CSV files / 6.75M rows profiled
 in 4.08 s on 8 workers (~1.66M rows/s, simple per-column stats). Our

@@ -33,6 +33,24 @@ _ALNUM_BYTES = bytes(
 )
 _SCRUB = [(name, re.compile(pat), repl) for name, pat, repl in C.SCRUB_RULES]
 
+# cheap prescreens per scrub rule — each is a strict SUPERSET of its full
+# pattern (if the full pattern matches anywhere, the gate fires), so
+# gating changes nothing semantically (test_scrub parity vs oracle.scrub
+# covers it); it skips the expensive findall for the common clean doc.
+# Measured: full findall chain 315 us/doc, gates ~1-10 us each.
+_IPV4_PRE = re.compile(r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d")
+_IPV6_PRE = re.compile(r"[0-9A-Fa-f]{1,4}:[0-9A-Fa-f]{1,4}:[0-9A-Fa-f]{1,4}:")
+_TOX_WORDS = tuple(w.lower() for w in C.TOXICITY_LEXICON)
+_GATES = {
+    # private_key's required "-----BEGIN" literal already fails fast in re
+    "aws_key": lambda t: "AKIA" in t,
+    "bearer": lambda t: "earer" in t,          # [Bb]earer
+    "email": lambda t: "@" in t,
+    "ipv4": lambda t: _IPV4_PRE.search(t) is not None,
+    "ipv6": lambda t: _IPV6_PRE.search(t) is not None,
+    "toxicity": lambda t: any(w in t.lower() for w in _TOX_WORDS),
+}
+
 METRIC_FIELDS = (
     "n_lines", "n_nonblank_lines", "blank_ratio", "max_line_len",
     "mean_line_len", "alnum_fraction", "dup_line_ratio", "max_token_len",
@@ -65,8 +83,12 @@ def metrics_one(t: str) -> tuple:
 def scrub_one(t: str) -> tuple:
     """(scrubbed_text, hit_counts_in_SCRUB_RULES_order). Counts measured
     on the ORIGINAL text, replacement applied sequentially — identical
-    contract to oracle.scrub (same module, same patterns)."""
-    hits = tuple(len(rx.findall(t)) for _name, rx, _r in _SCRUB)
+    contract to oracle.scrub (same module, same patterns). Rules whose
+    superset gate doesn't fire count 0 without scanning."""
+    hits = tuple(
+        len(rx.findall(t)) if (g := _GATES.get(name)) is None or g(t) else 0
+        for name, rx, _r in _SCRUB
+    )
     out = t
     if any(hits):
         for _name, rx, repl in _SCRUB:

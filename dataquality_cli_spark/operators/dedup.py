@@ -125,26 +125,25 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
         StorageLevel.MEMORY_AND_DISK
     )
     if max_bucket_size is not None:
+        # over-full buckets are RARE by construction (each is a mega-
+        # cluster of boilerplate), so compute just their keys (partial
+        # map-side agg over the persisted bands -> tiny result) and
+        # BROADCAST-anti-join them away: the big side is never sorted or
+        # re-shuffled. A window-count cap sorts the whole band table
+        # (+0.9s on the sf0.1 flagship); agg+join re-shuffles both sides.
+        oversized = (
+            bands.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band_id", "band_hash")
+        )
         if metrics_out is not None:
             # explicit opt-in observation (it is its own action): how many
             # over-full buckets the cap dropped — the number a corpus owner
             # watches to tell "boilerplate flood" from "real near-dups"
-            metrics_out["dropped_buckets"] = (
-                bands.groupBy("band_id", "band_hash")
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .filter(F.col("_n") > max_bucket_size).count()
-            )
-        # window count partitioned on the SAME key as the self-join: the
-        # size check rides the exchange the join needs anyway (an
-        # agg+join cap variant measured +0.9s on the sf0.1 flagship)
-        from pyspark.sql.window import Window as _W
-
-        w = _W.partitionBy("band_id", "band_hash")
-        bands = (
-            bands.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bucket_n") <= max_bucket_size)
-            .drop("_bucket_n")
-        )
+            metrics_out["dropped_buckets"] = oversized.count()
+        bands = bands.join(F.broadcast(oversized),
+                           ["band_id", "band_hash"], "left_anti")
     a = bands.alias("a")
     b = bands.alias("b")
     return (

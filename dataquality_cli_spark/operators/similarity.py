@@ -78,6 +78,48 @@ def neardup_pairs_cosine(df: DataFrame, threshold: float = 0.95,
     )
 
 
+def neardup_pairs_lsh(df: DataFrame, threshold: float = 0.95,
+                      n_planes: int = 4, n_tables: int = 8,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      dim: int = 64, seed: int = 41,
+                      max_bucket_size: int | None = 1024) -> DataFrame:
+    """Embedding near-duplicates with LSH blocking — the production
+    block for neardup_pairs_cosine (whose label block is a fixture
+    convenience): candidates are pairs sharing a hyperplane sign-bucket
+    in ANY of ``n_tables`` tables, then exact-verified by cosine >=
+    threshold. Recall per table for angle theta is (1-theta/pi)^planes;
+    near-dups (theta ~ 0.2 rad at 0.95 cosine) survive one of 8 tables
+    with probability ~1-(1-0.77)^8 ~ 0.9999. The pair join shuffles on
+    (table, bucket) — never a cross join; ``max_bucket_size`` is the
+    same boilerplate-flood guard as the MinHash-LSH dedup cap."""
+    from pyspark import StorageLevel
+
+    planes = hyperplanes(dim, n_planes * n_tables, seed)
+    buckets = _table_buckets(F.col(vec_col), planes, n_tables)
+    b = df.select(
+        F.col(id_col), F.posexplode(buckets).alias("table", "bucket")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("table", "bucket")
+        b = (b.withColumn("_n", F.count(F.lit(1)).over(w))
+             .filter(F.col("_n") <= max_bucket_size).drop("_n"))
+    cands = (
+        b.alias("a").join(b.alias("b"), ["table", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cands.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b",
+                F.round(cosine_col(F.col("va"), F.col("vb")), 4).alias("cosine"))
+        .filter(F.col("cosine") > threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the other scale path
 # ---------------------------------------------------------------------------

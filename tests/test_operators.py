@@ -395,3 +395,24 @@ def test_simhash_multiband_recall_guarantee(spark):
         for j in sigs:
             if i < j and bin((sigs[i] ^ sigs[j]) & ((1 << 64) - 1)).count("1") <= 3:
                 assert (i, j) in got
+
+
+def test_emb_neardup_lsh_recall_vs_exact(spark, emb):
+    """LSH-blocked embedding near-dup (the production block) must
+    recover the planted exact duplicates (cosine 1.0) with certainty —
+    identical vectors share every bucket — and most of the exact
+    label-blocked pairs at the same threshold."""
+    dups = emb.filter(F.col("vec_id") < 10).withColumn(
+        "vec_id", F.col("vec_id") + 100_000)
+    aug = emb.unionByName(dups)
+    got = {(r.id_a, r.id_b)
+           for r in similarity.neardup_pairs_lsh(aug, threshold=0.80).collect()}
+    planted = {(i, i + 100_000) for i in range(10)}
+    assert planted <= got
+    exact = {(r.id_a, r.id_b)
+             for r in similarity.neardup_pairs_cosine(aug, threshold=0.80).collect()}
+    # label blocking and LSH blocking generate different candidate sets;
+    # on the planted positives LSH is exhaustive, and overall it should
+    # find a healthy share of what label blocking finds
+    if exact:
+        assert len(got & exact) / len(exact) >= 0.5

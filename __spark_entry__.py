@@ -314,6 +314,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # simhash is UDF-based — rows-only check (no SQL-expressible twin)
     q["dedup_simhash_neardup"] = lambda s, d: dedup.simhash_neardup_pairs(_augmented_docs(s, d))
 
+    # streaming exact dedup at ingest (dropDuplicatesWithinWatermark):
+    # which doc_id survives a duplicate race is processing-order
+    # dependent, but the surviving HASH SET is deterministic — that is
+    # what the oracle checks
+    def stream_dedup(s, d):
+        import tempfile
+
+        from dataquality_cli_spark.streaming.stream_pipeline import stream_dedup_exact
+
+        src = _augmented_docs(s, d).select(
+            "doc_id", F.col("text").alias("content"),
+            (F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")))
+            .alias("ingest_ts"),
+        )
+        in_dir = tempfile.mkdtemp(prefix="dq_sdedup_in_")
+        out_dir = tempfile.mkdtemp(prefix="dq_sdedup_out_")
+        src.coalesce(2).write.mode("overwrite").parquet(in_dir)
+        qy = stream_dedup_exact(s, in_dir, src.schema, out_dir,
+                                watermark="24 hours")
+        qy.awaitTermination(300)
+        return (
+            s.read.parquet(f"{out_dir}/data")
+            .select("content_hash").distinct()
+        )
+
+    q["dedup_streaming_exact"] = stream_dedup
+
     # --- similarity search ---
     def ann(s, d):
         emb = _t(s, d, "embeddings")
@@ -743,6 +770,11 @@ def oracle_sql() -> dict[str, str]:
         WITH aug AS ({_AUG_SQL})
         SELECT MIN(doc_id) AS doc_id, sha256(text) AS content_hash
         FROM aug GROUP BY sha256(text)
+    """
+
+    o["dedup_streaming_exact"] = f"""
+        WITH aug AS ({_AUG_SQL})
+        SELECT DISTINCT sha256(text) AS content_hash FROM aug
     """
 
     mh_cols = ",\n".join(

@@ -56,3 +56,39 @@ def stream_quality_filter(spark: SparkSession, input_dir: str, schema,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_exact(spark: SparkSession, input_dir: str, schema,
+                       out_dir: str, content_col: str = "content",
+                       ts_col: str = "ingest_ts",
+                       watermark: str = "1 hour",
+                       glob: str = "*.parquet") -> "StreamingQuery":
+    """Streaming EXACT dedup at ingest: keep the first arrival of each
+    sha256(content) and drop re-crawls/mirrors that land within the
+    watermark horizon. Uses dropDuplicatesWithinWatermark, so the state
+    store holds one compact (hash, ts) entry per distinct document and
+    EVICTS it once the watermark passes — bounded state, unlike a plain
+    dropDuplicates which would pin 10^12 keys forever. Duplicates
+    arriving later than the watermark horizon are deliberately NOT the
+    streaming job's problem: the batch LSH/exact dedup over the
+    accumulated table (operators/dedup.py) is the periodic backstop —
+    the standard two-tier layout for a crawl pipeline."""
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", 4)
+        .load(input_dir)
+    )
+    deduped = (
+        stream
+        .withColumn("content_hash", F.sha2(F.col(content_col), 256))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "data"))
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -75,3 +75,33 @@ def test_append_mode_drops_late_data_and_emits_only_final_windows(spark, tmp_pat
     assert got[5] == (1, 4.0)
     # hours 7/8: window end > final watermark (6:30) -> never emitted
     assert 7 not in got and 8 not in got
+
+
+def test_stream_dedup_exact_keeps_one_per_hash(spark, tmp_path):
+    """Ingest-time exact dedup: duplicates inside the watermark horizon
+    are dropped, one survivor per content hash; state is keyed on the
+    sha256 so it stays bounded."""
+    import datetime as dt
+
+    from dataquality_cli_spark.streaming.stream_pipeline import stream_dedup_exact
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(20):
+        text = f"document body {i % 8}"  # 8 distinct contents, 20 rows
+        rows.append((f"r{i}", text, base + dt.timedelta(minutes=i)))
+    df = spark.createDataFrame(rows, "path string, content string, ingest_ts timestamp")
+    df.coalesce(1).write.mode("overwrite").parquet(str(in_dir))
+
+    out = tmp_path / "out"
+    q = stream_dedup_exact(spark, str(in_dir), df.schema, str(out),
+                           watermark="1 hour")
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out / "data"))
+    assert got.count() == 8
+    # survivor is the FIRST arrival of each content
+    firsts = {r.content_hash for r in got.collect()}
+    assert len(firsts) == 8
+    assert got.select("content").distinct().count() == 8

@@ -280,6 +280,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_repo_quality_report"] = repo_report
 
+    # n-gram decontamination vs a benchmark set (every 50th doc stands
+    # in for the eval set; its own members are self-contaminated by
+    # construction, which the oracle reproduces)
+    q["doc_benchmark_contamination"] = lambda s, d: text.benchmark_contamination(
+        _t(s, d, "documents"),
+        _t(s, d, "documents").filter(F.col("doc_id") % 50 == 0),
+    )
+
     q["corpus_lang_summary"] = lambda s, d: (
         _t(s, d, "documents")
         .groupBy("lang")
@@ -461,6 +469,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q5_regional_revenue"] = q5
+
+    # TPC-H-Q3-shaped top-k: selective dim filter broadcast into the
+    # fact-fact join, group, round BEFORE rank (pinned parity rule),
+    # deterministic tie-break. The canonical "top unshipped orders" plan.
+    def q3(s, d):
+        cust = _t(s, d, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+        o = _t(s, d, "orders").filter(
+            F.col("o_orderdate") < "1998-01-01").select(
+            "o_orderkey", "o_custkey", "o_orderdate")
+        li = _t(s, d, "lineitem").filter(
+            F.col("l_shipdate") > "1998-01-01").select(
+            "l_orderkey", "l_extendedprice", "l_discount")
+        return (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10)
+        )
+
+    q["q3_unshipped_topk"] = q3
+
+    # anti-join shape: customers with no RECENT orders (the date filter
+    # keeps the result non-empty so the oracle compares real rows; at
+    # scale the orders side prunes to o_custkey before the exchange)
+    q["q_customers_no_orders"] = lambda s, d: (
+        _t(s, d, "customer")
+        .join(_t(s, d, "orders").filter(F.col("o_orderdate") >= "2001-01-01")
+              .select("o_custkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
 
     def top_users(s, d):
         e = _t(s, d, "events")
@@ -753,6 +796,19 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY d.source
     """
 
+    o["doc_benchmark_contamination"] = f"""
+        WITH bench AS (
+          SELECT DISTINCT s AS sh
+          FROM (SELECT unnest({_SHINGLES}) AS s
+                FROM documents WHERE doc_id % 50 = 0)),
+        d AS (SELECT doc_id, unnest({_SHINGLES}) AS sh FROM documents)
+        SELECT doc_id, n_hits, TRUE AS contaminated FROM (
+          SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM d JOIN bench ON d.sh = bench.sh
+          GROUP BY d.doc_id)
+        WHERE n_hits >= 3
+    """
+
     o["corpus_lang_summary"] = f"""
         SELECT lang, COUNT(*) AS n_docs,
                round(AVG(n_chars), 4) AS avg_chars,
@@ -948,6 +1004,25 @@ def oracle_sql() -> dict[str, str]:
           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
           AND r_name = 'ASIA'
         GROUP BY n_name
+    """
+
+    o["q3_unshipped_topk"] = """
+        SELECT l_orderkey, o_orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """
+
+    o["q_customers_no_orders"] = """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2001-01-01')
     """
 
     o["a_hist_totalprice"] = """

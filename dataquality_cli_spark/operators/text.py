@@ -155,3 +155,31 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.sha2(F.col(text_col), 256).alias("sha256_raw"),
         F.md5(F.lower(F.col(text_col))).alias("md5_norm"),
     )
+
+
+def benchmark_contamination(docs: DataFrame, bench: DataFrame,
+                            text_col: str = "text",
+                            min_hits: int = 3) -> DataFrame:
+    """Benchmark decontamination: flag documents sharing >= ``min_hits``
+    character shingles with a benchmark/eval set (the standard n-gram
+    decontamination pass before training). Physical shape: the benchmark
+    shingle set is DISTINCT-ed and BROADCAST (eval sets are tiny next to
+    the corpus), so the 100 TB side is one Generate + broadcast-hash
+    join + partial-aggregated groupBy(doc_id) — no shuffle of the corpus
+    text, no cross join. Returns only contaminated docs (inner-join
+    semantics: zero-hit docs are clean by definition)."""
+    from .dedup import shingles_col
+
+    bench_sh = bench.select(
+        F.explode(shingles_col(F.col(text_col))).alias("sh")
+    ).distinct()
+    doc_sh = docs.select(
+        "doc_id", F.explode(shingles_col(F.col(text_col))).alias("sh")
+    )  # shingles_col is already per-doc distinct
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+        .withColumn("contaminated", F.lit(True))
+    )

@@ -26,6 +26,9 @@ def get_spark(app: str = "dataquality-cli-spark", master: str | None = None,
         # huge `content` strings: bound Arrow batch memory (SURVEY.md §7)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # keep saveAsTable (bucketed-layout tests) out of the repo cwd
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/dq_spark_warehouse"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

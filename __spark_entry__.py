@@ -341,7 +341,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         src.coalesce(2).write.mode("overwrite").parquet(in_dir)
         qy = stream_dedup_exact(s, in_dir, src.schema, out_dir,
                                 watermark="24 hours")
-        qy.awaitTermination(300)
+        if not qy.awaitTermination(300):
+            # never read a partial output: fail loudly, stop the query
+            qy.stop()
+            raise RuntimeError("dedup_streaming_exact: availableNow "
+                               "stream did not finish within 300s")
         return (
             s.read.parquet(f"{out_dir}/data")
             .select("content_hash").distinct()

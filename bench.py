@@ -63,12 +63,18 @@ def describe_bench(spark) -> dict:
     exact = full reference semantics (exact unique, weighted exact
     percentiles, top-1); approx = the reference CLI engine's own
     estimated-unique semantics (adaptive_streaming_engine.go:324-352)."""
-    import tempfile
-
     from dataquality_cli_spark.sources.csvdir import describe_files, read_csv_dir
 
-    root = tempfile.mkdtemp(prefix="dq_describe_bench_")
-    total = gen_describe_corpus(root)
+    # fixed, parameter-keyed location: the corpus is deterministic, so
+    # repeated bench runs (and the best-of-2 describe_worker) reuse the
+    # same inodes — the page cache actually warms, and /tmp doesn't
+    # accumulate a fresh ~200MB copy per call
+    root = f"/tmp/dq_describe_corpus_{DESCRIBE_FILES}x{DESCRIBE_ROWS}"
+    marker = os.path.join(root, f"part_{DESCRIBE_FILES - 1:03d}.csv")
+    if os.path.exists(marker):
+        total = DESCRIBE_FILES * DESCRIBE_ROWS
+    else:
+        total = gen_describe_corpus(root)
     read_csv_dir(spark, root).count()  # warm the file index
     out = {"describe_rows": total}
     for mode, kw in [("exact", {}), ("approx", {"approx": True})]:

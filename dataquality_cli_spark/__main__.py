@@ -52,9 +52,13 @@ def _describe(args) -> int:
         total_rows = 0
         total_cells = 0
         total_nulls = 0
-        numeric_cols: set[str] = set()
-        string_cols: set[str] = set()
+        n_numeric_cols = 0
+        n_string_cols = 0
         for columns, stats in groups:
+            # a column slot is counted once per schema GROUP, numeric only
+            # if every file in the group votes numeric (mixed votes are
+            # 'string' — never double-counted under both kinds)
+            all_numeric = {c: True for c in columns}
             for r in stats.orderBy("_file").collect():
                 d = r.asDict()
                 n_files += 1
@@ -62,8 +66,8 @@ def _describe(args) -> int:
                 total_cells += d["row_count"] * len(columns)
                 for c in columns:
                     total_nulls += d[f"{c}_nulls"]
-                    kind = d[f"{c}_type"]
-                    (numeric_cols if kind in ("int", "float") else string_cols).add(c)
+                    if d[f"{c}_type"] not in ("int", "float"):
+                        all_numeric[c] = False
                 if args.json:
                     lines.append(json.dumps(d, default=str))
                     continue
@@ -88,6 +92,8 @@ def _describe(args) -> int:
                         f"  {c:<20} {d[f'{c}_type']:<7} count={d[f'{c}_count']:<8}"
                         f" nulls={d[f'{c}_nulls']:<6} unique={d[f'{c}_unique']:<8}"
                         f" {stats_s}")
+            n_numeric_cols += sum(all_numeric.values())
+            n_string_cols += len(columns) - sum(all_numeric.values())
 
         # summary section (cmd/describe.go:306-359): totals + completeness
         completeness = (100.0 * (1 - total_nulls / total_cells)
@@ -96,8 +102,8 @@ def _describe(args) -> int:
             "total_files": n_files,
             "total_rows": total_rows,
             "schema_groups": len(groups),
-            "numeric_columns": len(numeric_cols),
-            "string_columns": len(string_cols),
+            "numeric_columns": n_numeric_cols,
+            "string_columns": n_string_cols,
             "completeness_pct": round(completeness, 2),
         }
         if args.json:
@@ -106,8 +112,8 @@ def _describe(args) -> int:
             lines.append("\n=== Summary ===")
             lines.append(f"  files={n_files}  rows={total_rows}"
                          f"  schema_groups={len(groups)}")
-            lines.append(f"  numeric_columns={len(numeric_cols)}"
-                         f"  string_columns={len(string_cols)}")
+            lines.append(f"  numeric_columns={n_numeric_cols}"
+                         f"  string_columns={n_string_cols}")
             lines.append(f"  completeness={completeness:.2f}%")
 
         report = "\n".join(lines)

@@ -41,6 +41,21 @@ _SCRUB = [(name, re.compile(pat), repl) for name, pat, repl in C.SCRUB_RULES]
 _IPV4_PRE = re.compile(r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d")
 _IPV6_PRE = re.compile(r"[0-9A-Fa-f]{1,4}:[0-9A-Fa-f]{1,4}:[0-9A-Fa-f]{1,4}:")
 _TOX_WORDS = tuple(w.lower() for w in C.TOXICITY_LEXICON)
+
+
+def _tox_gate(t: str) -> bool:
+    # ASCII-only fast path: for ASCII text, (?i) matching of an ASCII
+    # lexicon word == lowercase substring presence. For non-ASCII text
+    # the gate must NOT decide — re's (?i) uses Unicode casefolding that
+    # str.lower() does not reproduce ('BELGİUM' matches (?i)belgium but
+    # 'belgium' is not in 'BELGİUM'.lower()), so fall through to the
+    # full regex there.
+    if t.isascii():
+        low = t.lower()
+        return any(w in low for w in _TOX_WORDS)
+    return True
+
+
 _GATES = {
     # private_key's required "-----BEGIN" literal already fails fast in re
     "aws_key": lambda t: "AKIA" in t,
@@ -48,7 +63,7 @@ _GATES = {
     "email": lambda t: "@" in t,
     "ipv4": lambda t: _IPV4_PRE.search(t) is not None,
     "ipv6": lambda t: _IPV6_PRE.search(t) is not None,
-    "toxicity": lambda t: any(w in t.lower() for w in _TOX_WORDS),
+    "toxicity": _tox_gate,
 }
 
 METRIC_FIELDS = (

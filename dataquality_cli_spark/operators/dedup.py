@@ -140,7 +140,10 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
         if metrics_out is not None:
             # explicit opt-in observation (it is its own action): how many
             # over-full buckets the cap dropped — the number a corpus owner
-            # watches to tell "boilerplate flood" from "real near-dups"
+            # watches to tell "boilerplate flood" from "real near-dups".
+            # persist so the count action and the anti-join share ONE
+            # aggregation pass (released by ContextCleaner with the plan)
+            oversized = oversized.persist()
             metrics_out["dropped_buckets"] = oversized.count()
         bands = bands.join(F.broadcast(oversized),
                            ["band_id", "band_hash"], "left_anti")
@@ -274,6 +277,8 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
             )
             for b in range(n_bands)
         ])).alias("bk"),
+        # persisted so the self-join doesn't run the signature UDF twice;
+        # released by Spark's ContextCleaner when the returned plan drops
     ).select("doc_id", "simhash", "bk.band_id", "bk.band_key").persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -484,14 +489,30 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = updated.drop("_chg")
         if changed == 0:
             break
-    edges.unpersist()
     if changed != 0:
-        # a component with diameter > max_iter would get silently split
-        # into wrong cluster_ids — never return a wrong answer quietly
-        raise RuntimeError(
-            f"neardup_clusters did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); raise max_iter — rounds "
-            f"needed = component diameter, pathological only for chain-"
-            f"shaped near-dup graphs"
+        # the loop exhausted max_iter with labels still moving — but the
+        # LAST round may itself have completed convergence (a diameter-d
+        # component needs d improving rounds plus one quiet round to
+        # OBSERVE convergence). Run one verification pass and raise only
+        # if anything would still change: never return a wrong answer
+        # quietly, never reject a correct one.
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
         )
+        still_changing = (
+            labels.join(neighbor_min, "doc_id")
+            .filter(F.col("nbr_label") < F.col("label"))
+            .count()
+        )
+        if still_changing:
+            edges.unpersist()
+            raise RuntimeError(
+                f"neardup_clusters did not converge in {max_iter} rounds "
+                f"({still_changing} labels still changing); raise max_iter "
+                f"— rounds needed = component diameter, pathological only "
+                f"for chain-shaped near-dup graphs"
+            )
+    edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_id"))

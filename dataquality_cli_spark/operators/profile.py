@@ -31,6 +31,33 @@ INT_RE = "^-?[0-9]+$"
 FLOAT_RE = r"^-?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][-+]?[0-9]+)?$"
 
 
+def weighted_numeric_aggs(num, cnt) -> dict:
+    """Aggregate expressions for exact numeric stats over a
+    DISTINCT-VALUE table (one row per value, with its occurrence count):
+    weighted mean, population std via sumsq/n - mean^2 (with the nn>0
+    guard so all-null columns stay null — greatest() would swallow the
+    null), min/max, and frequency-weighted EXACT percentiles. Shared by
+    :func:`profile_table` and ``sources.csvdir.describe_files`` so the
+    formulas stay in lockstep — the DuckDB oracles mirror these exact
+    double operations term by term, and a fix applied to one copy but
+    not the other would silently break the other caller's parity."""
+    nn = F.sum(F.when(num.isNotNull(), cnt))
+    mean = F.sum(num * cnt) / nn
+    ex2 = F.sum(num * num * cnt) / nn
+    q = F.percentile(num, [0.25, 0.5, 0.75], cnt)
+    return {
+        "n_num": F.sum(F.when(num.isNotNull(), cnt).otherwise(F.lit(0))),
+        "mean": mean,
+        "std": F.when(nn > 0,
+                      F.sqrt(F.greatest(ex2 - mean * mean, F.lit(0.0)))),
+        "min": F.min(num),
+        "max": F.max(num),
+        "q25": q[0],
+        "q50": q[1],
+        "q75": q[2],
+    }
+
+
 def numeric_profile(df: DataFrame, cols: list[str], group_by: list[str] | None = None,
                     exact_quantiles: bool = True, round_to: int = 4) -> DataFrame:
     """count / nulls / mean / stddev_pop / min / max / q25 / q50 / q75 per
@@ -196,23 +223,32 @@ def profile_table(df: DataFrame, numeric_cols: list[str], string_cols: list[str]
     )
     num = F.when(F.col("kind") == "numeric", F.col("value").cast("double"))
     flags = counted.select("column", "kind", "value", "cnt", num.alias("num"))
-    cnt, numc = F.col("cnt"), F.col("num")
-    nn = F.sum(F.when(numc.isNotNull(), cnt))
-    mean = F.sum(numc * cnt) / nn
-    ex2 = F.sum(numc * numc * cnt) / nn
-    q = F.expr("percentile(num, array(0.25, 0.5, 0.75), cnt)")
-    return flags.groupBy("column", "kind").agg(
+    cnt = F.col("cnt")
+    w = weighted_numeric_aggs(F.col("num"), cnt)
+    stats = flags.groupBy("column", "kind").agg(
         F.sum(cnt).alias("rows"),
         F.sum(F.when(F.col("value").isNotNull(), cnt).otherwise(F.lit(0))).alias("count"),
-        F.round(mean, 6).alias("mean"),
-        F.when(nn > 0, F.round(
-            F.sqrt(F.greatest(ex2 - mean * mean, F.lit(0.0))), 6)).alias("std"),
-        F.round(F.min(numc), 6).alias("min"),
-        F.round(q[0], 6).alias("q25"),
-        F.round(q[1], 6).alias("q50"),
-        F.round(q[2], 6).alias("q75"),
-        F.round(F.max(numc), 6).alias("max"),
+        F.round(w["mean"], 6).alias("mean"),
+        F.round(w["std"], 6).alias("std"),
+        F.round(w["min"], 6).alias("min"),
+        F.round(w["q25"], 6).alias("q25"),
+        F.round(w["q50"], 6).alias("q50"),
+        F.round(w["q75"], 6).alias("q75"),
+        F.round(w["max"], 6).alias("max"),
         F.count(F.when(F.col("value").isNotNull(), F.lit(1))).alias("unique"),
+    )
+    # guarantee one row per column even on an EMPTY input (the melt of
+    # zero rows aggregates to zero groups; approx mode's global agg
+    # always emits a row — keep the two modes shape-identical)
+    seed = df.sparkSession.createDataFrame(
+        list(all_cols), "column string, kind string")
+    zero = F.lit(0).cast("bigint")
+    return seed.join(stats, ["column", "kind"], "left").select(
+        "column", "kind",
+        F.coalesce("rows", zero).alias("rows"),
+        F.coalesce("count", zero).alias("count"),
+        "mean", "std", "min", "q25", "q50", "q75", "max",
+        F.coalesce("unique", zero).alias("unique"),
     )
 
 

@@ -96,6 +96,8 @@ def neardup_pairs_lsh(df: DataFrame, threshold: float = 0.95,
 
     planes = hyperplanes(dim, n_planes * n_tables, seed)
     buckets = _table_buckets(F.col(vec_col), planes, n_tables)
+    # persisted so the bucket self-join doesn't re-project the hyperplane
+    # dot products per side; released by ContextCleaner with the plan
     b = df.select(
         F.col(id_col), F.posexplode(buckets).alias("table", "bucket")
     ).persist(StorageLevel.MEMORY_AND_DISK)

@@ -39,7 +39,8 @@ def _ci_glob(ext: str) -> str:
 
 
 def sniff_delimiter(spark: SparkSession, path: str, sample_lines: int = 5,
-                    candidates: str = ",;\t|", glob: str | None = None) -> str:
+                    candidates: str = ",;\t|", glob: str | None = None,
+                    recursive: bool = True) -> str:
     """Delimiter sniffing (parser/csv_parser.go:352-391): count candidate
     delimiters over the first lines, pick the max (ties -> first in
     ``candidates``, comma first, like the reference's iteration order).
@@ -47,7 +48,10 @@ def sniff_delimiter(spark: SparkSession, path: str, sample_lines: int = 5,
     the right tool (SURVEY.md §2a S7)."""
     r = spark.read
     if glob is not None:
-        r = r.option("pathGlobFilter", glob).option("recursiveFileLookup", "true")
+        # mirror the caller's traversal: sniffing a file the actual read
+        # would exclude (non-recursive walk) could pick the wrong delimiter
+        r = r.option("pathGlobFilter", glob).option(
+            "recursiveFileLookup", str(recursive).lower())
     head = r.text(path).limit(sample_lines).collect()
     counts = {d: 0 for d in candidates}
     for row in head:
@@ -76,7 +80,7 @@ def read_csv_dir(
     passed through verbatim."""
     glob = _ci_glob(ext)
     if delimiter == "sniff":
-        delimiter = sniff_delimiter(spark, root, glob=glob)
+        delimiter = sniff_delimiter(spark, root, glob=glob, recursive=recursive)
     df = (
         spark.read.option("header", True)
         .option("recursiveFileLookup", str(recursive).lower())
@@ -175,6 +179,8 @@ def describe_files(df: DataFrame, columns: list[str], approx: bool = False,
     if approx:
         return _describe_files_approx(df, columns, include_quantiles)
 
+    from ..operators.profile import weighted_numeric_aggs
+
     counted = (
         _melt(df, columns)
         .groupBy("_file", "col_name", "value")
@@ -188,28 +194,22 @@ def describe_files(df: DataFrame, columns: list[str], approx: bool = False,
         v.rlike(INT_RE).alias("is_int"),
     )
     cnt = F.col("cnt")
-    num = F.col("num")
-    nn_cnt = F.sum(F.when(num.isNotNull(), cnt))
-    mean = F.sum(num * cnt) / nn_cnt
-    ex2 = F.sum(num * num * cnt) / nn_cnt
+    w = weighted_numeric_aggs(F.col("num"), cnt)
     aggs = [
         F.sum(cnt).alias("n_rows"),
         F.sum(F.when(F.col("is_null"), cnt).otherwise(F.lit(0))).alias("nulls"),
         F.sum(F.when(~F.col("is_null"), cnt).otherwise(F.lit(0))).alias("count"),
         F.count(F.when(~F.col("is_null"), F.lit(1))).alias("unique"),
         F.sum(F.when(F.col("is_int"), cnt).otherwise(F.lit(0))).alias("n_int"),
-        F.sum(F.when(num.isNotNull(), cnt).otherwise(F.lit(0))).alias("n_num"),
-        mean.alias("mean"),
-        # greatest() clamps negative float error; the when() guard keeps
-        # all-null columns null (greatest would otherwise swallow the null)
-        F.when(nn_cnt > 0,
-               F.sqrt(F.greatest(ex2 - mean * mean, F.lit(0.0)))).alias("std"),
-        F.min(num).alias("min"),
-        F.max(num).alias("max"),
+        w["n_num"].alias("n_num"),
+        w["mean"].alias("mean"),
+        w["std"].alias("std"),
+        w["min"].alias("min"),
+        w["max"].alias("max"),
     ]
     if include_quantiles:
-        q = F.expr("percentile(num, array(0.25, 0.5, 0.75), cnt)")
-        aggs += [q[0].alias("q25"), q[1].alias("q50"), q[2].alias("q75")]
+        aggs += [w["q25"].alias("q25"), w["q50"].alias("q50"),
+                 w["q75"].alias("q75")]
     if include_top:
         # top-1 by (freq desc, value asc) — min over struct(-cnt, value)
         best = F.min(F.when(~F.col("is_null"), F.struct((-cnt).alias("nc"), v.alias("v"))))

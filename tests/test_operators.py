@@ -370,6 +370,12 @@ def test_neardup_clusters_nonconvergence_raises(spark):
     got = {r.doc_id: r.cluster_id
            for r in neardup_clusters(chain, max_iter=20).collect()}
     assert set(got.values()) == {0}
+    # boundary: convergence ON the last allowed round must NOT raise —
+    # a diameter-2 path converges in exactly 2 improving rounds
+    path3 = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got3 = {r.doc_id: r.cluster_id
+            for r in neardup_clusters(path3, max_iter=2).collect()}
+    assert got3 == {1: 1, 2: 1, 3: 1}
 
 
 def test_simhash_multiband_recall_guarantee(spark):

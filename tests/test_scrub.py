@@ -64,3 +64,18 @@ def test_no_hits_means_unchanged():
     scrubbed, hits = oracle.scrub(clean)
     assert scrubbed == clean
     assert sum(hits.values()) == 0
+
+
+def test_toxicity_gate_unicode_casefold_parity():
+    """The scrub prescreen must stay a strict superset of (?i) matching:
+    re's Unicode casefolding matches 'BELGİUM' (U+0130) and 'ſhazbot'
+    (U+017F) where str.lower() substring checks do not — non-ASCII text
+    must bypass the gate and run the full regex."""
+    from dataquality_cli_spark.functions.textmetrics import scrub_one
+    from dataquality_cli_spark.oracle import scrub as oracle_scrub
+
+    for t in ("visit BELGİUM now", "ſhazbot said the robot",
+              "plain FRAK here", "no toxicity at all", "café and belgium"):
+        o_out, o_hits = oracle_scrub(t)
+        s_out, s_hits = scrub_one(t)
+        assert o_out == s_out and tuple(o_hits.values()) == s_hits, t

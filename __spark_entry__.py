@@ -288,6 +288,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents").filter(F.col("doc_id") % 50 == 0),
     )
 
+    # deterministic hash split (reproducible train/val selection): the
+    # md5-threshold comparison is byte-identical in DuckDB, so the split
+    # membership itself is oracle-verified
+    def train_split(s, d):
+        from dataquality_cli_spark.operators.sampling import hash_split
+
+        return hash_split(_t(s, d, "documents"), "doc_id", 0.25).select(
+            "doc_id", "lang", "source")
+
+    q["corpus_train_split"] = train_split
+
+    # greedy context-window packing (mapInPandas, per-partition state) —
+    # pack assignment depends on partition layout: rows-only check plus
+    # pytest invariants (budget respected, every doc packed once)
+    def pack_seq(s, d):
+        from dataquality_cli_spark.operators.sampling import pack_sequences
+
+        docs = _t(s, d, "documents").select(
+            "doc_id",
+            F.greatest(F.col("n_chars") / 4, F.lit(1)).cast("long").alias("n_tokens"),
+        )
+        return pack_sequences(docs, budget=512)
+
+    q["corpus_pack_sequences"] = pack_seq
+
+    # per-language rebalanced Bernoulli sample (seeded sampleBy) — RNG
+    # draw is not SQL-portable: rows-only + pytest tolerance checks
+    def strat_sample(s, d):
+        from dataquality_cli_spark.operators.sampling import stratified_sample
+
+        return stratified_sample(
+            _t(s, d, "documents"), "lang", {"en": 0.5, "de": 1.0}, seed=11
+        ).select("doc_id", "lang")
+
+    q["corpus_stratified_sample"] = strat_sample
+
     q["corpus_lang_summary"] = lambda s, d: (
         _t(s, d, "documents")
         .groupBy("lang")
@@ -811,6 +847,14 @@ def oracle_sql() -> dict[str, str]:
           FROM d JOIN bench ON d.sh = bench.sh
           GROUP BY d.doc_id)
         WHERE n_hits >= 3
+    """
+
+    from dataquality_cli_spark.operators.sampling import _hex_threshold
+
+    o["corpus_train_split"] = f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE md5('split:' || CAST(doc_id AS VARCHAR))
+              < '{_hex_threshold(0.25)}'
     """
 
     o["corpus_lang_summary"] = f"""

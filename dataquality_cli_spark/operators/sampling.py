@@ -1,0 +1,140 @@
+"""Corpus sampling & sequence packing — the rebalancing/batching ops of
+a training-data pipeline (beyond-reference surface, same tier as dedup):
+
+- stratified sampling: per-stratum fractions via ``sampleBy`` (one scan,
+  filter-level Bernoulli draw per row, NO shuffle) — the language/source
+  rebalancing step before training.
+- proportional target sampling: derive per-stratum fractions from a
+  target mix (e.g. {'en': 0.5, 'code': 0.5}) and the observed counts.
+- sequence packing: greedily pack documents into fixed token budgets
+  (context windows) inside ``mapInPandas`` — each partition packs
+  independently (embarrassingly parallel, no shuffle beyond an optional
+  size-sort), emitting (pack_id, doc_id, n_tokens, pack_tokens).
+
+Reference analog being recast: the reference's sampling heuristics
+(simple_engine.go:239-245 top-value sampling; adaptive engine sampling
+thresholds) generalized to corpus-level draws.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict[str, float], seed: int = 7) -> DataFrame:
+    """Per-stratum Bernoulli sample. Strata absent from ``fractions``
+    are dropped (fraction 0.0) — the 'downsample the over-represented
+    language' move. One scan, no shuffle; the draw happens at the
+    filter, so at 100 TB this is as cheap as the scan itself."""
+    return df.sampleBy(strata_col, fractions, seed)
+
+
+def proportional_fractions(df: DataFrame, strata_col: str,
+                           target_mix: dict[str, float],
+                           total_rows: int) -> dict[str, float]:
+    """Per-stratum fractions that turn the OBSERVED distribution into
+    ``target_mix`` at ``total_rows`` output size, capped at 1.0 (a
+    stratum can't be oversampled without replacement). One small
+    aggregation (counts per stratum collect to the driver — bounded by
+    stratum cardinality, i.e. languages, not rows)."""
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    out = {}
+    for stratum, share in target_mix.items():
+        have = counts.get(stratum, 0)
+        want = share * total_rows
+        if have > 0:
+            out[stratum] = min(1.0, want / have)
+    return out
+
+
+PACK_SCHEMA = ("doc_id long, n_tokens long, pack_id string, "
+               "pack_slot int, pack_tokens long")
+
+
+def pack_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
+                   tokens_col: str = "n_tokens") -> DataFrame:
+    """Greedy first-fit packing of documents into ``budget``-token
+    packs (context-window batching before tokenizer/trainer handoff).
+
+    Physical shape: ``mapInPandas`` packs each PARTITION independently —
+    no shuffle, no state across partitions, pack ids are namespaced by
+    partition so they never collide. Docs longer than the budget get a
+    singleton pack (the trainer's truncation problem, flagged by
+    pack_tokens > budget). Greedy-sorted-descending is the standard
+    7/8-competitive bin-packing heuristic; per-partition packing loses
+    at most one pack's worth of slack per partition vs global packing,
+    negligible at 10^6 docs/partition and infinitely cheaper than a
+    global sort-and-pack shuffle."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        # one greedy state per TASK (partition): pid namespaces pack ids
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        # open packs: list of [remaining, pack_idx, next_slot]
+        open_packs: list[list[int]] = []
+        n_packs = 0
+        totals: dict[int, int] = {}
+        rows: list[tuple] = []
+        for pdf in batches:
+            for doc_id, n_tok in zip(pdf[id_col], pdf[tokens_col]):
+                n_tok = int(n_tok)
+                placed = None
+                for p in open_packs:
+                    if p[0] >= n_tok:
+                        placed = p
+                        break
+                if placed is None:
+                    placed = [budget, n_packs, 0]
+                    totals[n_packs] = 0
+                    n_packs += 1
+                    open_packs.append(placed)
+                    # bound the open-pack scan: oldest packs first, drop
+                    # packs too full to matter (tiny remaining capacity)
+                    if len(open_packs) > 64:
+                        open_packs.sort(key=lambda p: -p[0])
+                        open_packs = open_packs[:32]
+                placed[0] = max(placed[0] - n_tok, 0) if n_tok <= budget else 0
+                totals[placed[1]] += n_tok
+                rows.append((int(doc_id), n_tok, placed[1], placed[2]))
+                placed[2] += 1
+        out = pd.DataFrame(rows, columns=["doc_id", "n_tokens", "_p", "pack_slot"])
+        if len(out):
+            out["pack_id"] = [f"{pid}-{p}" for p in out["_p"]]
+            out["pack_tokens"] = [totals[p] for p in out["_p"]]
+        else:
+            out["pack_id"] = pd.Series(dtype=str)
+            out["pack_tokens"] = pd.Series(dtype="int64")
+        yield out[["doc_id", "n_tokens", "pack_id", "pack_slot", "pack_tokens"]]
+
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(tokens_col).cast("long").alias("n_tokens"))
+    return src.mapInPandas(pack, PACK_SCHEMA)
+
+
+def _hex_threshold(fraction: float) -> str:
+    """32-hex-digit threshold T with P(md5 < T) == fraction (md5 is
+    uniform on [0, 16^32)). String comparison of lowercase hex is
+    byte-identical in Spark and DuckDB, so the split is portable."""
+    t = int(fraction * (1 << 128))
+    return format(min(t, (1 << 128) - 1), "032x")
+
+
+def hash_split(df: DataFrame, key_col: str, fraction: float,
+               salt: str = "split") -> DataFrame:
+    """Deterministic hash sample/split: a row is IN iff
+    md5(salt:key) < threshold(fraction) — the standard reproducible
+    train/val split (stable across runs, engines, partitionings, and
+    cluster sizes, unlike RNG sampling). One scan, filter-level, no
+    shuffle; changing ``salt`` draws an independent split."""
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    return df.filter(h < F.lit(_hex_threshold(fraction)))

@@ -1,0 +1,66 @@
+"""Stratified sampling + sequence packing (training-data rebalancing
+and context-window batching)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataquality_cli_spark.operators import sampling
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stratified_sample_hits_fractions_and_is_deterministic(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    fr = {"en": 0.5, "de": 1.0}
+    a = sampling.stratified_sample(docs, "lang", fr, seed=11)
+    b = sampling.stratified_sample(docs, "lang", fr, seed=11)
+    ca = {r.lang: r.n for r in a.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # strata not in fractions are dropped entirely
+    assert set(ca) <= {"en", "de"}
+    n_en = docs.filter("lang = 'en'").count()
+    n_de = docs.filter("lang = 'de'").count()
+    assert ca.get("de", 0) == n_de  # fraction 1.0 keeps everything
+    assert abs(ca.get("en", 0) - 0.5 * n_en) < 0.25 * n_en + 5
+    # seeded determinism: identical draw
+    assert sorted(r.doc_id for r in a.collect()) == sorted(r.doc_id for r in b.collect())
+
+
+def test_proportional_fractions_rebalance(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    mix = {"en": 0.5, "de": 0.5}
+    fr = sampling.proportional_fractions(docs, "lang", mix, total_rows=100)
+    assert set(fr) <= {"en", "de"} and all(0 < v <= 1.0 for v in fr.values())
+    got = sampling.stratified_sample(docs, "lang", fr, seed=3)
+    counts = {r.lang: r.n for r in got.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # each stratum lands near its 50-row target (Bernoulli tolerance)
+    for lang in fr:
+        assert 20 <= counts.get(lang, 0) <= 90, counts
+
+
+def test_pack_sequences_respects_budget_and_covers_all_docs(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.greatest(F.col("n_chars") / 4, F.lit(1)).cast("long").alias("n_tokens")
+    )
+    budget = 512
+    packed = sampling.pack_sequences(docs, budget).cache()
+    # every doc packed exactly once
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+    # no multi-doc pack exceeds the budget; oversized docs are singletons
+    per_pack = packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("pack_tokens").alias("tokens"))
+    bad = per_pack.filter((F.col("n_docs") > 1) & (F.col("tokens") > budget)).count()
+    assert bad == 0
+    # pack_tokens is consistent with member sums
+    sums = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("s"), F.max("pack_tokens").alias("t"))
+    assert sums.filter("s != t").count() == 0
+    # packing is effective: mean fill of multi-doc packs is high
+    fills = [r.tokens / budget for r in
+             per_pack.filter("n_docs > 1").collect()]
+    if fills:
+        assert sum(fills) / len(fills) > 0.6

@@ -309,10 +309,7 @@ def list_csv_files(spark: SparkSession, root: str, ext: str = "csv",
 
 def _first_line(spark: SparkSession, path: str) -> str:
     """First line of one file via the Hadoop FS input stream — a bounded
-    driver-side read of one buffer, not a Spark job. At 10^6+ files this
-    loop moves into mapPartitions over the listing (same reads, executor-
-    side); at CLI scale the driver loop is the cheaper plan (no job
-    scheduling per file)."""
+    driver-side read of one buffer, not a Spark job."""
     sc = spark.sparkContext
     jvm = sc._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -324,6 +321,38 @@ def _first_line(spark: SparkSession, path: str) -> str:
         return line if line is not None else ""
     finally:
         stream.close()
+
+
+# above this many files the header scan distributes to executors; below
+# it the driver loop wins (no job scheduling per batch of files)
+_HEADER_SCAN_DISTRIBUTED_MIN = 256
+
+
+def _headers(spark: SparkSession, paths: list[str]) -> list[str]:
+    """First line of every file. Small listings read driver-side; large
+    listings fan out over executors (mapPartitions over the path list —
+    each task opens its files with plain Python I/O for local paths,
+    reading ONE buffered line per file). At 10^6 files this is the only
+    viable plan: the reads parallelize and nothing but (path, header)
+    ever moves."""
+    if len(paths) < _HEADER_SCAN_DISTRIBUTED_MIN:
+        return [_first_line(spark, p) for p in paths]
+
+    def read_headers(it):
+        for p in it:
+            # strip the scheme ("file:/x", "file:///x" -> open() accepts
+            # both "/x" and "///x")
+            local = p[5:] if p.startswith("file:") else p
+            try:
+                with open(local, "rb") as f:
+                    yield p, f.readline().decode("utf-8", "replace").rstrip("\r\n")
+            except OSError:
+                yield p, ""
+
+    sc = spark.sparkContext
+    n_slices = max(sc.defaultParallelism, len(paths) // 1000)
+    got = dict(sc.parallelize(paths, n_slices).mapPartitions(read_headers).collect())
+    return [got[p] for p in paths]
 
 
 def describe_dir(
@@ -348,9 +377,10 @@ def describe_dir(
         return []
     if delimiter == "sniff":
         delimiter = sniff_delimiter(spark, files[0][0])
+    paths = [p for p, _size, _mtime in files]
     groups: dict[str, list[str]] = {}
-    for path, _size, _mtime in files:
-        groups.setdefault(_first_line(spark, path), []).append(path)
+    for path, header in zip(paths, _headers(spark, paths)):
+        groups.setdefault(header, []).append(path)
     out = []
     for header in sorted(groups):
         paths = groups[header]

@@ -239,3 +239,25 @@ def test_describe_files_matches_duckdb(spark, tmp_path):
     assert got["b.csv"]["val_top"] == "1.25" and got["b.csv"]["val_top_freq"] == 2
     # null semantics: empty string and missing trailing field are nulls
     assert got["a.csv"]["cat_nulls"] == 1 and got["a.csv"]["val_nulls"] == 1
+
+
+def test_distributed_header_scan_matches_driver_path(spark, tmp_path):
+    """Past the file-count threshold the header scan fans out to
+    executors; the grouping must be identical to the driver-side path."""
+    from dataquality_cli_spark.sources import csvdir
+
+    for i in range(12):
+        hdr = "id,name" if i % 2 == 0 else "price,qty"
+        (tmp_path / f"f{i:02d}.csv").write_text(f"{hdr}\n1,2\n")
+    paths = [p for p, _, _ in csvdir.list_csv_files(spark, str(tmp_path))]
+    driver_side = [csvdir._first_line(spark, p) for p in paths]
+    orig = csvdir._HEADER_SCAN_DISTRIBUTED_MIN
+    csvdir._HEADER_SCAN_DISTRIBUTED_MIN = 1  # force the distributed path
+    try:
+        distributed = csvdir._headers(spark, paths)
+    finally:
+        csvdir._HEADER_SCAN_DISTRIBUTED_MIN = orig
+    assert distributed == driver_side
+    # and describe_dir still groups into the two schema shapes
+    groups = csvdir.describe_dir(spark, str(tmp_path))
+    assert sorted(tuple(c) for c, _ in groups) == [("id", "name"), ("price", "qty")]

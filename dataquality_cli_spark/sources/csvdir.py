@@ -339,13 +339,24 @@ def _headers(spark: SparkSession, paths: list[str]) -> list[str]:
         return [_first_line(spark, p) for p in paths]
 
     def read_headers(it):
-        for p in it:
-            # strip the scheme ("file:/x", "file:///x" -> open() accepts
-            # both "/x" and "///x")
-            local = p[5:] if p.startswith("file:") else p
-            try:
+        def one(p: str) -> str:
+            if p.startswith("file:") or "://" not in p:
+                # strip the scheme ("file:/x", "file:///x" — open()
+                # accepts both "/x" and "///x")
+                local = p[5:] if p.startswith("file:") else p
                 with open(local, "rb") as f:
-                    yield p, f.readline().decode("utf-8", "replace").rstrip("\r\n")
+                    return f.readline().decode("utf-8", "replace")
+            # non-local URI (s3://, hdfs://…): pyarrow's FS layer
+            from pyarrow import fs as pafs
+
+            filesystem, rel = pafs.FileSystem.from_uri(p)
+            with filesystem.open_input_stream(rel) as f:
+                buf = f.read(64 * 1024)  # headers fit in one buffer
+            return buf.split(b"\n", 1)[0].decode("utf-8", "replace")
+
+        for p in it:
+            try:
+                yield p, one(p).rstrip("\r\n")
             except OSError:
                 yield p, ""
 

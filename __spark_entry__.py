@@ -280,6 +280,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_repo_quality_report"] = repo_report
 
+    # within-doc duplicate-line removal (order-preserving first-keep)
+    q["doc_dedup_lines"] = lambda s, d: text.dedup_lines(_t(s, d, "documents"))
+
+    # corpus-wide quality deciles: ntile window over the rounded score
+    # (round BEFORE rank — pinned parity rule), doc_id tie-break.
+    # NOTE a global ntile sorts on ONE partition — correct for the
+    # oracle gate; the 100 TB shape is percentile_approx thresholds +
+    # a bucketing join (equal-VALUE splits instead of equal-COUNT)
+    def quality_deciles(s, d):
+        scored = text.quality_score(_t(s, d, "documents"))
+        w = Window.orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        return scored.select(
+            "doc_id", "quality_score",
+            F.ntile(10).over(w).cast("int").alias("decile"),
+        )
+
+    q["doc_quality_deciles"] = quality_deciles
+
     # n-gram decontamination vs a benchmark set (every 50th doc stands
     # in for the eval set; its own members are self-contaminated by
     # construction, which the oracle reproduces)
@@ -835,6 +853,28 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d JOIN v ON d.doc_id = v.doc_id
         GROUP BY d.source
     """
+
+    # DuckDB list_distinct does NOT preserve order; first-occurrence
+    # order needs the list_filter + list_position trick (i is 1-based)
+    _LINES = "string_split(text, chr(10))"
+    _UNIQ_LINES = (f"list_filter({_LINES}, (x, i) -> "
+                   f"list_position({_LINES}, x) = i)")
+    o["doc_dedup_lines"] = f"""
+        SELECT doc_id,
+               CAST(len({_LINES}) AS BIGINT) AS n_lines,
+               CAST(len({_UNIQ_LINES}) AS BIGINT) AS n_unique_lines,
+               CAST(len({_LINES}) - len({_UNIQ_LINES}) AS BIGINT) AS n_removed,
+               array_to_string({_UNIQ_LINES}, chr(10)) AS cleaned_text
+        FROM documents
+    """
+
+    o["doc_quality_deciles"] = f"""
+        WITH scored AS ({{score_sql}})
+        SELECT doc_id, quality_score,
+               CAST(ntile(10) OVER (ORDER BY quality_score DESC, doc_id ASC)
+                    AS INTEGER) AS decile
+        FROM scored
+    """.format(score_sql=o["doc_quality_score"])
 
     o["doc_benchmark_contamination"] = f"""
         WITH bench AS (

@@ -183,3 +183,21 @@ def benchmark_contamination(docs: DataFrame, bench: DataFrame,
         .filter(F.col("n_hits") >= min_hits)
         .withColumn("contaminated", F.lit(True))
     )
+
+
+def dedup_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document duplicate-line removal (keep the FIRST occurrence,
+    preserve order) — the cleaning transform behind the dup_line_ratio
+    rule: boilerplate/log spam collapses instead of dropping the file.
+    Pure column expressions (split -> array_distinct, which is
+    first-occurrence order-preserving in Spark -> array_join); one scan,
+    no shuffle, whole-stage codegen."""
+    lines = F.split(F.col(text_col), "\n", -1)
+    uniq = F.array_distinct(lines)
+    return df.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(uniq).cast("long").alias("n_unique_lines"),
+        (F.size(lines) - F.size(uniq)).cast("long").alias("n_removed"),
+        F.array_join(uniq, "\n").alias("cleaned_text"),
+    )

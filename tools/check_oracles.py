@@ -118,6 +118,11 @@ def main():
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
+        elif len(s_rows) == 0:
+            # a 0-rows-vs-0-rows match verifies nothing about the logic
+            # (the r1 emb_neardup_pairs lesson) — surface it loudly
+            print(f"PASS {name} (0 rows — VACUOUS, plant positives!)")
+            n_pass += 1
         else:
             print(f"PASS {name} ({len(s_rows)} rows)")
             n_pass += 1

@@ -1,0 +1,102 @@
+"""End-to-end training-corpus build: the full production chain the
+north star describes, composed from this repo's operators in ONE job —
+
+    quality filter (langid + perplexity + heuristics + scrub)
+    -> exact dedup (sha256 keep-first on the SCRUBBED content)
+    -> near-dup dedup (MinHash LSH -> verified Jaccard -> connected
+       components, keep the cluster representative)
+    -> benchmark decontamination (optional eval set)
+    -> deterministic hash split (train/val)
+    -> sequence packing (context-window batching, token estimate)
+
+Every stage is a DataFrame -> DataFrame transform already verified in
+isolation (oracle gate / pytest); this module is the composition plus
+stage metrics. Physical shape at scale: one ArrowEvalPython pass for
+the filter, one sha-hash shuffle, LSH band equi-joins with the
+default-on bucket cap, a broadcast join for decontamination, and a
+shuffle-free split+pack — no stage introduces a cross join or unbounded
+state (see SCALE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+from ..operators.sampling import hash_split, pack_sequences
+from ..operators.text import benchmark_contamination
+from ..plans.pipeline import run_pipeline
+
+
+def build_corpus(
+    spark: SparkSession,
+    df: DataFrame,
+    benchmark: DataFrame | None = None,
+    neardup_threshold: float = 0.7,
+    val_fraction: float = 0.05,
+    pack_budget: int = 2048,
+    contamination_min_hits: int = 3,
+) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
+    """Run the full chain over a (repo, path, commit, lang, content)
+    corpus. Returns (train_packed, val_docs, kept_docs, metrics).
+
+    kept_docs carries (doc_id, repo, path, lang, content_sha256,
+    scrubbed_content, n_tokens) for every surviving document; metrics
+    counts survivors per stage (each count is one action — the stage
+    DataFrames are persisted so counting never re-runs the models)."""
+    metrics: dict[str, int] = {}
+
+    # 1. quality filter — keep rows, with scrubbed text
+    verdicts = run_pipeline(spark, df)
+    kept = (
+        verdicts.filter("keep")
+        .select(
+            F.xxhash64("repo", "path").alias("doc_id"),
+            "repo", "path", "lang", "content_sha256",
+            F.col("scrubbed_content").alias("text"),
+        )
+        .persist()
+    )
+    metrics["input"] = df.count()
+    metrics["kept_after_filter"] = kept.count()
+
+    # 2. exact dedup on the scrubbed text (keep lowest doc_id)
+    exact_survivors = dedup.dedup_keep_first(kept).select("doc_id")
+    exact = kept.join(exact_survivors, "doc_id").persist()
+    metrics["after_exact_dedup"] = exact.count()
+
+    # 3. near-dup dedup: LSH -> verified Jaccard -> components; drop
+    # every clustered doc that is not its cluster's representative
+    pairs = dedup.lsh_verified_pairs(exact, threshold=neardup_threshold)
+    clusters = dedup.neardup_clusters(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    uniq = exact.join(losers, "doc_id", "left_anti").persist()
+    metrics["after_neardup_dedup"] = uniq.count()
+
+    # 4. decontamination vs the eval/benchmark set (broadcast join)
+    if benchmark is not None:
+        contaminated = benchmark_contamination(
+            uniq, benchmark, min_hits=contamination_min_hits
+        ).select("doc_id")
+        clean = uniq.join(contaminated, "doc_id", "left_anti").persist()
+    else:
+        clean = uniq
+    metrics["after_decontamination"] = clean.count()
+
+    # 5. deterministic split: val = fraction, train = complement (same
+    # salt => exact partition of the id space, no overlap by definition)
+    val = hash_split(clean, "doc_id", val_fraction, salt="val")
+    train = clean.join(val.select("doc_id"), "doc_id", "left_anti")
+    metrics["val_docs"] = val.count()
+
+    # 6. pack the train split into context windows (whitespace-token
+    # estimate; swap in a BPE count column when a tokenizer is wired)
+    with_tokens = train.withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), r"\s+", -1)).cast("long")
+    )
+    packed = pack_sequences(with_tokens, budget=pack_budget)
+    metrics["train_docs"] = with_tokens.count()
+    metrics["train_packs"] = packed.select("pack_id").distinct().count()
+
+    return packed, val, clean, metrics

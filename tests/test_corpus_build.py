@@ -1,0 +1,47 @@
+"""End-to-end corpus build: the composed production chain (filter ->
+exact dedup -> near-dup dedup -> decontamination -> split -> pack) over
+the synthetic corpus, with stage-invariant assertions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataquality_cli_spark.jobs.corpus_build_job import build_corpus
+from dataquality_cli_spark.sources.synth import corpus_to_rows, gen_corpus
+
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def test_corpus_build_end_to_end(spark):
+    base = corpus_to_rows(gen_corpus(250, seed=17))
+    # plant exact duplicates (same content, new path) so dedup has work
+    dups = [(r, p + ".copy", c, l, t) for r, p, c, l, t in base[:25]]
+    df = spark.createDataFrame(base + dups, SCHEMA)
+    bench = spark.createDataFrame(
+        [(i, t) for i, (_r, _p, _c, _l, t) in enumerate(base[:5])],
+        "doc_id long, text string",
+    )
+    packed, val, clean, m = build_corpus(
+        spark, df, benchmark=bench, val_fraction=0.1, pack_budget=1024)
+
+    # monotone survivor funnel
+    assert (m["input"] >= m["kept_after_filter"] >= m["after_exact_dedup"]
+            >= m["after_neardup_dedup"] >= m["after_decontamination"])
+    assert m["after_decontamination"] == m["val_docs"] + m["train_docs"]
+    # planted exact duplicates collapse: no two survivors share content
+    assert clean.count() == clean.select("content_sha256").distinct().count()
+    # split is disjoint and complete
+    overlap = val.select("doc_id").join(
+        packed.select("doc_id"), "doc_id").count()
+    assert overlap == 0
+    assert packed.select("doc_id").distinct().count() == m["train_docs"]
+    # benchmark members that survived the filter were decontaminated away
+    contaminated_texts = {t for _i, t in bench.collect()}
+    leaked = clean.filter(F.col("text").isin(list(contaminated_texts))).count()
+    assert leaked == 0
+    # packing respects the budget for multi-doc packs
+    per_pack = packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("pack_tokens").alias("t"))
+    assert per_pack.filter((F.col("n") > 1) & (F.col("t") > 1024)).count() == 0
+    # and the funnel actually removed things (planted dups + decontam)
+    assert m["after_exact_dedup"] < m["kept_after_filter"]

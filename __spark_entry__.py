@@ -446,8 +446,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    # distribution drift (PSI) between two snapshots of the same table —
+    # the monitoring query a data-quality tool runs per ingest
+    def drift(s, d):
+        o = _t(s, d, "orders")
+        cur = o.filter(F.col("o_orderdate") >= "1999-01-01")
+        ref = o.filter(F.col("o_orderdate") < "1999-01-01")
+        return profile.drift_psi(cur, ref, "o_totalprice",
+                                 width=50_000.0, n_buckets=10)
+
+    q["dq_drift_psi"] = drift
+
     # --- event-time windows (streaming-compatible aggregations) ---
     q["events_hourly"] = lambda s, d: W.hourly_event_agg(_t(s, d, "events"))
+
+    # sliding 2h/1h windows: every event lands in exactly two windows
+    q["events_sliding_2h"] = lambda s, d: (
+        _t(s, d, "events")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type",
+                "n", "sum_value")
+    )
     q["events_sessionize"] = lambda s, d: W.sessionize(_t(s, d, "events"))
 
     def asof(s, d):
@@ -1020,6 +1041,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT label, COUNT(*) AS n,
                round(AVG(sqrt({_dot}(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
         FROM embeddings GROUP BY label
+    """
+
+    o["dq_drift_psi"] = """
+        WITH cb AS (
+          SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS INTEGER) AS bucket,
+                 count(*) AS n
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_totalprice IS NOT NULL
+          GROUP BY 1),
+        rb AS (
+          SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS INTEGER) AS bucket,
+                 count(*) AS n
+          FROM orders
+          WHERE o_orderdate < TIMESTAMP '1999-01-01' AND o_totalprice IS NOT NULL
+          GROUP BY 1),
+        both_b AS (
+          SELECT COALESCE(cb.bucket, rb.bucket) AS bucket,
+                 COALESCE(cb.n, 0) AS n_cur, COALESCE(rb.n, 0) AS n_ref
+          FROM cb FULL JOIN rb ON cb.bucket = rb.bucket),
+        tot AS (SELECT SUM(n_cur) AS tc, SUM(n_ref) AS tr FROM both_b),
+        agg AS (
+          SELECT round(SUM((CAST(n_cur + 1 AS DOUBLE) / (tc + 10)
+                            - CAST(n_ref + 1 AS DOUBLE) / (tr + 10))
+                           * ln((CAST(n_cur + 1 AS DOUBLE) / (tc + 10))
+                                / (CAST(n_ref + 1 AS DOUBLE) / (tr + 10)))), 6) AS psi,
+                 CAST(SUM(n_cur) AS BIGINT) AS rows_cur,
+                 CAST(SUM(n_ref) AS BIGINT) AS rows_ref
+          FROM both_b, tot)
+        SELECT 'o_totalprice' AS "column", psi, rows_cur, rows_ref,
+               CASE WHEN psi > 0.25 THEN 'action'
+                    WHEN psi > 0.1 THEN 'moderate'
+                    ELSE 'stable' END AS drift
+        FROM agg
+    """
+
+    o["events_sliding_2h"] = """
+        WITH s AS (
+          SELECT date_trunc('hour', ts) AS win_start, event_type, value FROM events
+          UNION ALL
+          SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events)
+        SELECT win_start, event_type, COUNT(*) AS n,
+               round(SUM(value), 4) AS sum_value
+        FROM s GROUP BY 1, 2
     """
 
     o["events_hourly"] = """

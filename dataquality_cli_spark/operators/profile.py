@@ -270,3 +270,47 @@ def histogram(df, col: str, width: float, n_buckets: int):
             "n",
         )
     )
+
+
+def drift_psi(cur: DataFrame, ref: DataFrame, col: str,
+              width: float, n_buckets: int) -> DataFrame:
+    """Population-Stability-Index drift between two snapshots of the
+    same table (the monitoring op a data-quality tool runs per column
+    per ingest): both sides bucket by the SAME fixed edges (portable
+    floor arithmetic, clamped into the last bucket like histogram()),
+    then PSI = sum((p_cur - p_ref) * ln(p_cur / p_ref)) with add-one
+    smoothing on counts so empty buckets stay finite. Two partial-
+    aggregated bucket counts + one tiny join — each side is ONE scan,
+    shuffle bounded by n_buckets. Rule of thumb: PSI < 0.1 stable,
+    0.1-0.25 moderate drift, > 0.25 action."""
+    def bucketed(df: DataFrame) -> DataFrame:
+        b = F.least(F.floor(F.col(col) / F.lit(float(width))),
+                    F.lit(n_buckets - 1)).cast("int")
+        return (df.filter(F.col(col).isNotNull())
+                .select(b.alias("bucket"))
+                .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+
+    c = bucketed(cur).select("bucket", F.col("n").alias("n_cur"))
+    r = bucketed(ref).select("bucket", F.col("n").alias("n_ref"))
+    both = c.join(r, "bucket", "full").select(
+        "bucket",
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+    )
+    tot = both.agg(F.sum("n_cur").alias("tc"), F.sum("n_ref").alias("tr"))
+    p = (F.col("n_cur") + 1).cast("double") / (F.col("tc") + F.lit(n_buckets))
+    q = (F.col("n_ref") + 1).cast("double") / (F.col("tr") + F.lit(n_buckets))
+    per_bucket = both.crossJoin(tot).select(
+        "bucket", "n_cur", "n_ref",
+        ((p - q) * F.log(p / q)).alias("psi_term"),
+    )
+    return per_bucket.agg(
+        F.round(F.sum("psi_term"), 6).alias("psi"),
+        F.sum("n_cur").alias("rows_cur"),
+        F.sum("n_ref").alias("rows_ref"),
+    ).select(
+        F.lit(col).alias("column"), "psi", "rows_cur", "rows_ref",
+        F.when(F.col("psi") > 0.25, "action")
+        .when(F.col("psi") > 0.1, "moderate")
+        .otherwise("stable").alias("drift"),
+    )

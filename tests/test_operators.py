@@ -422,3 +422,15 @@ def test_emb_neardup_lsh_recall_vs_exact(spark, emb):
     # find a healthy share of what label blocking finds
     if exact:
         assert len(got & exact) / len(exact) >= 0.5
+
+
+def test_drift_psi_detects_planted_shift(spark):
+    """PSI near 0 for identical snapshots; large for a shifted one."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    same = profile.drift_psi(li, li, "l_extendedprice",
+                             width=10_000.0, n_buckets=10).collect()[0]
+    assert same.drift == "stable" and abs(same.psi) < 0.01
+    shifted = li.withColumn("l_extendedprice", F.col("l_extendedprice") * 3)
+    moved = profile.drift_psi(shifted, li, "l_extendedprice",
+                              width=10_000.0, n_buckets=10).collect()[0]
+    assert moved.psi > 0.25 and moved.drift == "action"

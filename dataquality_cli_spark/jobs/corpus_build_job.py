@@ -39,20 +39,26 @@ def build_corpus(
     contamination_min_hits: int = 3,
 ) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
     """Run the full chain over a (repo, path, commit, lang, content)
-    corpus. Returns (train_packed, val_docs, kept_docs, metrics).
-
-    kept_docs carries (doc_id, repo, path, lang, content_sha256,
-    scrubbed_content, n_tokens) for every surviving document; metrics
+    corpus. Returns (train_packed, val_docs, kept_docs, metrics) where
+    kept_docs carries (doc_id, repo, path, lang, content_sha256, text)
+    for every surviving document (text = the SCRUBBED content); metrics
     counts survivors per stage (each count is one action — the stage
-    DataFrames are persisted so counting never re-runs the models)."""
+    DataFrames are persisted while counted so the models never re-run,
+    and intermediate caches are released as soon as their successor is
+    materialized)."""
     metrics: dict[str, int] = {}
 
-    # 1. quality filter — keep rows, with scrubbed text
+    # 1. quality filter — keep rows, with scrubbed text. doc_id hashes
+    # the FULL identity (repo, path, commit): two commits of one path
+    # are distinct documents — a (repo, path)-only key made the dedup
+    # join fan out. 64-bit ids have ~1e-8 birthday collision odds at
+    # 10^9 docs; above that swap in md5(repo||path||commit) (128-bit
+    # string keys) — the chain is key-type agnostic.
     verdicts = run_pipeline(spark, df)
     kept = (
         verdicts.filter("keep")
         .select(
-            F.xxhash64("repo", "path").alias("doc_id"),
+            F.xxhash64("repo", "path", "commit").alias("doc_id"),
             "repo", "path", "lang", "content_sha256",
             F.col("scrubbed_content").alias("text"),
         )
@@ -65,6 +71,7 @@ def build_corpus(
     exact_survivors = dedup.dedup_keep_first(kept).select("doc_id")
     exact = kept.join(exact_survivors, "doc_id").persist()
     metrics["after_exact_dedup"] = exact.count()
+    kept.unpersist()
 
     # 3. near-dup dedup: LSH -> verified Jaccard -> components; drop
     # every clustered doc that is not its cluster's representative
@@ -73,6 +80,7 @@ def build_corpus(
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     uniq = exact.join(losers, "doc_id", "left_anti").persist()
     metrics["after_neardup_dedup"] = uniq.count()
+    exact.unpersist()
 
     # 4. decontamination vs the eval/benchmark set (broadcast join)
     if benchmark is not None:
@@ -95,8 +103,13 @@ def build_corpus(
     with_tokens = train.withColumn(
         "n_tokens", F.size(F.split(F.col("text"), r"\s+", -1)).cast("long")
     )
-    packed = pack_sequences(with_tokens, budget=pack_budget)
+    # persisted: the metric count below and the caller's consumption
+    # must share ONE packing pass (pack ids are partition-layout
+    # dependent, so a re-run is also a consistency hazard, not just cost)
+    packed = pack_sequences(with_tokens, budget=pack_budget).persist()
     metrics["train_docs"] = with_tokens.count()
     metrics["train_packs"] = packed.select("pack_id").distinct().count()
+    if uniq is not clean:
+        uniq.unpersist()
 
     return packed, val, clean, metrics

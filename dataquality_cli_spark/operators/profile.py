@@ -252,14 +252,21 @@ def profile_table(df: DataFrame, numeric_cols: list[str], string_cols: list[str]
     )
 
 
+def bucket_col(col: str, width: float, n_buckets: int):
+    """Clamped fixed-width bucket id — the ONE bucketing expression
+    shared by histogram() and drift_psi() (their DuckDB oracles mirror
+    it; a change here must change both or parity breaks)."""
+    return F.least(F.floor(F.col(col) / F.lit(float(width))),
+                   F.lit(n_buckets - 1)).cast("int")
+
+
 def histogram(df, col: str, width: float, n_buckets: int):
     """Fixed-width histogram: one partial-aggregated shuffle of at most
     ``n_buckets`` groups (values past the top edge clamp into the last
     bucket). Pure arithmetic bucketing — floor(x/width) capped — so it
     is portable to the DuckDB oracle (no width_bucket there) and stays
     inside whole-stage codegen."""
-    b = F.least(F.floor(F.col(col) / F.lit(float(width))),
-                F.lit(n_buckets - 1)).cast("int")
+    b = bucket_col(col, width, n_buckets)
     return (
         df.select(b.alias("bucket"))
         .groupBy("bucket")
@@ -284,10 +291,8 @@ def drift_psi(cur: DataFrame, ref: DataFrame, col: str,
     shuffle bounded by n_buckets. Rule of thumb: PSI < 0.1 stable,
     0.1-0.25 moderate drift, > 0.25 action."""
     def bucketed(df: DataFrame) -> DataFrame:
-        b = F.least(F.floor(F.col(col) / F.lit(float(width))),
-                    F.lit(n_buckets - 1)).cast("int")
         return (df.filter(F.col(col).isNotNull())
-                .select(b.alias("bucket"))
+                .select(bucket_col(col, width, n_buckets).alias("bucket"))
                 .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
 
     c = bucketed(cur).select("bucket", F.col("n").alias("n_cur"))

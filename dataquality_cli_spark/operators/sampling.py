@@ -6,10 +6,11 @@ a training-data pipeline (beyond-reference surface, same tier as dedup):
   rebalancing step before training.
 - proportional target sampling: derive per-stratum fractions from a
   target mix (e.g. {'en': 0.5, 'code': 0.5}) and the observed counts.
-- sequence packing: greedily pack documents into fixed token budgets
-  (context windows) inside ``mapInPandas`` — each partition packs
-  independently (embarrassingly parallel, no shuffle beyond an optional
-  size-sort), emitting (pack_id, doc_id, n_tokens, pack_tokens).
+- sequence packing: first-fit-decreasing packing of documents into
+  fixed token budgets (context windows) inside ``mapInPandas`` — each
+  partition packs independently (embarrassingly parallel, the size sort
+  is in-partition, no shuffle), emitting
+  (pack_id, doc_id, n_tokens, pack_tokens).
 
 Reference analog being recast: the reference's sampling heuristics
 (simple_engine.go:239-245 top-value sampling; adaptive engine sampling
@@ -61,18 +62,25 @@ PACK_SCHEMA = ("doc_id long, n_tokens long, pack_id string, "
 
 def pack_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
                    tokens_col: str = "n_tokens") -> DataFrame:
-    """Greedy first-fit packing of documents into ``budget``-token
+    """First-fit-DECREASING packing of documents into ``budget``-token
     packs (context-window batching before tokenizer/trainer handoff).
 
     Physical shape: ``mapInPandas`` packs each PARTITION independently —
     no shuffle, no state across partitions, pack ids are namespaced by
-    partition so they never collide. Docs longer than the budget get a
-    singleton pack (the trainer's truncation problem, flagged by
-    pack_tokens > budget). Greedy-sorted-descending is the standard
-    7/8-competitive bin-packing heuristic; per-partition packing loses
-    at most one pack's worth of slack per partition vs global packing,
-    negligible at 10^6 docs/partition and infinitely cheaper than a
-    global sort-and-pack shuffle."""
+    partition so they never collide. The partition's (id, tokens) rows
+    are buffered anyway, so sorting descending by size is free and buys
+    the classic FFD fill guarantee (<= 11/9 OPT + 1 bins). Docs longer
+    than the budget get a singleton pack (the trainer's truncation
+    problem, flagged by pack_tokens > budget). To bound the first-fit
+    scan the open-pack list is capped at 64: when it overflows, the 32
+    FULLEST packs are closed — with descending input their remaining
+    capacity is smaller than every unplaced doc seen so far MOST of the
+    time, but pathological size mixes can close packs early, so the FFD
+    bound is exact only while a partition stays under 64 concurrently
+    open packs; slack is bounded by 32 closed packs' remainders per
+    overflow, not by 'one pack'. Buffered state is O(docs/partition) —
+    size partitions accordingly (the same constraint the sort-based
+    alternative would have)."""
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -80,33 +88,39 @@ def pack_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
         # one greedy state per TASK (partition): pid namespaces pack ids
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
+        docs: list[tuple[int, int]] = []
+        for pdf in batches:
+            docs.extend(
+                (int(d), int(t)) for d, t in zip(pdf[id_col], pdf[tokens_col])
+            )
+        # first-fit DECREASING: big docs first; ties by doc_id for
+        # determinism within a fixed partition layout
+        docs.sort(key=lambda dt: (-dt[1], dt[0]))
         # open packs: list of [remaining, pack_idx, next_slot]
         open_packs: list[list[int]] = []
         n_packs = 0
         totals: dict[int, int] = {}
         rows: list[tuple] = []
-        for pdf in batches:
-            for doc_id, n_tok in zip(pdf[id_col], pdf[tokens_col]):
-                n_tok = int(n_tok)
-                placed = None
-                for p in open_packs:
-                    if p[0] >= n_tok:
-                        placed = p
-                        break
-                if placed is None:
-                    placed = [budget, n_packs, 0]
-                    totals[n_packs] = 0
-                    n_packs += 1
-                    open_packs.append(placed)
-                    # bound the open-pack scan: oldest packs first, drop
-                    # packs too full to matter (tiny remaining capacity)
-                    if len(open_packs) > 64:
-                        open_packs.sort(key=lambda p: -p[0])
-                        open_packs = open_packs[:32]
-                placed[0] = max(placed[0] - n_tok, 0) if n_tok <= budget else 0
-                totals[placed[1]] += n_tok
-                rows.append((int(doc_id), n_tok, placed[1], placed[2]))
-                placed[2] += 1
+        for doc_id, n_tok in docs:
+            placed = None
+            for p in open_packs:
+                if p[0] >= n_tok:
+                    placed = p
+                    break
+            if placed is None:
+                placed = [budget, n_packs, 0]
+                totals[n_packs] = 0
+                n_packs += 1
+                open_packs.append(placed)
+                if len(open_packs) > 64:
+                    # close the fullest 32 (keep the emptiest — they can
+                    # still take the remaining, smaller docs)
+                    open_packs.sort(key=lambda p: -p[0])
+                    open_packs = open_packs[:32]
+            placed[0] = max(placed[0] - n_tok, 0) if n_tok <= budget else 0
+            totals[placed[1]] += n_tok
+            rows.append((doc_id, n_tok, placed[1], placed[2]))
+            placed[2] += 1
         out = pd.DataFrame(rows, columns=["doc_id", "n_tokens", "_p", "pack_slot"])
         if len(out):
             out["pack_id"] = [f"{pid}-{p}" for p in out["_p"]]

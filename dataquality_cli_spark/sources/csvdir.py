@@ -357,12 +357,21 @@ def _headers(spark: SparkSession, paths: list[str]) -> list[str]:
         for p in it:
             try:
                 yield p, one(p).rstrip("\r\n")
-            except OSError:
-                yield p, ""
+            except (OSError, ValueError):
+                # ArrowInvalid is a ValueError; mark and let the DRIVER
+                # raise — an unreadable file must fail loudly like the
+                # small-listing path does, never become a '' schema group
+                yield p, None
 
     sc = spark.sparkContext
     n_slices = max(sc.defaultParallelism, len(paths) // 1000)
     got = dict(sc.parallelize(paths, n_slices).mapPartitions(read_headers).collect())
+    failed = [p for p, h in got.items() if h is None]
+    if failed:
+        raise OSError(
+            f"could not read headers of {len(failed)} file(s), "
+            f"e.g. {failed[:3]} — removed or unreadable since listing?"
+        )
     return [got[p] for p in paths]
 
 

@@ -35,13 +35,42 @@ def test_corpus_build_end_to_end(spark):
         packed.select("doc_id"), "doc_id").count()
     assert overlap == 0
     assert packed.select("doc_id").distinct().count() == m["train_docs"]
-    # benchmark members that survived the filter were decontaminated away
-    contaminated_texts = {t for _i, t in bench.collect()}
-    leaked = clean.filter(F.col("text").isin(list(contaminated_texts))).count()
+    # benchmark members that survived the filter were decontaminated
+    # away — compare on the RAW content hash (clean.text is scrubbed, so
+    # a text-equality check would pass vacuously whenever the scrubber
+    # rewrote a bench doc), and require the stage to have removed >= 1
+    import hashlib
+    bench_shas = [hashlib.sha256(t.encode()).hexdigest()
+                  for _i, t in bench.collect()]
+    leaked = clean.filter(F.col("content_sha256").isin(bench_shas)).count()
     assert leaked == 0
+    assert m["after_neardup_dedup"] > m["after_decontamination"]
     # packing respects the budget for multi-doc packs
     per_pack = packed.groupBy("pack_id").agg(
         F.count(F.lit(1)).alias("n"), F.max("pack_tokens").alias("t"))
     assert per_pack.filter((F.col("n") > 1) & (F.col("t") > 1024)).count() == 0
     # and the funnel actually removed things (planted dups + decontam)
     assert m["after_exact_dedup"] < m["kept_after_filter"]
+
+
+def test_two_commits_of_one_path_are_distinct_documents(spark):
+    """doc_id must hash the FULL (repo, path, commit) identity — a
+    (repo, path)-only key made the dedup survivor join fan out (2 kept
+    rows became 4)."""
+    base = corpus_to_rows(gen_corpus(40, seed=23))
+    # same repo/path, two commits, different content
+    kept_template = base[0]
+    r, p, _c, l, t = kept_template
+    two_commits = [(r, "multi/version.py", "a" * 40, l, t),
+                   (r, "multi/version.py", "b" * 40, l, t + "\nx = 1")]
+    df = spark.createDataFrame(base + two_commits, SCHEMA)
+    packed, val, clean, m = build_corpus(spark, df, val_fraction=0.0,
+                                         pack_budget=1024)
+    # the funnel never grows (the fan-out bug made a later stage exceed
+    # an earlier one)
+    assert (m["kept_after_filter"] >= m["after_exact_dedup"]
+            >= m["after_neardup_dedup"])
+    # both commits are distinct docs; if their content survived the
+    # filter, each appears at most once
+    versions = clean.filter(F.col("path") == "multi/version.py")
+    assert versions.count() == versions.select("doc_id").distinct().count()

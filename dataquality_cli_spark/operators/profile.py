@@ -319,3 +319,25 @@ def drift_psi(cur: DataFrame, ref: DataFrame, col: str,
         .when(F.col("psi") > 0.1, "moderate")
         .otherwise("stable").alias("drift"),
     )
+
+
+def schema_drift(cur: DataFrame, ref: DataFrame) -> list[dict]:
+    """Schema diff between two snapshots (the metadata half of drift
+    monitoring): columns added / removed / type-changed. Pure metadata —
+    no job runs; returns a list of {column, change, cur_type, ref_type}
+    dicts ordered by column name (driver-side by nature: schemas are
+    driver objects)."""
+    cur_t = dict(cur.dtypes)
+    ref_t = dict(ref.dtypes)
+    out = []
+    for c in sorted(set(cur_t) | set(ref_t)):
+        if c not in ref_t:
+            out.append({"column": c, "change": "added",
+                        "cur_type": cur_t[c], "ref_type": None})
+        elif c not in cur_t:
+            out.append({"column": c, "change": "removed",
+                        "cur_type": None, "ref_type": ref_t[c]})
+        elif cur_t[c] != ref_t[c]:
+            out.append({"column": c, "change": "type_changed",
+                        "cur_type": cur_t[c], "ref_type": ref_t[c]})
+    return out

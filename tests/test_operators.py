@@ -434,3 +434,15 @@ def test_drift_psi_detects_planted_shift(spark):
     moved = profile.drift_psi(shifted, li, "l_extendedprice",
                               width=10_000.0, n_buckets=10).collect()[0]
     assert moved.psi > 0.25 and moved.drift == "action"
+
+
+def test_schema_drift_detects_changes(spark):
+    ref = spark.createDataFrame([(1, "x", 2.0)], "id long, name string, v double")
+    cur = spark.createDataFrame([(1, "x", 2)], "id long, name string, v int") \
+        .withColumn("extra", F.lit(True)).drop("name")
+    drift = profile.schema_drift(cur, ref)
+    by_col = {d["column"]: d for d in drift}
+    assert by_col["extra"]["change"] == "added"
+    assert by_col["name"]["change"] == "removed"
+    assert by_col["v"]["change"] == "type_changed"
+    assert profile.schema_drift(ref, ref) == []

@@ -51,9 +51,10 @@ def build_corpus(
     # 1. quality filter — keep rows, with scrubbed text. doc_id hashes
     # the FULL identity (repo, path, commit): two commits of one path
     # are distinct documents — a (repo, path)-only key made the dedup
-    # join fan out. 64-bit ids have ~1e-8 birthday collision odds at
-    # 10^9 docs; above that swap in md5(repo||path||commit) (128-bit
-    # string keys) — the chain is key-type agnostic.
+    # join fan out. Birthday bound for 64-bit ids is ~n^2/2^65: ~2.7e-6
+    # at 10^7 docs but ~3% at 10^9 — above ~10^7-10^8 docs swap in
+    # md5(repo||path||commit) (128-bit string keys); the chain is
+    # key-type agnostic.
     verdicts = run_pipeline(spark, df)
     kept = (
         verdicts.filter("keep")

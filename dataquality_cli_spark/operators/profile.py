@@ -326,10 +326,22 @@ def schema_drift(cur: DataFrame, ref: DataFrame) -> list[dict]:
     monitoring): columns added / removed / type-changed. Pure metadata —
     no job runs; returns a list of {column, change, cur_type, ref_type}
     dicts ordered by column name (driver-side by nature: schemas are
-    driver objects)."""
-    cur_t = dict(cur.dtypes)
-    ref_t = dict(ref.dtypes)
-    out = []
+    driver objects). Duplicate column names (legal in Spark after
+    joins) cannot be diffed by name — they are reported as their own
+    'duplicate_name' change instead of silently keeping the last
+    occurrence."""
+    from collections import Counter
+
+    cur_names = Counter(n for n, _ in cur.dtypes)
+    ref_names = Counter(n for n, _ in ref.dtypes)
+    dupes = {n for n, k in (cur_names | ref_names).items() if k > 1}
+    cur_t = {n: t for n, t in cur.dtypes if n not in dupes}
+    ref_t = {n: t for n, t in ref.dtypes if n not in dupes}
+    out = [
+        {"column": c, "change": "duplicate_name",
+         "cur_type": None, "ref_type": None}
+        for c in sorted(dupes)
+    ]
     for c in sorted(set(cur_t) | set(ref_t)):
         if c not in ref_t:
             out.append({"column": c, "change": "added",

@@ -90,8 +90,12 @@ def pack_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
         pid = ctx.partitionId() if ctx is not None else 0
         docs: list[tuple[int, int]] = []
         for pdf in batches:
+            # columns were renamed to doc_id/n_tokens by the src select —
+            # indexing by the caller's id_col here raised KeyError for
+            # any non-default column name
             docs.extend(
-                (int(d), int(t)) for d, t in zip(pdf[id_col], pdf[tokens_col])
+                (int(d), int(t))
+                for d, t in zip(pdf["doc_id"], pdf["n_tokens"])
             )
         # first-fit DECREASING: big docs first; ties by doc_id for
         # determinism within a fixed partition layout

@@ -356,23 +356,26 @@ def _headers(spark: SparkSession, paths: list[str]) -> list[str]:
 
         for p in it:
             try:
-                yield p, one(p).rstrip("\r\n")
-            except (OSError, ValueError):
-                # ArrowInvalid is a ValueError; mark and let the DRIVER
-                # raise — an unreadable file must fail loudly like the
-                # small-listing path does, never become a '' schema group
-                yield p, None
+                yield p, (True, one(p).rstrip("\r\n"))
+            except (OSError, ValueError) as e:
+                # ArrowInvalid is a ValueError; carry the REASON back and
+                # let the DRIVER raise — an unreadable file must fail
+                # loudly like the small-listing path does, never become a
+                # '' schema group, and the error text must survive so
+                # missing-file vs permission vs URI errors are tellable
+                yield p, (False, f"{type(e).__name__}: {e}")
 
     sc = spark.sparkContext
     n_slices = max(sc.defaultParallelism, len(paths) // 1000)
     got = dict(sc.parallelize(paths, n_slices).mapPartitions(read_headers).collect())
-    failed = [p for p, h in got.items() if h is None]
+    failed = [(p, msg) for p, (ok, msg) in got.items() if not ok]
     if failed:
+        detail = "; ".join(f"{p}: {m}" for p, m in failed[:3])
         raise OSError(
-            f"could not read headers of {len(failed)} file(s), "
-            f"e.g. {failed[:3]} — removed or unreadable since listing?"
+            f"could not read headers of {len(failed)} file(s) — "
+            f"removed or unreadable since listing? First errors: {detail}"
         )
-    return [got[p] for p in paths]
+    return [got[p][1] for p in paths]
 
 
 def describe_dir(

@@ -446,3 +446,12 @@ def test_schema_drift_detects_changes(spark):
     assert by_col["name"]["change"] == "removed"
     assert by_col["v"]["change"] == "type_changed"
     assert profile.schema_drift(ref, ref) == []
+
+
+def test_schema_drift_flags_duplicate_names(spark):
+    a = spark.createDataFrame([(1,)], "id long")
+    b = spark.createDataFrame([("x",)], "id string")
+    dup = a.crossJoin(b)  # two 'id' columns of different types
+    drift = profile.schema_drift(dup, a)
+    assert any(d["column"] == "id" and d["change"] == "duplicate_name"
+               for d in drift)

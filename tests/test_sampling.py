@@ -64,3 +64,15 @@ def test_pack_sequences_respects_budget_and_covers_all_docs(spark):
              per_pack.filter("n_docs > 1").collect()]
     if fills:
         assert sum(fills) / len(fills) > 0.6
+
+
+def test_pack_sequences_nondefault_column_names(spark):
+    """The public id_col/tokens_col parameters must work (the rewritten
+    buffer loop once indexed the pre-rename column names)."""
+    df = spark.createDataFrame(
+        [(10, 100), (11, 200), (12, 450)], "my_id long, tok long")
+    packed = sampling.pack_sequences(df, budget=512,
+                                     id_col="my_id", tokens_col="tok")
+    rows = packed.collect()
+    assert {r.doc_id for r in rows} == {10, 11, 12}
+    assert sum(r.n_tokens for r in rows) == 750

@@ -23,11 +23,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup
-from ..operators.sampling import hash_split, pack_sequences
-from ..operators.text import benchmark_contamination
-from ..plans.pipeline import run_pipeline
-
 
 def build_corpus(
     spark: SparkSession,
@@ -46,6 +41,15 @@ def build_corpus(
     DataFrames are persisted while counted so the models never re-run,
     and intermediate caches are released as soon as their successor is
     materialized)."""
+    # absolute in-function imports so this file also works when
+    # spark-submit executes it as a __main__ script (relative imports
+    # have no package there) — same pattern as quality_filter_job
+    from dataquality_cli_spark.operators import dedup
+    from dataquality_cli_spark.operators.sampling import (
+        hash_split, pack_sequences)
+    from dataquality_cli_spark.operators.text import benchmark_contamination
+    from dataquality_cli_spark.plans.pipeline import run_pipeline
+
     metrics: dict[str, int] = {}
 
     # 1. quality filter — keep rows, with scrubbed text. doc_id hashes
@@ -114,3 +118,66 @@ def build_corpus(
         uniq.unpersist()
 
     return packed, val, clean, metrics
+
+
+def main() -> None:
+    """spark-submit entrypoint (same deployment shape as
+    quality_filter_job):
+
+        spark-submit --master <cluster> \\
+            --py-files dist/dataquality_cli_spark.zip \\
+            dataquality_cli_spark/jobs/corpus_build_job.py \\
+            --input <parquet|iceberg ref> --output <dir> \\
+            [--benchmark <parquet|iceberg ref>] [--val-fraction 0.05] \\
+            [--pack-budget 2048] [--synth N]
+
+    Writes <out>/train_packed, <out>/val, <out>/kept as parquet and
+    prints ONE JSON line with the per-stage survivor metrics."""
+    import argparse
+    import json
+
+    from pyspark.sql import SparkSession
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default=None)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--benchmark", default=None)
+    ap.add_argument("--val-fraction", type=float, default=0.05)
+    ap.add_argument("--pack-budget", type=int, default=2048)
+    ap.add_argument("--neardup-threshold", type=float, default=0.7)
+    ap.add_argument("--synth", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.appName("dq-corpus-build")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+        .getOrCreate()
+    )
+    from dataquality_cli_spark.sources.iceberg import CORPUS_SCHEMA, read_corpus
+
+    if args.synth:
+        from dataquality_cli_spark.sources.synth import corpus_to_rows, gen_corpus
+        df = spark.createDataFrame(
+            corpus_to_rows(gen_corpus(args.synth, seed=args.seed)), CORPUS_SCHEMA)
+    else:
+        df = read_corpus(spark, args.input)
+    bench = read_corpus(spark, args.benchmark) if args.benchmark else None
+
+    packed, val, clean, metrics = build_corpus(
+        spark, df, benchmark=bench,
+        neardup_threshold=args.neardup_threshold,
+        val_fraction=args.val_fraction, pack_budget=args.pack_budget,
+    )
+    packed.write.mode("overwrite").parquet(f"{args.output}/train_packed")
+    val.write.mode("overwrite").parquet(f"{args.output}/val")
+    clean.write.mode("overwrite").parquet(f"{args.output}/kept")
+    print(json.dumps({"metric": "corpus_build", **metrics}))
+
+
+if __name__ == "__main__":
+    main()

@@ -74,3 +74,24 @@ def test_two_commits_of_one_path_are_distinct_documents(spark):
     # filter, each appears at most once
     versions = clean.filter(F.col("path") == "multi/version.py")
     assert versions.count() == versions.select("doc_id").distinct().count()
+
+
+def test_corpus_build_main_smoke(spark, tmp_path, capsys, monkeypatch):
+    """The spark-submit entrypoint end to end on a synthetic corpus."""
+    import json
+    import sys
+
+    from dataquality_cli_spark.jobs import corpus_build_job
+
+    monkeypatch.setattr(sys, "argv", [
+        "corpus_build_job.py", "--synth", "80", "--output", str(tmp_path),
+        "--val-fraction", "0.1", "--pack-budget", "1024",
+    ])
+    corpus_build_job.main()
+    line = [l for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")][-1]
+    m = json.loads(line)
+    assert m["metric"] == "corpus_build" and m["input"] == 80
+    packed = spark.read.parquet(str(tmp_path / "train_packed"))
+    assert packed.count() == m["train_docs"]
+    assert spark.read.parquet(str(tmp_path / "val")).count() == m["val_docs"]

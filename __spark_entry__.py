@@ -283,6 +283,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # within-doc duplicate-line removal (order-preserving first-keep)
     q["doc_dedup_lines"] = lambda s, d: text.dedup_lines(_t(s, d, "documents"))
 
+    # zlib compression-ratio quality signal — deterministic but not
+    # SQL-expressible (no zlib in DuckDB): rows-only + pytest fixtures
+    q["doc_compression_ratio"] = lambda s, d: text.compression_ratio(
+        _t(s, d, "documents"))
+
     # corpus-wide quality deciles: ntile window over the rounded score
     # (round BEFORE rank — pinned parity rule), doc_id tie-break.
     # NOTE a global ntile sorts on ONE partition — correct for the

@@ -9,6 +9,8 @@ training-data-pipeline surface the north rule asks for.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves the postponed
+                     # 'pd.Series' annotations from these globals
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -200,4 +202,33 @@ def dedup_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(uniq).cast("long").alias("n_unique_lines"),
         (F.size(lines) - F.size(uniq)).cast("long").alias("n_removed"),
         F.array_join(uniq, "\n").alias("cleaned_text"),
+    )
+
+
+def compression_ratio(df: DataFrame, text_col: str = "text",
+                      level: int = 6) -> DataFrame:
+    """zlib compression ratio per document — the classic cheap
+    repetitive-garbage detector (highly compressible text = templated /
+    repeated content; barely compressible = already-compressed or
+    random blobs). Pure-stdlib pandas UDF (zlib is deterministic for a
+    fixed level, so results are stable across runs/executors); Arrow
+    batches keep it off the per-row-Python path. Typical gates: drop
+    ratio < 0.25 (near-duplicate spam) or > 1.0 (binary junk)."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def ratio(texts: pd.Series) -> pd.Series:
+        def one(t: str) -> float:
+            b = (t or "").encode("utf-8", "replace")
+            if not b:
+                return 1.0
+            return len(zlib.compress(b, level)) / len(b)
+        return texts.map(one)
+
+    return df.select(
+        "doc_id",
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.round(ratio(F.col(text_col)), 4).alias("compression_ratio"),
     )

@@ -455,3 +455,24 @@ def test_schema_drift_flags_duplicate_names(spark):
     drift = profile.schema_drift(dup, a)
     assert any(d["column"] == "id" and d["change"] == "duplicate_name"
                for d in drift)
+
+
+def test_compression_ratio_separates_repetitive_from_diverse(spark):
+    from dataquality_cli_spark.operators.text import compression_ratio
+
+    import hashlib
+    entropy = "".join(hashlib.sha256(str(i).encode()).hexdigest()
+                      for i in range(40))
+    df = spark.createDataFrame(
+        [(1, "spam " * 400),       # highly repetitive
+         (2, entropy),             # high-entropy hex stream
+         (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.compression_ratio for r in compression_ratio(df).collect()}
+    assert got[1] < 0.05            # template spam compresses away
+    assert got[2] > 0.4             # high-entropy text barely compresses
+    assert got[3] == 1.0            # empty-doc convention
+    # determinism across runs (fixed zlib level)
+    again = {r.doc_id: r.compression_ratio for r in compression_ratio(df).collect()}
+    assert got == again

@@ -283,6 +283,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # within-doc duplicate-line removal (order-preserving first-keep)
     q["doc_dedup_lines"] = lambda s, d: text.dedup_lines(_t(s, d, "documents"))
 
+    # substring-level dedup: delete token spans repeated across many
+    # docs (whole-doc dedup misses a boilerplate header pasted into
+    # millions of otherwise-unique files). min_docs=2 on the fixture so
+    # the REMOVAL path is exercised (45 docs / ~2.4k tokens removed at
+    # sf0.01) — a threshold nothing crosses would compare unmodified
+    # text only (the vacuous-check lesson)
+    q["doc_remove_repeated_spans"] = lambda s, d: dedup.remove_repeated_spans(
+        _t(s, d, "documents"), k_tokens=13, min_docs=2)
+
     # zlib compression-ratio quality signal — deterministic but not
     # SQL-expressible (no zlib in DuckDB): rows-only + pytest fixtures
     q["doc_compression_ratio"] = lambda s, d: text.compression_ratio(
@@ -892,6 +901,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(len({_LINES}) - len({_UNIQ_LINES}) AS BIGINT) AS n_removed,
                array_to_string({_UNIQ_LINES}, chr(10)) AS cleaned_text
         FROM documents
+    """
+
+    o["doc_remove_repeated_spans"] = r"""
+        WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                   FROM documents),
+        w AS (SELECT doc_id, i - 1 AS pos,
+                     md5(array_to_string(toks[i:i+12], ' ')) AS h
+              FROM (SELECT doc_id, toks,
+                           unnest(range(1, greatest(len(toks) - 12, 0) + 1)) AS i
+                    FROM t)),
+        rep AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd
+                               FROM w GROUP BY h)
+                WHERE nd >= 2),
+        flags AS (SELECT doc_id, list(pos) AS spans
+                  FROM w JOIN rep USING (h) GROUP BY doc_id),
+        j AS (SELECT t.doc_id, t.toks, COALESCE(f.spans, []) AS spans
+              FROM t LEFT JOIN flags f ON t.doc_id = f.doc_id),
+        kept AS (SELECT doc_id, toks,
+                        list_filter(toks, (x, i) ->
+                          len(list_filter(spans,
+                              p -> p <= i - 1 AND i - 1 < p + 13)) = 0) AS k
+                 FROM j)
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(toks) - len(k) AS BIGINT) AS n_tokens_removed,
+               -- DuckDB array_to_string([]) is NULL; Spark array_join
+               -- of an empty array is '' — pin the Spark semantics
+               COALESCE(array_to_string(k, ' '), '') AS cleaned_text
+        FROM kept
     """
 
     o["doc_quality_deciles"] = f"""

@@ -516,3 +516,93 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             )
     edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# repeated-passage removal (substring-level dedup): delete token spans
+# that recur across >= min_docs documents — whole-doc dedup misses a
+# boilerplate header pasted into millions of otherwise-unique files.
+# ---------------------------------------------------------------------------
+
+def repeated_span_positions(df: DataFrame, text_col: str = "text",
+                            k_tokens: int = 13,
+                            min_docs: int = 5) -> DataFrame:
+    """(doc_id, pos) of every k-token window whose content occurs in at
+    least ``min_docs`` DISTINCT documents. Plan: explode windows to
+    (hash(window), doc_id, pos) — a Generate in the scan stage like the
+    describe melt — count distinct docs per hash (uniform shuffle keys),
+    keep repeated hashes, and join positions back on the hash. At scale
+    the repeated-hash set is the small side of that join (boilerplate
+    is rare among distinct windows) and broadcasts."""
+    toks = F.split(F.col(text_col), r"\s+", -1)
+    # Spark sequence(a, b) counts DOWN when a > b, so a doc shorter than
+    # k tokens would yield [0, -1]; clamp the end to 0 and filter the
+    # out-of-range start positions away instead
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k_tokens, F.lit(0))),
+        lambda i: i <= F.size(toks) - k_tokens,
+    )
+    win = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("pos"),
+            # md5 (portable to the DuckDB oracle); window hashing is a
+            # small share of the explode+shuffle cost, so the cheaper
+            # xxhash64 is not worth losing cross-engine verifiability
+            F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k_tokens)))
+            .alias("h"),
+        ),
+    )
+    windows = (
+        df.select("doc_id", F.explode(win).alias("w"))
+        .select("doc_id", "w.pos", "w.h")
+    )
+    repeated = (
+        windows.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    return (
+        windows.join(F.broadcast(repeated), "h")
+        .select("doc_id", "pos")
+    )
+
+
+def remove_repeated_spans(df: DataFrame, text_col: str = "text",
+                          k_tokens: int = 13,
+                          min_docs: int = 5) -> DataFrame:
+    """Rewrite each document with its repeated k-token spans DELETED
+    (overlapping flagged windows merge into one span). Returns
+    (doc_id, n_tokens, n_tokens_removed, cleaned_text).
+
+    Physical shape: flagged positions per doc collect_list into a
+    bounded array (positions are rare — they exist only where
+    boilerplate lives), LEFT-join back to the docs (untouched docs pass
+    through with zero Python work on the flagged side), and one column
+    expression drops tokens covered by any flagged window: a token at
+    index i is removed iff some flagged pos in [i-k+1, i] exists. No
+    UDF — the membership test is F.exists over the bounded pos array
+    inside whole-stage codegen."""
+    flagged = (
+        repeated_span_positions(df, text_col, k_tokens, min_docs)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("spans"))
+    )
+    toks = F.split(F.col(text_col), r"\s+", -1)
+    spans = F.coalesce(F.col("spans"), F.array().cast("array<int>"))
+    # keep token i unless a flagged window start s covers it
+    kept = F.filter(
+        F.transform(toks, lambda x, i: F.struct(x.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            spans,
+            lambda p: (p <= s["i"]) & (s["i"] < p + k_tokens),
+        ),
+    )
+    out = df.join(flagged, "doc_id", "left").select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_tokens_removed"),
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("cleaned_text"),
+    )
+    return out

@@ -476,3 +476,24 @@ def test_compression_ratio_separates_repetitive_from_diverse(spark):
     # determinism across runs (fixed zlib level)
     again = {r.doc_id: r.compression_ratio for r in compression_ratio(df).collect()}
     assert got == again
+
+
+def test_remove_repeated_spans_deletes_boilerplate(spark):
+    """A 15-token passage pasted into many otherwise-unique docs must be
+    deleted from every doc; unique content stays byte-identical."""
+    boiler = " ".join(f"license term{i}" for i in range(8))  # 16 tokens
+    uniq = [f"unique body {i} alpha beta gamma delta " * 3 for i in range(12)]
+    rows = [(i, f"{u.strip()} {boiler} tail{i}") for i, u in enumerate(uniq)]
+    rows.append((100, "completely standalone document with no shared text"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.remove_repeated_spans(
+        df, k_tokens=13, min_docs=5).collect()}
+    for i, u in enumerate(uniq):
+        cleaned = out[i].cleaned_text
+        assert "license" not in cleaned and "term3" not in cleaned, cleaned
+        assert out[i].n_tokens_removed >= 13
+        # the unique prefix survives
+        assert cleaned.startswith("unique body")
+    # untouched doc passes through byte-identical
+    assert out[100].cleaned_text == rows[-1][1]
+    assert out[100].n_tokens_removed == 0

@@ -101,10 +101,12 @@ def neardup_pairs_lsh(df: DataFrame, threshold: float = 0.95,
     b = df.select(
         F.col(id_col), F.posexplode(buckets).alias("table", "bucket")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    if max_bucket_size is not None:
-        w = Window.partitionBy("table", "bucket")
-        b = (b.withColumn("_n", F.count(F.lit(1)).over(w))
-             .filter(F.col("_n") <= max_bucket_size).drop("_n"))
+    # shared broadcast-anti-join cap — a window count here would sort the
+    # whole band table (the exact shape dedup.cap_buckets was measured
+    # against); at 10^12 rows that sort is the job's bottleneck
+    from .dedup import cap_buckets
+
+    b = cap_buckets(b, ["table", "bucket"], max_bucket_size)
     cands = (
         b.alias("a").join(b.alias("b"), ["table", "bucket"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

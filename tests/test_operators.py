@@ -356,26 +356,48 @@ def test_lsh_verified_default_cap_bounds_megabucket(spark, docs):
     assert capped_real == uncapped_real
 
 
-def test_neardup_clusters_nonconvergence_raises(spark):
-    """A chain longer than max_iter must raise, never silently return
-    split clusters (ADVICE r1)."""
-    import pytest
+def test_neardup_clusters_long_chain_converges_logarithmically(spark):
+    """Star contraction must handle the case min-label propagation
+    couldn't: a chain-shaped component with diameter >> rounds. A
+    128-diameter chain (chained boilerplate at 100 TB) must converge in
+    O(log n) rounds — <= 12 here — with every node labeled by the
+    component minimum."""
     from dataquality_cli_spark.operators.dedup import neardup_clusters
 
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+        [(i, i + 1) for i in range(128)], "id_a long, id_b long"
     )
-    with pytest.raises(RuntimeError, match="did not converge"):
-        neardup_clusters(chain, max_iter=2)
+    metrics: dict = {}
     got = {r.doc_id: r.cluster_id
-           for r in neardup_clusters(chain, max_iter=20).collect()}
-    assert set(got.values()) == {0}
-    # boundary: convergence ON the last allowed round must NOT raise —
-    # a diameter-2 path converges in exactly 2 improving rounds
-    path3 = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
-    got3 = {r.doc_id: r.cluster_id
-            for r in neardup_clusters(path3, max_iter=2).collect()}
-    assert got3 == {1: 1, 2: 1, 3: 1}
+           for r in neardup_clusters(chain, metrics_out=metrics).collect()}
+    assert got == {i: 0 for i in range(129)}
+    assert metrics["rounds"] <= 12, metrics
+    # two components + reversed-order pairs: labels are per-component minima
+    two = spark.createDataFrame(
+        [(5, 4), (4, 3), (90, 91), (91, 92), (92, 90)],
+        "id_a long, id_b long",
+    )
+    got2 = {r.doc_id: r.cluster_id for r in neardup_clusters(two).collect()}
+    assert got2 == {3: 3, 4: 3, 5: 3, 90: 90, 91: 90, 92: 90}
+
+
+def test_capped_band_path_has_no_window_or_sort(spark, docs):
+    """The bucket cap must be the broadcast-anti-join shape on EVERY LSH
+    flow: no Window node (a window count sorts the whole band table) and
+    the anti-join side broadcast."""
+    from dataquality_cli_spark.operators.similarity import neardup_pairs_lsh
+
+    for out in (
+        dedup.lsh_candidate_pairs(docs, max_bucket_size=64),
+        dedup.fast_lsh_candidate_pairs(docs, max_bucket_size=64),
+        neardup_pairs_lsh(
+            spark.read.parquet(f"{SF}/embeddings.parquet"),
+            max_bucket_size=64),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan[:2000]
+        assert "LeftAnti, BuildRight" in plan or (
+            "BroadcastHashJoin" in plan and "LeftAnti" in plan), plan[:2000]
 
 
 def test_simhash_multiband_recall_guarantee(spark):

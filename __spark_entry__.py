@@ -345,13 +345,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_pack_sequences"] = pack_seq
 
-    # per-language rebalanced Bernoulli sample (seeded sampleBy) — RNG
-    # draw is not SQL-portable: rows-only + pytest tolerance checks
+    # per-language rebalanced deterministic sample (md5-threshold per
+    # stratum — portable, so the SELECTED SET itself is oracle-verified,
+    # not just its size)
     def strat_sample(s, d):
         from dataquality_cli_spark.operators.sampling import stratified_sample
 
         return stratified_sample(
-            _t(s, d, "documents"), "lang", {"en": 0.5, "de": 1.0}, seed=11
+            _t(s, d, "documents"), "lang", {"en": 0.5, "de": 1.0}
         ).select("doc_id", "lang")
 
     q["corpus_stratified_sample"] = strat_sample
@@ -959,6 +960,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang, source FROM documents
         WHERE md5('split:' || CAST(doc_id AS VARCHAR))
               < '{_hex_threshold(0.25)}'
+    """
+
+    o["corpus_stratified_sample"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE lang = 'de'
+           OR (lang = 'en' AND
+               md5('strata:en:' || CAST(doc_id AS VARCHAR))
+               < '{_hex_threshold(0.5)}')
     """
 
     o["corpus_lang_summary"] = f"""

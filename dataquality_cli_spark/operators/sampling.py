@@ -1,9 +1,11 @@
 """Corpus sampling & sequence packing — the rebalancing/batching ops of
 a training-data pipeline (beyond-reference surface, same tier as dedup):
 
-- stratified sampling: per-stratum fractions via ``sampleBy`` (one scan,
-  filter-level Bernoulli draw per row, NO shuffle) — the language/source
-  rebalancing step before training.
+- stratified sampling: per-stratum fractions via a deterministic
+  md5-threshold draw on a per-row key (one scan, filter-level, NO
+  shuffle) — the language/source rebalancing step before training,
+  reproducible across runs, engines, partitionings, and cluster sizes
+  (a ``sampleBy`` RNG draw is none of those).
 - proportional target sampling: derive per-stratum fractions from a
   target mix (e.g. {'en': 0.5, 'code': 0.5}) and the observed counts.
 - sequence packing: first-fit-decreasing packing of documents into
@@ -27,12 +29,31 @@ from pyspark.sql import functions as F
 
 
 def stratified_sample(df: DataFrame, strata_col: str,
-                      fractions: dict[str, float], seed: int = 7) -> DataFrame:
-    """Per-stratum Bernoulli sample. Strata absent from ``fractions``
-    are dropped (fraction 0.0) — the 'downsample the over-represented
-    language' move. One scan, no shuffle; the draw happens at the
-    filter, so at 100 TB this is as cheap as the scan itself."""
-    return df.sampleBy(strata_col, fractions, seed)
+                      fractions: dict[str, float], key_col: str = "doc_id",
+                      salt: str = "strata") -> DataFrame:
+    """Per-stratum DETERMINISTIC sample: a row is kept iff
+    md5(salt:stratum:key) < threshold(fraction_of_its_stratum) — the
+    same portable md5-threshold pattern as ``hash_split``, per stratum.
+    Strata absent from ``fractions`` are dropped (fraction 0.0) — the
+    'downsample the over-represented language' move. One scan, no
+    shuffle; the draw happens at the filter, so at 100 TB this is as
+    cheap as the scan itself, and UNLIKE an RNG ``sampleBy`` draw the
+    selected set is identical across reruns, engines (DuckDB-oracle
+    verifiable), partition layouts, and cluster sizes — which makes
+    corpus builds reproducible. Changing ``salt`` draws an independent
+    sample."""
+    h = F.md5(F.concat(
+        F.lit(salt + ":"), F.col(strata_col).cast("string"),
+        F.lit(":"), F.col(key_col).cast("string"),
+    ))
+    keep = F.lit(False)
+    for stratum, frac in fractions.items():
+        in_stratum = F.col(strata_col) == stratum
+        if frac >= 1.0:
+            keep = keep | in_stratum
+        elif frac > 0.0:
+            keep = keep | (in_stratum & (h < F.lit(_hex_threshold(frac))))
+    return df.filter(keep)
 
 
 def proportional_fractions(df: DataFrame, strata_col: str,

@@ -14,8 +14,8 @@ SF = "/root/testdata/sf0.001"
 def test_stratified_sample_hits_fractions_and_is_deterministic(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     fr = {"en": 0.5, "de": 1.0}
-    a = sampling.stratified_sample(docs, "lang", fr, seed=11)
-    b = sampling.stratified_sample(docs, "lang", fr, seed=11)
+    a = sampling.stratified_sample(docs, "lang", fr)
+    b = sampling.stratified_sample(docs.repartition(7), "lang", fr)
     ca = {r.lang: r.n for r in a.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     # strata not in fractions are dropped entirely
     assert set(ca) <= {"en", "de"}
@@ -23,8 +23,12 @@ def test_stratified_sample_hits_fractions_and_is_deterministic(spark):
     n_de = docs.filter("lang = 'de'").count()
     assert ca.get("de", 0) == n_de  # fraction 1.0 keeps everything
     assert abs(ca.get("en", 0) - 0.5 * n_en) < 0.25 * n_en + 5
-    # seeded determinism: identical draw
+    # hash determinism: identical draw even under a DIFFERENT partition
+    # layout (the property RNG sampleBy lacked)
     assert sorted(r.doc_id for r in a.collect()) == sorted(r.doc_id for r in b.collect())
+    # a different salt draws an independent (different) sample
+    c = sampling.stratified_sample(docs, "lang", fr, salt="other")
+    assert sorted(r.doc_id for r in c.collect()) != sorted(r.doc_id for r in a.collect())
 
 
 def test_proportional_fractions_rebalance(spark):
@@ -32,7 +36,7 @@ def test_proportional_fractions_rebalance(spark):
     mix = {"en": 0.5, "de": 0.5}
     fr = sampling.proportional_fractions(docs, "lang", mix, total_rows=100)
     assert set(fr) <= {"en", "de"} and all(0 < v <= 1.0 for v in fr.values())
-    got = sampling.stratified_sample(docs, "lang", fr, seed=3)
+    got = sampling.stratified_sample(docs, "lang", fr, salt="rebalance")
     counts = {r.lang: r.n for r in got.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n")).collect()}
     # each stratum lands near its 50-row target (Bernoulli tolerance)

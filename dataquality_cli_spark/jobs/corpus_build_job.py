@@ -7,7 +7,7 @@ north star describes, composed from this repo's operators in ONE job —
        components, keep the cluster representative)
     -> benchmark decontamination (optional eval set)
     -> deterministic hash split (train/val)
-    -> sequence packing (context-window batching, token estimate)
+    -> sequence packing (context-window batching, BPE-ish token counts)
 
 Every stage is a DataFrame -> DataFrame transform already verified in
 isolation (oracle gate / pytest); this module is the composition plus
@@ -16,12 +16,76 @@ the filter, one sha-hash shuffle, LSH band equi-joins with the
 default-on bucket cap, a broadcast join for decontamination, and a
 shuffle-free split+pack — no stage introduces a cross join or unbounded
 state (see SCALE.md).
+
+Two runners share the stage logic:
+
+- ``build_corpus``: in-memory composition (persist/unpersist
+  discipline), returns live DataFrames — the library/testing surface.
+- ``build_corpus_resumable``: materializes every stage boundary to
+  parquet and appends a manifest row AFTER the data lands (the same
+  manifest-after-data ordering as plans/pipeline.run_with_checkpoint);
+  a rerun resumes from the last complete stage, so a mid-job kill never
+  recomputes the expensive filter/dedup stages and never double-writes.
+  This is the spark-submit deployment path (north rule: idempotent
+  resume for the flagship chain, not just the filter stage).
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _filter_stage(spark: SparkSession, df: DataFrame):
+    """Quality filter -> (verdicts, kept). doc_id hashes the FULL
+    identity (repo, path, commit): two commits of one path are distinct
+    documents — a (repo, path)-only key made the dedup join fan out.
+    Birthday bound for 64-bit ids is ~n^2/2^65: ~2.7e-6 at 10^7 docs but
+    ~3% at 10^9 — above ~10^7-10^8 docs swap in md5(repo||path||commit)
+    (128-bit string keys); the chain is key-type agnostic."""
+    from dataquality_cli_spark.plans.pipeline import run_pipeline
+
+    verdicts = run_pipeline(spark, df)
+    kept = verdicts.filter("keep").select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"),
+        "repo", "path", "lang", "content_sha256",
+        F.col("scrubbed_content").alias("text"),
+    )
+    return verdicts, kept
+
+
+def _exact_stage(kept: DataFrame) -> DataFrame:
+    from dataquality_cli_spark.operators import dedup
+
+    survivors = dedup.dedup_keep_first(kept).select("doc_id")
+    return kept.join(survivors, "doc_id")
+
+
+def _neardup_stage(exact: DataFrame, threshold: float) -> DataFrame:
+    from dataquality_cli_spark.operators import dedup
+
+    pairs = dedup.lsh_verified_pairs(exact, threshold=threshold)
+    clusters = dedup.neardup_clusters(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return exact.join(losers, "doc_id", "left_anti")
+
+
+def _decontaminate_stage(uniq: DataFrame, benchmark: DataFrame,
+                         min_hits: int) -> DataFrame:
+    from dataquality_cli_spark.operators.text import benchmark_contamination
+
+    contaminated = benchmark_contamination(
+        uniq, benchmark, min_hits=min_hits).select("doc_id")
+    return uniq.join(contaminated, "doc_id", "left_anti")
+
+
+def _with_token_counts(df: DataFrame, token_kind: str) -> DataFrame:
+    from dataquality_cli_spark.operators.text import token_count_col
+
+    return df.withColumn(
+        "n_tokens", token_count_col(F.col("text"), token_kind).cast("long"))
 
 
 def build_corpus(
@@ -32,67 +96,46 @@ def build_corpus(
     val_fraction: float = 0.05,
     pack_budget: int = 2048,
     contamination_min_hits: int = 3,
+    token_kind: str = "bpe",
 ) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
     """Run the full chain over a (repo, path, commit, lang, content)
     corpus. Returns (train_packed, val_docs, kept_docs, metrics) where
     kept_docs carries (doc_id, repo, path, lang, content_sha256, text)
     for every surviving document (text = the SCRUBBED content); metrics
-    counts survivors per stage (each count is one action — the stage
-    DataFrames are persisted while counted so the models never re-run,
-    and intermediate caches are released as soon as their successor is
-    materialized)."""
-    # absolute in-function imports so this file also works when
-    # spark-submit executes it as a __main__ script (relative imports
-    # have no package there) — same pattern as quality_filter_job
-    from dataquality_cli_spark.operators import dedup
+    counts survivors per stage. The input count comes from the persisted
+    verdicts — NOT a second action over the raw source (at 100 TB that
+    extra pass is a whole corpus scan for one metric). ``token_kind``
+    picks the packing token counter ('bpe' default — the count a real
+    tokenizer's budget tracks; 'whitespace' for the cruder estimate)."""
     from dataquality_cli_spark.operators.sampling import (
         hash_split, pack_sequences)
-    from dataquality_cli_spark.operators.text import benchmark_contamination
-    from dataquality_cli_spark.plans.pipeline import run_pipeline
 
     metrics: dict[str, int] = {}
 
-    # 1. quality filter — keep rows, with scrubbed text. doc_id hashes
-    # the FULL identity (repo, path, commit): two commits of one path
-    # are distinct documents — a (repo, path)-only key made the dedup
-    # join fan out. Birthday bound for 64-bit ids is ~n^2/2^65: ~2.7e-6
-    # at 10^7 docs but ~3% at 10^9 — above ~10^7-10^8 docs swap in
-    # md5(repo||path||commit) (128-bit string keys); the chain is
-    # key-type agnostic.
-    verdicts = run_pipeline(spark, df)
-    kept = (
-        verdicts.filter("keep")
-        .select(
-            F.xxhash64("repo", "path", "commit").alias("doc_id"),
-            "repo", "path", "lang", "content_sha256",
-            F.col("scrubbed_content").alias("text"),
-        )
-        .persist()
-    )
-    metrics["input"] = df.count()
+    # 1. quality filter — persist the VERDICTS (not just kept): the
+    # input metric and the kept selection then share one pipeline pass
+    verdicts, kept = _filter_stage(spark, df)
+    verdicts = verdicts.persist()
+    metrics["input"] = verdicts.count()
+    kept = kept.persist()
     metrics["kept_after_filter"] = kept.count()
+    verdicts.unpersist()
 
     # 2. exact dedup on the scrubbed text (keep lowest doc_id)
-    exact_survivors = dedup.dedup_keep_first(kept).select("doc_id")
-    exact = kept.join(exact_survivors, "doc_id").persist()
+    exact = _exact_stage(kept).persist()
     metrics["after_exact_dedup"] = exact.count()
     kept.unpersist()
 
     # 3. near-dup dedup: LSH -> verified Jaccard -> components; drop
     # every clustered doc that is not its cluster's representative
-    pairs = dedup.lsh_verified_pairs(exact, threshold=neardup_threshold)
-    clusters = dedup.neardup_clusters(pairs)
-    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    uniq = exact.join(losers, "doc_id", "left_anti").persist()
+    uniq = _neardup_stage(exact, neardup_threshold).persist()
     metrics["after_neardup_dedup"] = uniq.count()
     exact.unpersist()
 
     # 4. decontamination vs the eval/benchmark set (broadcast join)
     if benchmark is not None:
-        contaminated = benchmark_contamination(
-            uniq, benchmark, min_hits=contamination_min_hits
-        ).select("doc_id")
-        clean = uniq.join(contaminated, "doc_id", "left_anti").persist()
+        clean = _decontaminate_stage(
+            uniq, benchmark, contamination_min_hits).persist()
     else:
         clean = uniq
     metrics["after_decontamination"] = clean.count()
@@ -103,11 +146,8 @@ def build_corpus(
     train = clean.join(val.select("doc_id"), "doc_id", "left_anti")
     metrics["val_docs"] = val.count()
 
-    # 6. pack the train split into context windows (whitespace-token
-    # estimate; swap in a BPE count column when a tokenizer is wired)
-    with_tokens = train.withColumn(
-        "n_tokens", F.size(F.split(F.col("text"), r"\s+", -1)).cast("long")
-    )
+    # 6. pack the train split into context windows
+    with_tokens = _with_token_counts(train, token_kind)
     # persisted: the metric count below and the caller's consumption
     # must share ONE packing pass (pack ids are partition-layout
     # dependent, so a re-run is also a consistency hazard, not just cost)
@@ -120,19 +160,177 @@ def build_corpus(
     return packed, val, clean, metrics
 
 
+# ---------------------------------------------------------------------------
+# resumable runner: every stage boundary lands in parquet + a manifest
+# row (data first, manifest after); rerun resumes after the last stage
+# whose manifest row exists. Local parquet stands in for Iceberg — the
+# layout (stage tables + a completion manifest) maps 1:1 onto Iceberg
+# tables + snapshot metadata.
+# ---------------------------------------------------------------------------
+
+_MANIFEST = "_stage_manifest"
+# stage name -> metrics key (order IS the chain)
+_STAGES = [
+    ("filtered", "kept_after_filter"),
+    ("exact", "after_exact_dedup"),
+    ("unique", "after_neardup_dedup"),
+    ("kept", "after_decontamination"),
+    ("val", "val_docs"),
+    ("train_packed", "train_docs"),
+]
+
+
+def _read_manifest(spark: SparkSession, out_dir: str) -> dict[str, dict]:
+    path = os.path.join(out_dir, _MANIFEST)
+    if not os.path.isdir(path):
+        return {}
+    return {
+        r["stage"]: {"n_rows": r["n_rows"], "path": r["path"]}
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def _append_manifest(spark: SparkSession, out_dir: str, stage: str,
+                     n_rows: int, data_path: str, run_id: str) -> None:
+    spark.createDataFrame(
+        [(stage, n_rows, data_path, run_id)],
+        "stage string, n_rows long, path string, run_id string",
+    ).coalesce(1).write.mode("append").parquet(os.path.join(out_dir, _MANIFEST))
+
+
+def build_corpus_resumable(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    benchmark: DataFrame | None = None,
+    neardup_threshold: float = 0.7,
+    val_fraction: float = 0.05,
+    pack_budget: int = 2048,
+    contamination_min_hits: int = 3,
+    token_kind: str = "bpe",
+    run_id: str = "run0",
+    fail_after_stages: int | None = None,
+) -> dict:
+    """Run the chain with a parquet + manifest checkpoint at every stage
+    boundary; a rerun after a mid-job kill resumes from the last COMPLETE
+    stage (a partially-written stage has no manifest row, so it is
+    overwritten — never trusted, never appended to). Outputs land under
+    ``out_dir``: train_packed/, val/, kept/ (+ the intermediate stage
+    tables and _stage_manifest). Returns the per-stage metrics dict
+    (identical keys to ``build_corpus``; reruns reconstruct it from the
+    manifest, so the metric line is stable across resume).
+
+    ``fail_after_stages`` is a test hook: raise after N stages have been
+    materialized THIS RUN (simulated kill)."""
+    done = _read_manifest(spark, out_dir)
+    computed_this_run = 0
+    metrics: dict[str, int] = {}
+
+    def finish(stage: str, out_df: DataFrame) -> DataFrame:
+        """Materialize one stage: write data, re-read, THEN manifest."""
+        nonlocal computed_this_run
+        if fail_after_stages is not None and computed_this_run >= fail_after_stages:
+            raise RuntimeError("simulated mid-job failure")
+        path = os.path.join(out_dir, stage)
+        out_df.write.mode("overwrite").parquet(path)
+        reread = spark.read.parquet(path)
+        _append_manifest(spark, out_dir, stage, reread.count(), path, run_id)
+        computed_this_run += 1
+        done[stage] = {"n_rows": None, "path": path}
+        return reread
+
+    def load(stage: str) -> DataFrame:
+        return spark.read.parquet(done[stage]["path"])
+
+    # 1. filter. The input count rides the same manifest (an "input"
+    # pseudo-stage row) so resumed runs report it without re-scanning.
+    # The input row is appended BEFORE the filtered stage completes: a
+    # kill between the two leaves a duplicate-able input row (idempotent
+    # — the recount is deterministic and _read_manifest collapses it),
+    # never a completed stage with a missing input metric.
+    if "filtered" not in done:
+        verdicts, kept = _filter_stage(spark, df)
+        verdicts = verdicts.persist()
+        _append_manifest(spark, out_dir, "input", verdicts.count(), "", run_id)
+        filtered = finish("filtered", kept)
+        verdicts.unpersist()
+    else:
+        filtered = load("filtered")
+
+    # 2-4. dedup + decontamination. When there is no benchmark the
+    # 'kept' stage is an ALIAS of 'unique' (manifest row points at the
+    # unique path) — no second copy of the surviving corpus is written.
+    if "exact" not in done:
+        exact = finish("exact", _exact_stage(filtered))
+    else:
+        exact = load("exact")
+    if "unique" not in done:
+        uniq = finish("unique", _neardup_stage(exact, neardup_threshold))
+    else:
+        uniq = load("unique")
+    if "kept" not in done:
+        if benchmark is not None:
+            clean = finish("kept", _decontaminate_stage(
+                uniq, benchmark, contamination_min_hits))
+        else:
+            if fail_after_stages is not None and computed_this_run >= fail_after_stages:
+                raise RuntimeError("simulated mid-job failure")
+            _append_manifest(spark, out_dir, "kept", uniq.count(),
+                             done["unique"]["path"], run_id)
+            computed_this_run += 1
+            done["kept"] = {"n_rows": None, "path": done["unique"]["path"]}
+            clean = uniq
+    else:
+        clean = load("kept")
+
+    # 5-6. split + pack (both deterministic given the 'kept' parquet:
+    # the split is an md5 threshold; packing sees the stable parquet
+    # partition layout, so a resumed pack equals the original pack)
+    from dataquality_cli_spark.operators.sampling import (
+        hash_split, pack_sequences)
+
+    if "val" not in done:
+        finish("val", hash_split(clean, "doc_id", val_fraction, salt="val"))
+    if "train_packed" not in done:
+        val_ids = spark.read.parquet(done["val"]["path"]).select("doc_id")
+        train = clean.join(val_ids, "doc_id", "left_anti")
+        packed = finish("train_packed",
+                        pack_sequences(_with_token_counts(train, token_kind),
+                                       budget=pack_budget))
+        _append_manifest(spark, out_dir, "train_packs",
+                         packed.select("pack_id").distinct().count(),
+                         "", run_id)
+
+    final = _read_manifest(spark, out_dir)
+    if "train_packs" not in final:
+        # a kill landed between the train_packed manifest row and the
+        # train_packs metric row — recount from the completed parquet
+        n_packs = (spark.read.parquet(final["train_packed"]["path"])
+                   .select("pack_id").distinct().count())
+        _append_manifest(spark, out_dir, "train_packs", n_packs, "", run_id)
+        final["train_packs"] = {"n_rows": n_packs, "path": ""}
+    metrics["input"] = final["input"]["n_rows"]
+    for stage, key in _STAGES:
+        metrics[key] = final[stage]["n_rows"]
+    metrics["train_packs"] = final["train_packs"]["n_rows"]
+    return metrics
+
+
 def main() -> None:
     """spark-submit entrypoint (same deployment shape as
-    quality_filter_job):
+    quality_filter_job), RESUMABLE: rerunning the same command after a
+    mid-job failure continues from the last complete stage.
 
         spark-submit --master <cluster> \\
             --py-files dist/dataquality_cli_spark.zip \\
             dataquality_cli_spark/jobs/corpus_build_job.py \\
-            --input <parquet|iceberg ref> --output <dir> \\
+            (--input <parquet|iceberg ref> | --synth N) --output <dir> \\
             [--benchmark <parquet|iceberg ref>] [--val-fraction 0.05] \\
-            [--pack-budget 2048] [--synth N]
+            [--pack-budget 2048] [--token-kind bpe|whitespace]
 
-    Writes <out>/train_packed, <out>/val, <out>/kept as parquet and
-    prints ONE JSON line with the per-stage survivor metrics."""
+    Writes <out>/train_packed, <out>/val, <out>/kept as parquet (plus
+    intermediate stage tables + _stage_manifest) and prints ONE JSON
+    line with the per-stage survivor metrics."""
     import argparse
     import json
 
@@ -145,9 +343,13 @@ def main() -> None:
     ap.add_argument("--val-fraction", type=float, default=0.05)
     ap.add_argument("--pack-budget", type=int, default=2048)
     ap.add_argument("--neardup-threshold", type=float, default=0.7)
+    ap.add_argument("--token-kind", default="bpe",
+                    choices=["bpe", "whitespace"])
     ap.add_argument("--synth", type=int, default=None)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
+    if args.input is None and not args.synth:
+        ap.error("one of --input or --synth is required")
 
     spark = (
         SparkSession.builder.appName("dq-corpus-build")
@@ -168,14 +370,12 @@ def main() -> None:
         df = read_corpus(spark, args.input)
     bench = read_corpus(spark, args.benchmark) if args.benchmark else None
 
-    packed, val, clean, metrics = build_corpus(
-        spark, df, benchmark=bench,
+    metrics = build_corpus_resumable(
+        spark, df, args.output, benchmark=bench,
         neardup_threshold=args.neardup_threshold,
         val_fraction=args.val_fraction, pack_budget=args.pack_budget,
+        token_kind=args.token_kind,
     )
-    packed.write.mode("overwrite").parquet(f"{args.output}/train_packed")
-    val.write.mode("overwrite").parquet(f"{args.output}/val")
-    clean.write.mode("overwrite").parquet(f"{args.output}/kept")
     print(json.dumps({"metric": "corpus_build", **metrics}))
 
 

@@ -77,8 +77,13 @@ def proportional_fractions(df: DataFrame, strata_col: str,
     return out
 
 
-PACK_SCHEMA = ("doc_id long, n_tokens long, pack_id string, "
-               "pack_slot int, pack_tokens long")
+def _pack_schema(id_ddl: str) -> str:
+    return (f"doc_id {id_ddl}, n_tokens long, pack_id string, "
+            f"pack_slot int, pack_tokens long")
+
+
+# default output schema (integral ids); string ids swap the first field
+PACK_SCHEMA = _pack_schema("long")
 
 
 def pack_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
@@ -101,7 +106,24 @@ def pack_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
     open packs; slack is bounded by 32 closed packs' remainders per
     overflow, not by 'one pack'. Buffered state is O(docs/partition) —
     size partitions accordingly (the same constraint the sort-based
-    alternative would have)."""
+    alternative would have).
+
+    ``id_col`` may be any integral or string column (the output schema
+    follows its type); anything else fails fast here instead of as an
+    opaque error inside the UDF."""
+    from pyspark.sql.types import (ByteType, IntegerType, LongType,
+                                   ShortType, StringType)
+
+    id_type = df.schema[id_col].dataType
+    if isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        id_ddl, id_cast = "long", F.col(id_col).cast("long")
+    elif isinstance(id_type, StringType):
+        id_ddl, id_cast = "string", F.col(id_col)
+    else:
+        raise TypeError(
+            f"pack_sequences: id_col {id_col!r} must be an integral or "
+            f"string column, got {id_type.simpleString()}"
+        )
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -115,7 +137,7 @@ def pack_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
             # indexing by the caller's id_col here raised KeyError for
             # any non-default column name
             docs.extend(
-                (int(d), int(t))
+                (d, int(t))
                 for d, t in zip(pdf["doc_id"], pdf["n_tokens"])
             )
         # first-fit DECREASING: big docs first; ties by doc_id for
@@ -155,9 +177,9 @@ def pack_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
             out["pack_tokens"] = pd.Series(dtype="int64")
         yield out[["doc_id", "n_tokens", "pack_id", "pack_slot", "pack_tokens"]]
 
-    src = df.select(F.col(id_col).alias("doc_id"),
+    src = df.select(id_cast.alias("doc_id"),
                     F.col(tokens_col).cast("long").alias("n_tokens"))
-    return src.mapInPandas(pack, PACK_SCHEMA)
+    return src.mapInPandas(pack, _pack_schema(id_ddl))
 
 
 def _hex_threshold(fraction: float) -> str:

@@ -52,6 +52,19 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def token_count_col(text: Column, kind: str = "bpe") -> Column:
+    """Per-doc token-count expression for budget-based packing: 'bpe'
+    (the BPE-ish pre-tokenizer above — much closer to a real tokenizer's
+    count than whitespace, already oracle-verified via doc_bpe_tokens)
+    or 'whitespace'. Pure built-ins either way."""
+    if kind == "bpe":
+        return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RE), F.lit(0)))
+    if kind == "whitespace":
+        return F.size(F.split(text, r"\s+", -1))
+    raise ValueError(f"token_count_col: unknown kind {kind!r} "
+                     f"(expected 'bpe' or 'whitespace')")
+
+
 def bpe_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc BPE-ish token counts (SURVEY.md 'token counting:
     whitespace + a BPE-ish regex'; complements token_stats). JVM-side

@@ -76,6 +76,51 @@ def test_two_commits_of_one_path_are_distinct_documents(spark):
     assert versions.count() == versions.select("doc_id").distinct().count()
 
 
+def test_corpus_build_resumable_kill_and_rerun(spark, tmp_path):
+    """A mid-job kill + rerun must resume from the last complete stage
+    and produce byte-identical outputs and metrics vs an uninterrupted
+    run; a rerun over a complete dir is a pure-metrics noop."""
+    import pytest
+
+    from dataquality_cli_spark.jobs.corpus_build_job import (
+        _read_manifest, build_corpus_resumable)
+
+    base = corpus_to_rows(gen_corpus(120, seed=31))
+    dups = [(r, p + ".copy", c, l, t) for r, p, c, l, t in base[:12]]
+    df = spark.createDataFrame(base + dups, SCHEMA)
+    kw = dict(val_fraction=0.1, pack_budget=1024)
+
+    full_dir = str(tmp_path / "full")
+    m_full = build_corpus_resumable(spark, df, full_dir, **kw)
+    assert m_full["input"] == 132
+    assert m_full["after_exact_dedup"] < m_full["kept_after_filter"]
+
+    resume_dir = str(tmp_path / "resumed")
+    with pytest.raises(RuntimeError, match="simulated"):
+        build_corpus_resumable(spark, df, resume_dir,
+                               fail_after_stages=2, **kw)
+    # killed after 2 stages: filter ran, later stages did not
+    partial = _read_manifest(spark, resume_dir)
+    assert "filtered" in partial and "train_packed" not in partial
+    m_res = build_corpus_resumable(spark, df, resume_dir, **kw)
+    assert m_res == m_full
+    for stage in ("kept", "val", "train_packed"):
+        fa = _read_manifest(spark, full_dir)[stage]["path"]
+        fb = _read_manifest(spark, resume_dir)[stage]["path"]
+        a = sorted(map(tuple, spark.read.parquet(fa).collect()))
+        b = sorted(map(tuple, spark.read.parquet(fb).collect()))
+        assert a == b, stage
+    # complete dir: rerun recomputes nothing (no stage data rewritten)
+    import os
+    mtimes = {s: os.path.getmtime(_read_manifest(spark, resume_dir)[s]["path"])
+              for s in ("filtered", "unique", "train_packed")}
+    m3 = build_corpus_resumable(spark, df, resume_dir, **kw)
+    assert m3 == m_full
+    for s, t in mtimes.items():
+        path = _read_manifest(spark, resume_dir)[s]["path"]
+        assert os.path.getmtime(path) == t, s
+
+
 def test_corpus_build_main_smoke(spark, tmp_path, capsys, monkeypatch):
     """The spark-submit entrypoint end to end on a synthetic corpus."""
     import json

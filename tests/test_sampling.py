@@ -80,3 +80,23 @@ def test_pack_sequences_nondefault_column_names(spark):
     rows = packed.collect()
     assert {r.doc_id for r in rows} == {10, 11, 12}
     assert sum(r.n_tokens for r in rows) == 750
+
+
+def test_pack_sequences_string_ids_and_bad_type(spark):
+    """The output schema follows the id column's type: string ids pack
+    natively (the r2 version hardcoded 'doc_id long' + int(d) and blew up
+    inside the UDF); unsupported types fail fast with a clear error."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a/b.py", 100), ("a/c.py", 200), ("d/e.go", 450)],
+        "path string, tok long")
+    packed = sampling.pack_sequences(df, budget=512,
+                                     id_col="path", tokens_col="tok")
+    rows = packed.collect()
+    assert {r.doc_id for r in rows} == {"a/b.py", "a/c.py", "d/e.go"}
+    assert dict(packed.dtypes)["doc_id"] == "string"
+    bad = spark.createDataFrame([(1.5, 10)], "fid double, tok long")
+    with pytest.raises(TypeError, match="integral or string"):
+        sampling.pack_sequences(bad, budget=512, id_col="fid",
+                                tokens_col="tok")

@@ -54,6 +54,7 @@ def _describe(args) -> int:
         total_nulls = 0
         n_numeric_cols = 0
         n_string_cols = 0
+        detailed: list[tuple[dict, list[str]]] = []
         for columns, stats in groups:
             # a column slot is counted once per schema GROUP, numeric only
             # if every file in the group votes numeric (mixed votes are
@@ -68,6 +69,16 @@ def _describe(args) -> int:
                     total_nulls += d[f"{c}_nulls"]
                     if d[f"{c}_type"] not in ("int", "float"):
                         all_numeric[c] = False
+                # 'needs detailed analysis' candidates, first 3 in
+                # listing order (cmd/describe.go:403-421 semantics via
+                # the P5 predicate thresholds)
+                from dataquality_cli_spark import config as C
+                if len(detailed) < 3 and (
+                    d["null_pct"] > C.NEEDS_DETAIL_NULL_PCT
+                    or d["row_count"] > C.NEEDS_DETAIL_ROWS
+                    or len(columns) > C.NEEDS_DETAIL_COLS
+                ):
+                    detailed.append((d, columns))
                 if args.json:
                     lines.append(json.dumps(d, default=str))
                     continue
@@ -115,6 +126,65 @@ def _describe(args) -> int:
             lines.append(f"  numeric_columns={n_numeric_cols}"
                          f"  string_columns={n_string_cols}")
             lines.append(f"  completeness={completeness:.2f}%")
+
+        # detailed analysis: up to 3 flagged files with column insights
+        # and key columns (cmd/describe.go:403-473: high-null column
+        # count, numeric-with-nulls count, <=3 key columns — float with
+        # positive mean or string with >100 unique values)
+        detail_objs = []
+        for d, columns in detailed:
+            name = d["_file"].rsplit("/", 1)[-1]
+            if len(name) > 37:
+                name = name[:34] + "..."
+            high_null = sum(
+                1 for c in columns
+                if d[f"{c}_count"]
+                and d[f"{c}_nulls"] * 100.0 / d[f"{c}_count"] > 10
+            )
+            num_with_nulls = sum(
+                1 for c in columns
+                if d[f"{c}_type"] in ("int", "float") and d[f"{c}_nulls"] > 0
+            )
+            keys = []
+            for c in columns:
+                if len(keys) >= 3:
+                    break
+                if (d[f"{c}_type"] == "float"
+                        and (d.get(f"{c}_mean") or 0) > 0):
+                    keys.append((c, "float", f"avg: {d[f'{c}_mean']:.2f}"))
+                elif d[f"{c}_type"] == "string" and d[f"{c}_unique"] > 100:
+                    keys.append((c, "string",
+                                 f"{d[f'{c}_unique']} unique values"))
+            detail_objs.append({
+                "file": name, "rows": d["row_count"],
+                "columns": len(columns),
+                "null_pct": round(d["null_pct"], 2),
+                "high_null_columns": high_null,
+                "numeric_columns_with_nulls": num_with_nulls,
+                "key_columns": [
+                    {"name": c, "type": t, "note": note}
+                    for c, t, note in keys
+                ],
+            })
+        if detail_objs and args.json:
+            lines.append(json.dumps({"detailed_analysis": detail_objs}))
+        elif detail_objs:
+            lines.append("\n=== Detailed Analysis ===")
+            for o in detail_objs:
+                lines.append(f"File: {o['file']}")
+                lines.append(f"  rows={o['rows']}  columns={o['columns']}"
+                             f"  null%={o['null_pct']:.1f}")
+                if o["high_null_columns"]:
+                    lines.append(f"  ! {o['high_null_columns']} columns "
+                                 f"have >10% null values")
+                if o["numeric_columns_with_nulls"]:
+                    lines.append(f"  ! {o['numeric_columns_with_nulls']} "
+                                 f"numeric columns contain nulls")
+                if o["key_columns"]:
+                    lines.append("  Key columns:")
+                    for k in o["key_columns"]:
+                        lines.append(f"    - {k['name']}: {k['type']} "
+                                     f"({k['note']})")
 
         report = "\n".join(lines)
         print(report)

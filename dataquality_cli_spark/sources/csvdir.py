@@ -398,8 +398,6 @@ def describe_dir(
     files = list_csv_files(spark, root, ext, recursive, min_size, max_size)
     if not files:
         return []
-    if delimiter == "sniff":
-        delimiter = sniff_delimiter(spark, files[0][0])
     paths = [p for p, _size, _mtime in files]
     groups: dict[str, list[str]] = {}
     for path, header in zip(paths, _headers(spark, paths)):
@@ -407,9 +405,15 @@ def describe_dir(
     out = []
     for header in sorted(groups):
         paths = groups[header]
+        # sniff PER SCHEMA GROUP (first file of the group): a directory
+        # mixing delimiters groups by header signature anyway, so the
+        # group's own first file is the right sample — one global sniff
+        # silently mis-parsed every other group
+        delim = (sniff_delimiter(spark, paths[0])
+                 if delimiter == "sniff" else delimiter)
         df = (
             spark.read.option("header", True)
-            .option("sep", delimiter or ",")
+            .option("sep", delim or ",")
             .option("mode", "PERMISSIVE")
             .csv(paths)
             .select("*", "_metadata")
@@ -418,6 +422,14 @@ def describe_dir(
         )
         columns = [c for c in df.columns if c != "_file"]
         if not columns:
+            # never let files VANISH from the report silently (their
+            # absence would understate the summary's file count)
+            import warnings
+
+            warnings.warn(
+                f"describe_dir: skipping {len(paths)} file(s) whose "
+                f"header yields zero columns (empty first line?): "
+                f"{paths[:3]}", stacklevel=2)
             continue
         out.append((columns, describe_files(df, columns, approx=approx)))
     return out

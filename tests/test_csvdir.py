@@ -195,6 +195,44 @@ def test_cli_describe_smoke(tmp_path, capsys):
     assert out_file.read_text().strip() == out.strip()
 
 
+def test_cli_detailed_analysis_sections(tmp_path, capsys):
+    """The 'needs detailed analysis' + 'key columns' report sections
+    (cmd/describe.go:403-473): a file over the null% threshold is
+    flagged with column insights and up to 3 key columns (float with
+    positive mean / string with >100 unique values)."""
+    import json as _json
+
+    # 150 rows: 'city' has 150 unique strings (>100 -> key column),
+    # 'score' is float with positive mean, 'note' is ~50% null (>5%
+    # file null% -> needs_detail; >10% column nulls -> insight)
+    rows = ["id,city,score,note"]
+    for i in range(150):
+        rows.append(f"{i},city_{i:03d},{i / 10 + 0.5},"
+                    + ("ok" if i % 2 else ""))
+    (tmp_path / "flagged.csv").write_text("\n".join(rows) + "\n")
+    from dataquality_cli_spark.__main__ import main
+    rc = main(["describe", str(tmp_path), "--master", "local[2]", "--json"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    objs = [_json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    detail = [o for o in objs if "detailed_analysis" in o]
+    assert len(detail) == 1
+    d = detail[0]["detailed_analysis"][0]
+    assert d["file"] == "flagged.csv" and d["rows"] == 150
+    assert d["high_null_columns"] == 1
+    key_by_name = {k["name"]: k for k in d["key_columns"]}
+    assert key_by_name["city"]["type"] == "string"
+    assert "150 unique" in key_by_name["city"]["note"]
+    assert key_by_name["score"]["type"] == "float"
+    assert key_by_name["score"]["note"].startswith("avg: ")
+    # human-readable mode renders the same section
+    rc = main(["describe", str(tmp_path), "--master", "local[2]"])
+    assert rc == 0
+    txt = capsys.readouterr().out
+    assert "=== Detailed Analysis ===" in txt
+    assert "Key columns:" in txt
+
+
 def test_describe_files_matches_duckdb(spark, tmp_path):
     """Cross-engine oracle for the melt describe plan: every per-file
     stat (count/nulls/unique/mean/std/min/max/q25/q50/q75/top/freq)

@@ -270,21 +270,26 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
     touch at most d bands, so recall is GUARANTEED for hamming <=
     n_bands - 1 and high for moderate distances; the r1 single-top-band
     variant silently missed any near-dup whose flipped bits landed in
-    the top 16). Candidates verify with bit_count(xor) <= max_hamming —
-    all JVM-side; the join shuffles on (band_id, band_key), never a
-    cross join."""
+    the top 16). When n_bands does not divide 64 the LAST band widens to
+    absorb the remaining bits — every bit lands in exactly one band, so
+    the pigeonhole guarantee holds for any n_bands (the r2 version
+    silently ignored the top 64 % n_bands bits). Candidates verify with
+    bit_count(xor) <= max_hamming — all JVM-side; the join shuffles on
+    (band_id, band_key), never a cross join."""
     from pyspark import StorageLevel
 
-    width = 64 // n_bands
-    mask = (1 << width) - 1
+    if not 2 <= n_bands <= 32:
+        raise ValueError(f"n_bands must be in [2, 32], got {n_bands}")
+    base = 64 // n_bands
+    widths = [base] * (n_bands - 1) + [base + 64 % n_bands]
     sig = simhash_signatures(df, text_col)
     bands = sig.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.shiftrightunsigned(F.col("simhash"), b * width)
-                .bitwiseAND(F.lit(mask)).alias("band_key"),
+                F.shiftrightunsigned(F.col("simhash"), b * base)
+                .bitwiseAND(F.lit((1 << widths[b]) - 1)).alias("band_key"),
             )
             for b in range(n_bands)
         ])).alias("bk"),

@@ -425,6 +425,32 @@ def test_simhash_multiband_recall_guarantee(spark):
                 assert (i, j) in got
 
 
+def test_simhash_nondividing_bands_cover_all_bits(spark):
+    """n_bands not dividing 64 (e.g. 5) must still place every bit in a
+    band (last band widens): a pair differing ONLY in the top 4 bits —
+    the bits the r2 version silently dropped — must NOT collide in every
+    band; with those bits covered, hamming=4 <= n_bands-1 pairs are
+    still guaranteed a shared band among the untouched ones."""
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    other = "totally disjoint vocabulary for the second cluster " * 6
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)], "doc_id long, text string")
+    # identical texts: candidates at any n_bands, incl. non-dividing
+    for nb in (3, 5, 7):
+        got = {(r.id_a, r.id_b)
+               for r in dedup.simhash_neardup_pairs(
+                   df, max_hamming=0, n_bands=nb).collect()}
+        assert (1, 2) in got and (1, 3) not in got
+    # structural: the widened last band makes the widths sum to 64
+    for nb in (3, 5, 6, 7, 9):
+        base_w = 64 // nb
+        widths = [base_w] * (nb - 1) + [base_w + 64 % nb]
+        assert sum(widths) == 64
+    import pytest
+    with pytest.raises(ValueError, match="n_bands"):
+        dedup.simhash_neardup_pairs(df, n_bands=1)
+
+
 def test_emb_neardup_lsh_recall_vs_exact(spark, emb):
     """LSH-blocked embedding near-dup (the production block) must
     recover the planted exact duplicates (cosine 1.0) with certainty —

@@ -20,6 +20,20 @@ SF_DIR = "/root/testdata/sf0.01"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# every rows-only query must return at least this many rows at sf0.01 —
+# a rows-only check with no row floor would wave through a regression to
+# an empty result (the vacuous-match lesson, applied to the no-oracle
+# tail). Values are ~20% under the currently observed counts.
+ROWS_ONLY_MIN = {
+    "a12_distinct_approx": 4,
+    "doc_compression_ratio": 400,
+    "corpus_pack_sequences": 400,
+    "dedup_simhash_neardup": 500,
+    "ann_lsh_topk": 20,
+    "ann_ivf_topk": 20,
+    "emb_neardup_lsh": 3,
+}
+
 
 def canon_type(t: str) -> str:
     """Canonical cross-engine type label. Deliberately does NOT merge
@@ -84,8 +98,14 @@ def main():
             n_fail += 1
             continue
         if name not in os_:
-            print(f"rows-only {name}: {len(s_rows)} rows")
-            n_rows_only += 1
+            floor = ROWS_ONLY_MIN.get(name, 1)
+            if len(s_rows) < floor:
+                print(f"FAIL {name}: rows-only returned {len(s_rows)} "
+                      f"rows < floor {floor} (vacuous)")
+                n_fail += 1
+            else:
+                print(f"rows-only {name}: {len(s_rows)} rows (floor {floor})")
+                n_rows_only += 1
             continue
         try:
             rel = con.sql(os_[name])

@@ -95,6 +95,7 @@ HEADLINE = [
     "a10_quantiles_exact",     # exact percentile sort path
     "dedup_minhash_signatures",  # shingle/md5-heavy
     "dedup_lsh_pairs",         # self-join on band buckets
+    "doc_remove_repeated_spans",  # substring dedup: ~n_tokens-row explode
     "ann_cosine_topk",         # broadcast knn
     "events_hourly",           # window agg
     "events_sessionize",       # window functions

@@ -297,6 +297,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_compression_ratio"] = lambda s, d: text.compression_ratio(
         _t(s, d, "documents"))
 
+    # Gopher-style within-doc repetition gates (dup lines / top token /
+    # dup 2-grams) — the templated-spam detectors
+    q["doc_repetition_signals"] = lambda s, d: text.repetition_signals(
+        _t(s, d, "documents"))
+
     # corpus-wide quality deciles: ntile window over the rounded score
     # (round BEFORE rank — pinned parity rule), doc_id tie-break.
     # NOTE a global ntile sorts on ONE partition — correct for the
@@ -646,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_stddev_by_status", "a8_minmax_by_priority",
         "a9_minmax_lexicographic", "a_hist_totalprice", "a13_top1_value",
         "f7_name_truncate", "doc_token_stats", "doc_fingerprint",
+        "doc_bpe_tokens",
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail})
@@ -946,6 +952,34 @@ def oracle_sql() -> dict[str, str]:
                -- of an empty array is '' — pin the Spark semantics
                COALESCE(array_to_string(k, ' '), '') AS cleaned_text
         FROM kept
+    """
+
+    o["doc_repetition_signals"] = f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks,
+                 string_split(text, chr(10)) AS lines
+          FROM documents),
+        g AS (
+          SELECT doc_id, toks, lines,
+                 list_transform(
+                   list_filter(range(1, greatest(len(toks) - 1, 1) + 1),
+                               i -> i <= len(toks) - 1),
+                   i -> array_to_string(toks[i:i+1], ' ')) AS grams2
+          FROM t)
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                     / CAST(len(lines) AS DOUBLE), 4) AS dup_line_fraction,
+               round(CAST(list_aggregate(
+                       list_transform(list_distinct(toks),
+                                      d -> len(list_filter(toks, x -> x = d))),
+                       'max') AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE), 4) AS top_token_fraction,
+               CASE WHEN len(grams2) > 0
+                    THEN round(CAST(len(grams2) - len(list_distinct(grams2)) AS DOUBLE)
+                               / CAST(len(grams2) AS DOUBLE), 4)
+                    ELSE 0.0 END AS dup_2gram_fraction
+        FROM g
     """
 
     o["doc_quality_deciles"] = f"""

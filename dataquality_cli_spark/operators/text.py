@@ -218,6 +218,51 @@ def dedup_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    table A1 'repetition' filters — public method): the quality gates
+    that catch templated/spammy documents whole-doc dedup can't.
+
+    - dup_line_fraction:   duplicated lines / lines
+    - top_token_fraction:  occurrences of the most frequent token / tokens
+    - dup_2gram_fraction:  duplicated adjacent-token 2-grams / 2-grams
+
+    Pure column expressions with exact DuckDB twins. The top-token count
+    is O(distinct x tokens) per doc — fine for document-sized rows
+    (corpus docs are token-bounded by the max_token_len gate); a corpus
+    whose docs run to books should melt tokens to rows and groupBy
+    (the describe plan shape) instead. Typical gates (Gopher): drop
+    dup_line_fraction > 0.30, top_token_fraction > 0.20 (2-gram > 0.20)."""
+    text = F.col(text_col)
+    t = tokens_col(text)
+    lines = F.split(text, "\n", -1)
+    n_tok = F.size(t)
+    top_cnt = F.array_max(
+        F.transform(F.array_distinct(t),
+                    lambda d: F.size(F.filter(t, lambda x: x == d)))
+    )
+    # 2-grams via the guarded-sequence pattern (sequence counts DOWN when
+    # start > stop, so clamp + filter — same shape as shingles_col)
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(n_tok - 1, F.lit(1))),
+        lambda i: i <= n_tok - 1,
+    )
+    grams2 = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(t, i, 2)))
+    n_g2 = F.size(grams2)
+    return df.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round((F.size(lines) - F.size(F.array_distinct(lines))).cast("double")
+                / F.size(lines).cast("double"), 4).alias("dup_line_fraction"),
+        F.round(top_cnt.cast("double") / n_tok.cast("double"), 4)
+        .alias("top_token_fraction"),
+        F.when(n_g2 > 0,
+               F.round((n_g2 - F.size(F.array_distinct(grams2))).cast("double")
+                       / n_g2.cast("double"), 4))
+        .otherwise(0.0).alias("dup_2gram_fraction"),
+    )
+
+
 def compression_ratio(df: DataFrame, text_col: str = "text",
                       level: int = 6) -> DataFrame:
     """zlib compression ratio per document — the classic cheap

@@ -505,6 +505,34 @@ def test_schema_drift_flags_duplicate_names(spark):
                for d in drift)
 
 
+def test_repetition_signals_planted_fixtures(spark):
+    """Gopher-style repetition gates on hand-computed fixtures."""
+    from dataquality_cli_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            # 4 lines, 2 distinct ("a b" dup, "c d" dup) -> dup_line 0.5;
+            # tokens: a b a b c d c d -> top token 2/8, 2-grams: 7 total
+            # (a b, b a, a b, b c, c d, d c, c d) -> 2 dup / 7
+            (1, "a b\na b\nc d\nc d"),
+            (2, "all tokens unique here now"),       # no repetition
+            (3, "spam spam spam spam"),              # top token 1.0
+            (4, "x"),                                # 1 token, no 2-grams
+        ],
+        "doc_id long, text string",
+    )
+    # the space tokenizer sees newlines as part of tokens; use the same
+    # semantics both sides — just assert the planted extremes
+    got = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert got[1].dup_line_fraction == 0.5
+    assert got[2].dup_line_fraction == 0.0
+    assert got[2].top_token_fraction == pytest.approx(0.2)
+    assert got[2].dup_2gram_fraction == 0.0
+    assert got[3].top_token_fraction == 1.0
+    assert got[3].dup_2gram_fraction == pytest.approx(2 / 3, abs=1e-4)
+    assert got[4].dup_2gram_fraction == 0.0 and got[4].n_tokens == 1
+
+
 def test_compression_ratio_separates_repetitive_from_diverse(spark):
     from dataquality_cli_spark.operators.text import compression_ratio
 

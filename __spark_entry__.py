@@ -317,6 +317,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_quality_deciles"] = quality_deciles
 
+    # the SCALE path for the same need: equal-VALUE quartile buckets via
+    # exact thresholds + broadcast compare — no global sort/window
+    q["doc_quality_buckets"] = lambda s, d: profile.quantile_buckets(
+        text.quality_score(_t(s, d, "documents")).select("doc_id", "quality_score"),
+        "quality_score", n_buckets=4)
+
     # n-gram decontamination vs a benchmark set (every 50th doc stands
     # in for the eval set; its own members are self-contaminated by
     # construction, which the oracle reproduces)
@@ -651,7 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_stddev_by_status", "a8_minmax_by_priority",
         "a9_minmax_lexicographic", "a_hist_totalprice", "a13_top1_value",
         "f7_name_truncate", "doc_token_stats", "doc_fingerprint",
-        "doc_bpe_tokens",
+        "doc_bpe_tokens", "doc_dedup_lines",
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail})
@@ -989,6 +995,19 @@ def oracle_sql() -> dict[str, str]:
                     AS INTEGER) AS decile
         FROM scored
     """.format(score_sql=o["doc_quality_score"])
+
+    o["doc_quality_buckets"] = f"""
+        WITH s AS (SELECT doc_id, quality_score
+                   FROM ({o["doc_quality_score"]})),
+        th AS (SELECT [CAST(quantile_cont(quality_score, 0.25) AS DOUBLE),
+                       CAST(quantile_cont(quality_score, 0.50) AS DOUBLE),
+                       CAST(quantile_cont(quality_score, 0.75) AS DOUBLE)] AS t
+               FROM s)
+        SELECT doc_id, quality_score,
+               CAST(1 + len(list_filter(t, x -> quality_score > x)) AS INTEGER)
+                 AS bucket
+        FROM s, th
+    """
 
     o["doc_benchmark_contamination"] = f"""
         WITH bench AS (

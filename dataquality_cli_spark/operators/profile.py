@@ -321,6 +321,29 @@ def drift_psi(cur: DataFrame, ref: DataFrame, col: str,
     )
 
 
+def quantile_buckets(df: DataFrame, col: str, n_buckets: int = 4) -> DataFrame:
+    """Equal-VALUE quantile bucketing — the 100 TB shape the global
+    ntile decile query can't take (ntile sorts the whole table on ONE
+    partition). Here: exact quantile thresholds in one tiny aggregate
+    (percentile partial-aggregates map-side), broadcast back as a
+    single-row cross join, and each row's bucket is 1 + the number of
+    thresholds strictly below its value — no global sort, no window, one
+    scan + one broadcast. Buckets are equal-COUNT only up to ties at the
+    thresholds (exactly like any quantile bucketing); values are assumed
+    pre-rounded (compare on the same rounded precision in both engines
+    or ties at a threshold can flip)."""
+    probs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    th = df.agg(F.expr(f"percentile({col}, array({probs}))").alias("_th"))
+    return (
+        df.join(F.broadcast(th))
+        .select(
+            *df.columns,
+            (F.size(F.filter(F.col("_th"), lambda t: F.col(col) > t)) + 1)
+            .cast("int").alias("bucket"),
+        )
+    )
+
+
 def schema_drift(cur: DataFrame, ref: DataFrame) -> list[dict]:
     """Schema diff between two snapshots (the metadata half of drift
     monitoring): columns added / removed / type-changed. Pure metadata —

@@ -505,6 +505,25 @@ def test_schema_drift_flags_duplicate_names(spark):
                for d in drift)
 
 
+def test_quantile_buckets_no_global_sort(spark):
+    """Equal-value bucketing must never plan a Window or a global Sort
+    (the ntile decile's scale flaw) and must spread rows across buckets
+    ~equally on continuous data."""
+    from dataquality_cli_spark.operators.profile import quantile_buckets
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", F.col("l_extendedprice").alias("v"))
+    out = quantile_buckets(li, "v", n_buckets=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # ('ntile' substring-matches 'percentile')
+    counts = {r.bucket: r.n for r in
+              out.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {1, 2, 3, 4}
+    n = sum(counts.values())
+    for b, c in counts.items():
+        assert abs(c - n / 4) < 0.05 * n + 5, counts
+
+
 def test_repetition_signals_planted_fixtures(spark):
     """Gopher-style repetition gates on hand-computed fixtures."""
     from dataquality_cli_spark.operators.text import repetition_signals

@@ -562,6 +562,26 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 50,
     return children.union(roots)
 
 
+def select_representatives(clusters: DataFrame, scores: DataFrame,
+                           score_col: str = "quality_score") -> DataFrame:
+    """Pick the KEEPER per near-dup cluster by quality, not by id: the
+    production rep selection (keep the best-scoring member; the
+    min-doc_id convention of neardup_clusters is only an arbitrary
+    canonical label). One equi-join + one groupBy(cluster_id) with a
+    min-struct argmax — (-score, doc_id) min = highest score, lowest id
+    tie-break; no window, no sort. Returns (cluster_id, rep_id,
+    rep_score, n_members)."""
+    j = clusters.join(scores, "doc_id")
+    best = F.min(F.struct((-F.col(score_col)).alias("ns"),
+                          F.col("doc_id").alias("i")))
+    return (
+        j.groupBy("cluster_id")
+        .agg(best.alias("b"), F.count(F.lit(1)).alias("n_members"))
+        .select("cluster_id", F.col("b.i").alias("rep_id"),
+                (-F.col("b.ns")).alias("rep_score"), "n_members")
+    )
+
+
 # ---------------------------------------------------------------------------
 # repeated-passage removal (substring-level dedup): delete token spans
 # that recur across >= min_docs documents — whole-doc dedup misses a

@@ -381,6 +381,24 @@ def test_neardup_clusters_long_chain_converges_logarithmically(spark):
     assert got2 == {3: 3, 4: 3, 5: 3, 90: 90, 91: 90, 92: 90}
 
 
+def test_select_representatives_picks_best_score(spark):
+    """The keeper is the highest-scoring member (lowest id on ties) —
+    NOT the cluster label's min-id convention."""
+    from dataquality_cli_spark.operators.dedup import select_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long")
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.4)],
+        "doc_id long, quality_score double")
+    got = {r.cluster_id: r for r in
+           select_representatives(clusters, scores).collect()}
+    assert got[1].rep_id == 2 and got[1].rep_score == 0.9  # tie -> min id
+    assert got[1].n_members == 3
+    assert got[10].rep_id == 10 and got[10].n_members == 2
+
+
 def test_capped_band_path_has_no_window_or_sort(spark, docs):
     """The bucket cap must be the broadcast-anti-join shape on EVERY LSH
     flow: no Window node (a window count sorts the whole band table) and

@@ -28,6 +28,10 @@ CHECKS = {
     "events_hourly": "single shuffle into the windowed agg",
     "events_asof_join": "ONE shuffle on user_id (union + window carry) — no sort-merge join",
     "q5_regional_revenue": "dims broadcast (BroadcastHashJoin x3+); only the fact-fact join shuffles",
+    "doc_remove_repeated_spans": "Generate (window explode) in the scan stage; broadcast join of rare repeated hashes; no UDF",
+    "doc_quality_buckets": "threshold agg broadcast back as 1-row join — NO Window/global Sort (vs the ntile decile)",
+    "dedup_cluster_representatives": "min-struct argmax in the final agg — no Window; LSH path cap via broadcast LeftAnti",
+    "doc_scrub_hits": "one scan, whole-stage-codegen regexp chain (no Python)",
     "pipeline": "scan(5 cols) -> salt Exchange -> ONE ArrowEvalPython -> project",
     "profile_documents_table": "ONE parquet scan, no Expand (melt -> distinct-value counts -> weighted aggs)",
     "describe_exact": "ONE csv scan, no Expand; Generate (melt) in the scan stage",

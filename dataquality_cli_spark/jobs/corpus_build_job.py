@@ -221,7 +221,39 @@ def build_corpus_resumable(
     manifest, so the metric line is stable across resume).
 
     ``fail_after_stages`` is a test hook: raise after N stages have been
-    materialized THIS RUN (simulated kill)."""
+    materialized THIS RUN (simulated kill).
+
+    Resume is guarded against CONFIG DRIFT: the build parameters are
+    written to ``_params.json`` on the first run and any later run with
+    different parameters fails fast — silently resuming a half-built
+    chain under new thresholds would mix two different corpora."""
+    import json
+
+    params = {
+        "neardup_threshold": neardup_threshold,
+        "val_fraction": val_fraction,
+        "pack_budget": pack_budget,
+        "contamination_min_hits": contamination_min_hits,
+        "token_kind": token_kind,
+        "has_benchmark": benchmark is not None,
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    params_path = os.path.join(out_dir, "_params.json")
+    if os.path.exists(params_path):
+        with open(params_path) as f:
+            prior = json.load(f)
+        if prior != params:
+            diff = {k: (prior.get(k), v) for k, v in params.items()
+                    if prior.get(k) != v}
+            raise ValueError(
+                f"build_corpus_resumable: {out_dir} was built with "
+                f"different parameters {diff} (prior, new) — resuming "
+                f"would mix configs; use a fresh out_dir or delete it"
+            )
+    else:
+        with open(params_path, "w") as f:
+            json.dump(params, f)
+
     done = _read_manifest(spark, out_dir)
     computed_this_run = 0
     metrics: dict[str, int] = {}

@@ -119,6 +119,11 @@ def test_corpus_build_resumable_kill_and_rerun(spark, tmp_path):
     for s, t in mtimes.items():
         path = _read_manifest(spark, resume_dir)[s]["path"]
         assert os.path.getmtime(path) == t, s
+    # config drift on resume fails fast (a half-built chain under new
+    # thresholds must never be silently mixed)
+    with pytest.raises(ValueError, match="different parameters"):
+        build_corpus_resumable(spark, df, resume_dir,
+                               val_fraction=0.2, pack_budget=1024)
 
 
 def test_corpus_build_main_smoke(spark, tmp_path, capsys, monkeypatch):

@@ -381,6 +381,13 @@ def test_neardup_clusters_long_chain_converges_logarithmically(spark):
     assert got2 == {3: 3, 4: 3, 5: 3, 90: 90, 91: 90, 92: 90}
 
 
+def test_neardup_clusters_empty_pairs(spark):
+    from dataquality_cli_spark.operators.dedup import neardup_clusters
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert neardup_clusters(empty).count() == 0
+
+
 def test_select_representatives_picks_best_score(spark):
     """The keeper is the highest-scoring member (lowest id on ties) —
     NOT the cluster label's min-id convention."""

@@ -381,6 +381,44 @@ def test_neardup_clusters_long_chain_converges_logarithmically(spark):
     assert got2 == {3: 3, 4: 3, 5: 3, 90: 90, 91: 90, 92: 90}
 
 
+def test_neardup_clusters_matches_union_find(spark):
+    """Property check of star contraction against an independent pure-
+    Python union-find on random small graphs (self-loops, duplicates,
+    reversed edges included)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dataquality_cli_spark.operators.dedup import neardup_clusters
+
+    edge = st.tuples(st.integers(0, 30), st.integers(0, 30))
+
+    @settings(max_examples=8, deadline=None)
+    @given(edges=st.lists(edge, min_size=1, max_size=40))
+    def check(edges):
+        real = [(a, b) for a, b in edges if a != b]
+        if not real:
+            return
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in real:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {x: find(x) for x in parent}
+        df = spark.createDataFrame(real, "id_a long, id_b long")
+        got = {r.doc_id: r.cluster_id for r in neardup_clusters(df).collect()}
+        assert got == expected, (sorted(real), got, expected)
+
+    check()
+
+
 def test_neardup_clusters_empty_pairs(spark):
     from dataquality_cli_spark.operators.dedup import neardup_clusters
 

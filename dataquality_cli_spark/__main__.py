@@ -29,6 +29,7 @@ import sys
 def _describe(args) -> int:
     from pyspark.sql import SparkSession
 
+    from dataquality_cli_spark import config as C
     from dataquality_cli_spark.session import get_spark
     from dataquality_cli_spark.sources.csvdir import describe_dir
 
@@ -72,7 +73,6 @@ def _describe(args) -> int:
                 # 'needs detailed analysis' candidates, first 3 in
                 # listing order (cmd/describe.go:403-421 semantics via
                 # the P5 predicate thresholds)
-                from dataquality_cli_spark import config as C
                 if len(detailed) < 3 and (
                     d["null_pct"] > C.NEEDS_DETAIL_NULL_PCT
                     or d["row_count"] > C.NEEDS_DETAIL_ROWS
@@ -152,7 +152,8 @@ def _describe(args) -> int:
                 if (d[f"{c}_type"] == "float"
                         and (d.get(f"{c}_mean") or 0) > 0):
                     keys.append((c, "float", f"avg: {d[f'{c}_mean']:.2f}"))
-                elif d[f"{c}_type"] == "string" and d[f"{c}_unique"] > 100:
+                elif (d[f"{c}_type"] == "string"
+                      and d[f"{c}_unique"] > C.KEY_COLUMN_UNIQUE_MIN):
                     keys.append((c, "string",
                                  f"{d[f'{c}_unique']} unique values"))
             detail_objs.append({

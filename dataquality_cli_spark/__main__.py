@@ -136,10 +136,14 @@ def _describe(args) -> int:
             name = d["_file"].rsplit("/", 1)[-1]
             if len(name) > 37:
                 name = name[:34] + "..."
+            # null rate over ROW COUNT (describe.go:435 divides by the
+            # non-null count, which is +Inf for an all-null column — so
+            # Go effectively includes all-null columns too; dividing by
+            # rows keeps that behavior without the zero-division)
             high_null = sum(
                 1 for c in columns
-                if d[f"{c}_count"]
-                and d[f"{c}_nulls"] * 100.0 / d[f"{c}_count"] > 10
+                if d["row_count"]
+                and d[f"{c}_nulls"] * 100.0 / d["row_count"] > 10
             )
             num_with_nulls = sum(
                 1 for c in columns

@@ -181,13 +181,18 @@ _STAGES = [
 
 
 def _read_manifest(spark: SparkSession, out_dir: str) -> dict[str, dict]:
-    path = os.path.join(out_dir, _MANIFEST)
-    if not os.path.isdir(path):
+    """Read the stage manifest through SPARK (not the driver's local
+    fs): resume must work for hdfs://... / s3a://... out_dirs on the
+    spark-submit deployment, where os.path.isdir is always False and a
+    local-fs check would silently disable resume."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.parquet(f"{out_dir}/{_MANIFEST}").collect()
+    except AnalysisException:  # manifest not written yet
         return {}
-    return {
-        r["stage"]: {"n_rows": r["n_rows"], "path": r["path"]}
-        for r in spark.read.parquet(path).collect()
-    }
+    return {r["stage"]: {"n_rows": r["n_rows"], "path": r["path"]}
+            for r in rows}
 
 
 def _append_manifest(spark: SparkSession, out_dir: str, stage: str,
@@ -195,7 +200,7 @@ def _append_manifest(spark: SparkSession, out_dir: str, stage: str,
     spark.createDataFrame(
         [(stage, n_rows, data_path, run_id)],
         "stage string, n_rows long, path string, run_id string",
-    ).coalesce(1).write.mode("append").parquet(os.path.join(out_dir, _MANIFEST))
+    ).coalesce(1).write.mode("append").parquet(f"{out_dir}/{_MANIFEST}")
 
 
 def build_corpus_resumable(
@@ -224,10 +229,13 @@ def build_corpus_resumable(
     materialized THIS RUN (simulated kill).
 
     Resume is guarded against CONFIG DRIFT: the build parameters are
-    written to ``_params.json`` on the first run and any later run with
-    different parameters fails fast — silently resuming a half-built
-    chain under new thresholds would mix two different corpora."""
+    written to ``_params`` (a one-row parquet, via Spark so any
+    Hadoop-compatible out_dir works) on the first run and any later run
+    with different parameters fails fast — silently resuming a
+    half-built chain under new thresholds would mix two corpora."""
     import json
+
+    from pyspark.errors import AnalysisException
 
     params = {
         "neardup_threshold": neardup_threshold,
@@ -237,22 +245,22 @@ def build_corpus_resumable(
         "token_kind": token_kind,
         "has_benchmark": benchmark is not None,
     }
-    os.makedirs(out_dir, exist_ok=True)
-    params_path = os.path.join(out_dir, "_params.json")
-    if os.path.exists(params_path):
-        with open(params_path) as f:
-            prior = json.load(f)
-        if prior != params:
-            diff = {k: (prior.get(k), v) for k, v in params.items()
-                    if prior.get(k) != v}
-            raise ValueError(
-                f"build_corpus_resumable: {out_dir} was built with "
-                f"different parameters {diff} (prior, new) — resuming "
-                f"would mix configs; use a fresh out_dir or delete it"
-            )
-    else:
-        with open(params_path, "w") as f:
-            json.dump(params, f)
+    params_json = json.dumps(params, sort_keys=True)
+    params_path = f"{out_dir}/_params"
+    try:
+        prior = spark.read.parquet(params_path).collect()[0]["params"]
+    except AnalysisException:
+        prior = None
+        spark.createDataFrame([(params_json,)], "params string") \
+            .coalesce(1).write.parquet(params_path)
+    if prior is not None and prior != params_json:
+        diff = {k: (json.loads(prior).get(k), v) for k, v in params.items()
+                if json.loads(prior).get(k) != v}
+        raise ValueError(
+            f"build_corpus_resumable: {out_dir} was built with "
+            f"different parameters {diff} (prior, new) — resuming "
+            f"would mix configs; use a fresh out_dir or delete it"
+        )
 
     done = _read_manifest(spark, out_dir)
     computed_this_run = 0
@@ -263,7 +271,7 @@ def build_corpus_resumable(
         nonlocal computed_this_run
         if fail_after_stages is not None and computed_this_run >= fail_after_stages:
             raise RuntimeError("simulated mid-job failure")
-        path = os.path.join(out_dir, stage)
+        path = f"{out_dir}/{stage}"
         out_df.write.mode("overwrite").parquet(path)
         reread = spark.read.parquet(path)
         _append_manifest(spark, out_dir, stage, reread.count(), path, run_id)
@@ -289,29 +297,33 @@ def build_corpus_resumable(
     else:
         filtered = load("filtered")
 
-    # 2-4. dedup + decontamination. When there is no benchmark the
-    # 'kept' stage is an ALIAS of 'unique' (manifest row points at the
-    # unique path) — no second copy of the surviving corpus is written.
+    # 2-4. dedup + decontamination. The surviving corpus is always a
+    # REAL <out>/kept directory (main()'s documented output contract);
+    # with no benchmark, near-dup survivors land there directly and the
+    # 'unique' stage is the manifest ALIAS — never a second copy of the
+    # corpus either way.
     if "exact" not in done:
         exact = finish("exact", _exact_stage(filtered))
     else:
         exact = load("exact")
     if "unique" not in done:
-        uniq = finish("unique", _neardup_stage(exact, neardup_threshold))
+        if benchmark is not None:
+            uniq = finish("unique", _neardup_stage(exact, neardup_threshold))
+        else:
+            # a kill between the kept write and the unique alias row
+            # must not recompute the completed neardup stage
+            if "kept" in done:
+                uniq = load("kept")
+            else:
+                uniq = finish("kept", _neardup_stage(exact, neardup_threshold))
+            _append_manifest(spark, out_dir, "unique", uniq.count(),
+                             done["kept"]["path"], run_id)
+            done["unique"] = {"n_rows": None, "path": done["kept"]["path"]}
     else:
         uniq = load("unique")
     if "kept" not in done:
-        if benchmark is not None:
-            clean = finish("kept", _decontaminate_stage(
-                uniq, benchmark, contamination_min_hits))
-        else:
-            if fail_after_stages is not None and computed_this_run >= fail_after_stages:
-                raise RuntimeError("simulated mid-job failure")
-            _append_manifest(spark, out_dir, "kept", uniq.count(),
-                             done["unique"]["path"], run_id)
-            computed_this_run += 1
-            done["kept"] = {"n_rows": None, "path": done["unique"]["path"]}
-            clean = uniq
+        clean = finish("kept", _decontaminate_stage(
+            uniq, benchmark, contamination_min_hits))
     else:
         clean = load("kept")
 

@@ -94,6 +94,12 @@ def test_corpus_build_resumable_kill_and_rerun(spark, tmp_path):
     m_full = build_corpus_resumable(spark, df, full_dir, **kw)
     assert m_full["input"] == 132
     assert m_full["after_exact_dedup"] < m_full["kept_after_filter"]
+    # main()'s output contract: <out>/kept is a REAL directory even with
+    # no benchmark (the alias direction points 'unique' at it, not v.v.)
+    import os as _os
+    assert _os.path.isdir(f"{full_dir}/kept")
+    assert spark.read.parquet(f"{full_dir}/kept").count() \
+        == m_full["after_decontamination"]
 
     resume_dir = str(tmp_path / "resumed")
     with pytest.raises(RuntimeError, match="simulated"):
@@ -145,3 +151,5 @@ def test_corpus_build_main_smoke(spark, tmp_path, capsys, monkeypatch):
     packed = spark.read.parquet(str(tmp_path / "train_packed"))
     assert packed.count() == m["train_docs"]
     assert spark.read.parquet(str(tmp_path / "val")).count() == m["val_docs"]
+    assert (spark.read.parquet(str(tmp_path / "kept")).count()
+            == m["after_decontamination"])

@@ -204,11 +204,12 @@ def test_cli_detailed_analysis_sections(tmp_path, capsys):
 
     # 150 rows: 'city' has 150 unique strings (>100 -> key column),
     # 'score' is float with positive mean, 'note' is ~50% null (>5%
-    # file null% -> needs_detail; >10% column nulls -> insight)
-    rows = ["id,city,score,note"]
+    # file null% -> needs_detail; >10% column nulls -> insight), and
+    # 'empty' is 100% null (must COUNT as high-null, not divide by zero)
+    rows = ["id,city,score,note,empty"]
     for i in range(150):
         rows.append(f"{i},city_{i:03d},{i / 10 + 0.5},"
-                    + ("ok" if i % 2 else ""))
+                    + ("ok" if i % 2 else "") + ",")
     (tmp_path / "flagged.csv").write_text("\n".join(rows) + "\n")
     from dataquality_cli_spark.__main__ import main
     rc = main(["describe", str(tmp_path), "--master", "local[2]", "--json"])
@@ -219,7 +220,7 @@ def test_cli_detailed_analysis_sections(tmp_path, capsys):
     assert len(detail) == 1
     d = detail[0]["detailed_analysis"][0]
     assert d["file"] == "flagged.csv" and d["rows"] == 150
-    assert d["high_null_columns"] == 1
+    assert d["high_null_columns"] == 2  # 'note' (~50%) + 'empty' (100%)
     key_by_name = {k["name"]: k for k in d["key_columns"]}
     assert key_by_name["city"]["type"] == "string"
     assert "150 unique" in key_by_name["city"]["note"]

@@ -99,10 +99,17 @@ def _with_part_id(df: DataFrame, n_parts: int) -> DataFrame:
 
 
 def completed_parts(spark: SparkSession, out_dir: str) -> set[int]:
+    """Completed partition ids from the manifest, read through SPARK so
+    resume also works for hdfs://... / s3a://... output dirs (an
+    os.path probe is always False there and would silently disable
+    resume). Iceberg deployment: a snapshot-metadata query instead."""
+    from pyspark.errors import AnalysisException
+
     manifest = os.path.join(out_dir, "_manifest")
-    if not os.path.isdir(manifest):  # local-FS manifest; Iceberg: snapshot query
+    try:
+        rows = spark.read.parquet(manifest).select("part_id").distinct().collect()
+    except AnalysisException:  # not written yet
         return set()
-    rows = spark.read.parquet(manifest).select("part_id").distinct().collect()
     return {r.part_id for r in rows}
 
 

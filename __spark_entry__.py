@@ -429,6 +429,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup.lsh_verified_pairs(_augmented_docs(s, d), threshold=0.5,
                                  max_bucket_size=dedup.DEFAULT_MAX_BUCKET)
     )
+    # incremental dedup: candidates between a NEW batch (the planted
+    # dups) and the EXISTING corpus' materialized band index — the old
+    # text is never re-scanned (production growth path)
+    def lsh_incremental(s, d):
+        old = _t(s, d, "documents")
+        new = old.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 10_000)
+        old_bands = dedup.lsh_bands(dedup.minhash_signatures(old))
+        return dedup.lsh_incremental_pairs(
+            new, old_bands, max_bucket_size=dedup.DEFAULT_MAX_BUCKET)
+
+    q["dedup_lsh_incremental"] = lsh_incremental
+
     # quality-aware rep selection: keep the BEST-scoring member of each
     # near-dup cluster (production keeper choice, not lowest-id)
     def cluster_reps(s, d):
@@ -517,6 +530,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # distribution drift (PSI) between two snapshots of the same table —
     # the monitoring query a data-quality tool runs per ingest
+    # per-group z-score outlier monitoring (the anomaly half of drift)
+    q["events_value_outliers"] = lambda s, d: profile.value_outliers(
+        _t(s, d, "events"), group="event_type", col="value")
+
     def drift(s, d):
         o = _t(s, d, "orders")
         cur = o.filter(F.col("o_orderdate") >= "1999-01-01")
@@ -701,7 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_minmax_lexicographic", "a_hist_totalprice", "a13_top1_value",
         "f7_name_truncate", "doc_token_stats", "doc_fingerprint",
         "doc_bpe_tokens", "doc_dedup_lines", "doc_stopword_langid",
-        "doc_quality_score",
+        "doc_quality_score", "a5_group_aggregates", "a10_quantiles_exact",
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail})
@@ -1211,6 +1228,40 @@ def oracle_sql() -> dict[str, str]:
         WHERE rn = 1
     """.format(score_aug=o["doc_quality_score"].replace(
         "FROM documents", "FROM aug"))
+
+    o["dedup_lsh_incremental"] = f"""
+        WITH aug AS ({_AUG_SQL}),
+        sig AS (SELECT doc_id, {mh_cols} FROM aug),
+        {_bands_capped}
+        SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+               greatest(a.doc_id, b.doc_id) AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id != b.doc_id
+        WHERE a.doc_id >= 10000 OR b.doc_id >= 10000
+    """
+
+    o["events_value_outliers"] = """
+        WITH stats AS (
+          SELECT event_type, COUNT(value) AS n,
+                 SUM(CAST(value AS DOUBLE)) AS s,
+                 SUM(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS sq
+          FROM events WHERE value IS NOT NULL GROUP BY event_type),
+        st AS (SELECT event_type, s / n AS mean,
+                      sqrt(greatest(sq / n - (s / n) * (s / n), 0.0)) AS std
+               FROM stats),
+        z AS (SELECT e.event_type,
+                     CASE WHEN st.std > 0
+                          THEN abs(CAST(e.value AS DOUBLE) - st.mean) / st.std
+                          END AS z
+              FROM events e JOIN st USING (event_type)
+              WHERE e.value IS NOT NULL)
+        SELECT event_type, COUNT(*) AS n_values,
+               CAST(SUM(CASE WHEN z > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_outliers,
+               round(MAX(z), 4) AS max_abs_z
+        FROM z GROUP BY event_type
+    """
 
     o["dedup_ngram_jaccard_top"] = f"""
         WITH sh AS (SELECT doc_id, lang AS block, {_SHINGLES} AS sh FROM documents)

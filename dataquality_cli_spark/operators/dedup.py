@@ -168,6 +168,51 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def lsh_incremental_pairs(new_df: DataFrame, old_bands: DataFrame,
+                          text_col: str = "text",
+                          max_bucket_size: int | None = None) -> DataFrame:
+    """Incremental dedup: candidates between a NEW batch and an existing
+    corpus represented ONLY by its materialized band table
+    (doc_id, band_id, band_hash) — the signature index a production
+    pipeline maintains as the corpus grows. The old corpus TEXT is never
+    re-scanned: new docs hash once, then one equi-join of the new bands
+    against (new ∪ old) bands yields every pair with >= 1 new side —
+    (new x new) and (new x old), never (old x old), which the previous
+    full run already emitted. Bucket-size capping applies to the UNION
+    (boilerplate floods count across old+new). Pairs are canonical
+    (id_a < id_b)."""
+    from pyspark import StorageLevel
+
+    new_bands = lsh_bands(minhash_signatures(new_df, text_col)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    union = new_bands.unionByName(old_bands)
+    if max_bucket_size is not None:
+        # one oversized-key set (counted over the UNION), anti-joined
+        # away from BOTH join sides — same broadcast shape as cap_buckets
+        oversized = (
+            union.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band_id", "band_hash")
+            .persist()
+        )
+        keys = ["band_id", "band_hash"]
+        new_side = new_bands.join(F.broadcast(oversized), keys, "left_anti")
+        all_side = union.join(F.broadcast(oversized), keys, "left_anti")
+    else:
+        new_side, all_side = new_bands, union
+    return (
+        new_side.alias("a").join(all_side.alias("b"), ["band_id", "band_hash"])
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("id_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup: sha256 groups with multiplicity > 1."""
     return (

@@ -321,6 +321,51 @@ def drift_psi(cur: DataFrame, ref: DataFrame, col: str,
     )
 
 
+def value_outliers(df: DataFrame, group: str, col: str,
+                   z_threshold: float = 3.0) -> DataFrame:
+    """Per-group z-score outlier monitoring (the anomaly half of drift
+    monitoring: a batch whose values sit far from the group's own
+    distribution). Plan: one tiny per-group stats agg (mean + manual
+    sumsq-form population std — the SAME double ops as the DuckDB
+    oracle, Welford-style stddev_pop drifts in the last ulp), broadcast
+    back, flag |v - mean| > z * std. Two scans of the column, zero
+    wide shuffle; std == 0 groups report no outliers (constant column ==
+    nothing is anomalous, not everything)."""
+    v = F.col(col).cast("double")
+    stats = (
+        df.filter(v.isNotNull())
+        .groupBy(group)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(v).alias("_s"),
+            F.sum(v * v).alias("_sq"),
+        )
+        .select(
+            group,
+            (F.col("_s") / F.col("_n")).alias("_mean"),
+            F.sqrt(F.greatest(
+                F.col("_sq") / F.col("_n")
+                - (F.col("_s") / F.col("_n")) * (F.col("_s") / F.col("_n")),
+                F.lit(0.0))).alias("_std"),
+        )
+    )
+    z = F.when(F.col("_std") > 0, F.abs(v - F.col("_mean")) / F.col("_std"))
+    flagged = (
+        df.filter(v.isNotNull())
+        .join(F.broadcast(stats), group)
+        .select(F.col(group), z.alias("_z"))
+    )
+    return (
+        flagged.groupBy(group)
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum(F.when(F.col("_z") > z_threshold, 1).otherwise(0))
+            .cast("long").alias("n_outliers"),
+            F.round(F.max("_z"), 4).alias("max_abs_z"),
+        )
+    )
+
+
 def quantile_buckets(df: DataFrame, col: str, n_buckets: int = 4) -> DataFrame:
     """Equal-VALUE quantile bucketing — the 100 TB shape the global
     ntile decile query can't take (ntile sorts the whole table on ONE

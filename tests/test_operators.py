@@ -381,6 +381,36 @@ def test_neardup_clusters_long_chain_converges_logarithmically(spark):
     assert got2 == {3: 3, 4: 3, 5: 3, 90: 90, 91: 90, 92: 90}
 
 
+def test_lsh_incremental_matches_full_run_for_new_pairs(spark, docs, aug):
+    """Incremental candidates (new batch vs existing band index) must
+    equal the full run's pairs that touch a new doc — and never emit an
+    old x old pair (already produced by the previous full run)."""
+    new = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10_000)
+    old_bands = dedup.lsh_bands(dedup.minhash_signatures(docs))
+    inc = {(r.id_a, r.id_b) for r in
+           dedup.lsh_incremental_pairs(new, old_bands).collect()}
+    full = {(r.id_a, r.id_b) for r in
+            dedup.lsh_candidate_pairs(aug).collect()}
+    touching_new = {p for p in full if p[0] >= 10_000 or p[1] >= 10_000}
+    assert inc == touching_new
+    assert all(a >= 10_000 or b >= 10_000 for a, b in inc)
+
+
+def test_value_outliers_planted(spark):
+    """A planted far-out value is flagged in its own group only; a
+    constant group (std == 0) reports zero outliers, not everything."""
+    from dataquality_cli_spark.operators.profile import value_outliers
+
+    rows = [("a", float(v)) for v in range(100)] + [("a", 10_000.0)]
+    rows += [("b", 5.0)] * 50
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r.g: r for r in value_outliers(df, "g", "v").collect()}
+    assert got["a"].n_outliers == 1 and got["a"].max_abs_z > 3
+    assert got["b"].n_outliers == 0 and got["b"].max_abs_z is None
+    assert got["a"].n_values == 101 and got["b"].n_values == 50
+
+
 def test_neardup_clusters_matches_union_find(spark):
     """Property check of star contraction against an independent pure-
     Python union-find on random small graphs (self-loops, duplicates,

@@ -721,6 +721,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_score", "a5_group_aggregates", "a10_quantiles_exact",
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
+    # self-enforcing: every non-tail (i.e. new/modified) query must fit
+    # in the driver's 50-entry checked window
+    assert len(ordered) <= 50, (
+        f"{len(ordered)} non-tail queries exceed the driver's 50-query "
+        f"window — move more r-green untouched entries into `tail`")
+    assert set(tail) <= set(q), "tail names a query that no longer exists"
     ordered.update({k: q[k] for k in tail})
     return ordered
 

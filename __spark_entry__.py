@@ -530,10 +530,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # distribution drift (PSI) between two snapshots of the same table —
     # the monitoring query a data-quality tool runs per ingest
-    # per-group z-score outlier monitoring (the anomaly half of drift)
-    q["events_value_outliers"] = lambda s, d: profile.value_outliers(
-        _t(s, d, "events"), group="event_type", col="value")
-
     def drift(s, d):
         o = _t(s, d, "orders")
         cur = o.filter(F.col("o_orderdate") >= "1999-01-01")
@@ -542,6 +538,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  width=50_000.0, n_buckets=10)
 
     q["dq_drift_psi"] = drift
+
+    # per-group z-score outlier monitoring (the anomaly half of drift)
+    q["events_value_outliers"] = lambda s, d: profile.value_outliers(
+        _t(s, d, "events"), group="event_type", col="value")
 
     # --- event-time windows (streaming-compatible aggregations) ---
     q["events_hourly"] = lambda s, d: W.hourly_event_agg(_t(s, d, "events"))

@@ -188,11 +188,13 @@ def _read_manifest(spark: SparkSession, out_dir: str) -> dict[str, dict]:
     from pyspark.errors import AnalysisException
 
     try:
-        rows = spark.read.parquet(f"{out_dir}/{_MANIFEST}").collect()
+        # try-scope ONLY the read: a corrupt/drifted manifest must raise
+        # loudly, never be misread as 'not written yet'
+        mdf = spark.read.parquet(f"{out_dir}/{_MANIFEST}")
     except AnalysisException:  # manifest not written yet
         return {}
     return {r["stage"]: {"n_rows": r["n_rows"], "path": r["path"]}
-            for r in rows}
+            for r in mdf.collect()}
 
 
 def _append_manifest(spark: SparkSession, out_dir: str, stage: str,
@@ -248,11 +250,12 @@ def build_corpus_resumable(
     params_json = json.dumps(params, sort_keys=True)
     params_path = f"{out_dir}/_params"
     try:
-        prior = spark.read.parquet(params_path).collect()[0]["params"]
+        pdf = spark.read.parquet(params_path)  # try-scope only the read
     except AnalysisException:
-        prior = None
+        pdf = None
         spark.createDataFrame([(params_json,)], "params string") \
             .coalesce(1).write.parquet(params_path)
+    prior = pdf.collect()[0]["params"] if pdf is not None else None
     if prior is not None and prior != params_json:
         diff = {k: (json.loads(prior).get(k), v) for k, v in params.items()
                 if json.loads(prior).get(k) != v}

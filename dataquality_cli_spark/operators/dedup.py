@@ -89,6 +89,28 @@ def lsh_bands(sig_df: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     )
 
 
+def oversized_bucket_keys(bands: DataFrame, key_cols: list[str],
+                          max_bucket_size: int,
+                          metrics_out: dict | None = None) -> DataFrame:
+    """Keys of LSH buckets exceeding the cap — tiny by construction
+    (each is a boilerplate mega-cluster), computed with one partial
+    map-side agg. Shared by :func:`cap_buckets` and the incremental
+    path (which must drop the same keys from BOTH join sides).
+    ``metrics_out['dropped_buckets']`` is the opt-in observation count;
+    it persists the key set so the count action and the downstream
+    anti-join(s) share one aggregation pass."""
+    oversized = (
+        bands.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket_size)
+        .select(*key_cols)
+    )
+    if metrics_out is not None:
+        oversized = oversized.persist()
+        metrics_out["dropped_buckets"] = oversized.count()
+    return oversized
+
+
 def cap_buckets(bands: DataFrame, key_cols: list[str],
                 max_bucket_size: int | None,
                 metrics_out: dict | None = None) -> DataFrame:
@@ -107,17 +129,8 @@ def cap_buckets(bands: DataFrame, key_cols: list[str],
     'boilerplate flood' from 'real near-dups'."""
     if max_bucket_size is None:
         return bands
-    oversized = (
-        bands.groupBy(*key_cols)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > max_bucket_size)
-        .select(*key_cols)
-    )
-    if metrics_out is not None:
-        # persist so the count action and the anti-join share ONE
-        # aggregation pass (released by ContextCleaner with the plan)
-        oversized = oversized.persist()
-        metrics_out["dropped_buckets"] = oversized.count()
+    oversized = oversized_bucket_keys(bands, key_cols, max_bucket_size,
+                                      metrics_out)
     return bands.join(F.broadcast(oversized), key_cols, "left_anti")
 
 
@@ -170,7 +183,8 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
 
 def lsh_incremental_pairs(new_df: DataFrame, old_bands: DataFrame,
                           text_col: str = "text",
-                          max_bucket_size: int | None = None) -> DataFrame:
+                          max_bucket_size: int | None = None,
+                          metrics_out: dict | None = None) -> DataFrame:
     """Incremental dedup: candidates between a NEW batch and an existing
     corpus represented ONLY by its materialized band table
     (doc_id, band_id, band_hash) — the signature index a production
@@ -183,25 +197,26 @@ def lsh_incremental_pairs(new_df: DataFrame, old_bands: DataFrame,
     (id_a < id_b)."""
     from pyspark import StorageLevel
 
-    new_bands = lsh_bands(minhash_signatures(new_df, text_col)).persist(
-        StorageLevel.MEMORY_AND_DISK
+    new_bands = lsh_bands(minhash_signatures(new_df, text_col))
+    # ONE persisted dataset serves every downstream use (oversized-key
+    # agg, both join sides): a `_is_new` marker distinguishes the sides,
+    # so neither the new batch's signature projection nor the (typically
+    # lazy) old-band lineage is ever computed twice
+    union = (
+        new_bands.withColumn("_is_new", F.lit(True))
+        .unionByName(old_bands.withColumn("_is_new", F.lit(False)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    union = new_bands.unionByName(old_bands)
     if max_bucket_size is not None:
-        # one oversized-key set (counted over the UNION), anti-joined
-        # away from BOTH join sides — same broadcast shape as cap_buckets
-        oversized = (
-            union.groupBy("band_id", "band_hash")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_bucket_size)
-            .select("band_id", "band_hash")
-            .persist()
-        )
+        # oversized keys counted over the UNION (boilerplate floods
+        # count across old+new), anti-joined off the shared dataset so
+        # BOTH join sides drop the same buckets
         keys = ["band_id", "band_hash"]
-        new_side = new_bands.join(F.broadcast(oversized), keys, "left_anti")
-        all_side = union.join(F.broadcast(oversized), keys, "left_anti")
-    else:
-        new_side, all_side = new_bands, union
+        oversized = oversized_bucket_keys(union, keys, max_bucket_size,
+                                          metrics_out)
+        union = union.join(F.broadcast(oversized), keys, "left_anti")
+    new_side = union.filter(F.col("_is_new")).drop("_is_new")
+    all_side = union.drop("_is_new")
     return (
         new_side.alias("a").join(all_side.alias("b"), ["band_id", "band_hash"])
         .filter(F.col("a.doc_id") != F.col("b.doc_id"))

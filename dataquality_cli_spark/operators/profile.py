@@ -325,29 +325,20 @@ def value_outliers(df: DataFrame, group: str, col: str,
                    z_threshold: float = 3.0) -> DataFrame:
     """Per-group z-score outlier monitoring (the anomaly half of drift
     monitoring: a batch whose values sit far from the group's own
-    distribution). Plan: one tiny per-group stats agg (mean + manual
-    sumsq-form population std — the SAME double ops as the DuckDB
-    oracle, Welford-style stddev_pop drifts in the last ulp), broadcast
-    back, flag |v - mean| > z * std. Two scans of the column, zero
-    wide shuffle; std == 0 groups report no outliers (constant column ==
-    nothing is anomalous, not everything)."""
+    distribution). Plan: one tiny per-group stats agg (mean + population
+    std via the SHARED weighted_numeric_aggs formulas with unit weights
+    — one copy of the parity-critical sumsq-form double ops, mirrored
+    term-by-term by the DuckDB oracle; Welford-style stddev_pop drifts
+    in the last ulp), broadcast back, flag |v - mean| > z * std. Two
+    scans of the column, zero wide shuffle; std == 0 groups report no
+    outliers (constant column == nothing is anomalous, not
+    everything)."""
     v = F.col(col).cast("double")
+    w = weighted_numeric_aggs(v, F.lit(1))
     stats = (
         df.filter(v.isNotNull())
         .groupBy(group)
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.sum(v).alias("_s"),
-            F.sum(v * v).alias("_sq"),
-        )
-        .select(
-            group,
-            (F.col("_s") / F.col("_n")).alias("_mean"),
-            F.sqrt(F.greatest(
-                F.col("_sq") / F.col("_n")
-                - (F.col("_s") / F.col("_n")) * (F.col("_s") / F.col("_n")),
-                F.lit(0.0))).alias("_std"),
-        )
+        .agg(w["mean"].alias("_mean"), w["std"].alias("_std"))
     )
     z = F.when(F.col("_std") > 0, F.abs(v - F.col("_mean")) / F.col("_std"))
     flagged = (

@@ -107,10 +107,13 @@ def completed_parts(spark: SparkSession, out_dir: str) -> set[int]:
 
     manifest = os.path.join(out_dir, "_manifest")
     try:
-        rows = spark.read.parquet(manifest).select("part_id").distinct().collect()
+        # try-scope ONLY the read: a schema-drifted/corrupt manifest must
+        # raise loudly, not be misread as 'not written yet' (which would
+        # silently reprocess every partition and double-append metrics)
+        mdf = spark.read.parquet(manifest)
     except AnalysisException:  # not written yet
         return set()
-    return {r.part_id for r in rows}
+    return {r.part_id for r in mdf.select("part_id").distinct().collect()}
 
 
 def run_with_checkpoint(spark: SparkSession, df: DataFrame, out_dir: str,

@@ -395,6 +395,25 @@ def test_lsh_incremental_matches_full_run_for_new_pairs(spark, docs, aug):
     touching_new = {p for p in full if p[0] >= 10_000 or p[1] >= 10_000}
     assert inc == touching_new
     assert all(a >= 10_000 or b >= 10_000 for a, b in inc)
+    # capped path: a boilerplate flood present in BOTH old corpus and the
+    # new batch is one over-full union bucket — dropped from both sides,
+    # observable via metrics_out, real near-dups unaffected
+    boiler = spark.range(200).select(
+        (F.col("id") + 50_000).alias("doc_id"),
+        F.lit("permission is hereby granted free of charge " * 6).alias("text"),
+        F.lit("en").alias("lang"), F.lit("b").alias("source"),
+        F.lit(200).alias("n_chars"))
+    old_flood = docs.unionByName(boiler)
+    new_flood = new.unionByName(
+        boiler.limit(50).withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    flood_bands = dedup.lsh_bands(dedup.minhash_signatures(old_flood))
+    metrics: dict = {}
+    capped = {(r.id_a, r.id_b) for r in dedup.lsh_incremental_pairs(
+        new_flood, flood_bands, max_bucket_size=64,
+        metrics_out=metrics).collect()}
+    assert metrics["dropped_buckets"] >= 1
+    assert not any(a >= 1_000_000 or b >= 1_000_000 for a, b in capped)
+    assert capped == touching_new  # the planted dups still all found
 
 
 def test_value_outliers_planted(spark):

@@ -41,7 +41,10 @@ def stratified_sample(df: DataFrame, strata_col: str,
     selected set is identical across reruns, engines (DuckDB-oracle
     verifiable), partition layouts, and cluster sizes — which makes
     corpus builds reproducible. Changing ``salt`` draws an independent
-    sample."""
+    sample. Samples are NESTED in the fraction: raising a stratum's
+    fraction only ADDS rows (the threshold grows, the predicate set is
+    monotone) — growing a training mix later never invalidates data
+    already selected, cleaned, and tokenized."""
     h = F.md5(F.concat(
         F.lit(salt + ":"), F.col(strata_col).cast("string"),
         F.lit(":"), F.col(key_col).cast("string"),

@@ -31,6 +31,25 @@ def test_stratified_sample_hits_fractions_and_is_deterministic(spark):
     assert sorted(r.doc_id for r in c.collect()) != sorted(r.doc_id for r in a.collect())
 
 
+def test_stratified_and_split_samples_are_nested_in_fraction(spark):
+    """md5-threshold samples are MONOTONE in the fraction: raising it
+    only adds rows — growing a corpus mix later never invalidates data
+    already selected (RNG draws re-shuffle everything)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    prev: set = set()
+    for f in (0.1, 0.3, 0.6, 1.0):
+        cur = {r.doc_id for r in sampling.stratified_sample(
+            docs, "lang", {"en": f, "de": f}).collect()}
+        assert prev <= cur, f
+        prev = cur
+    prev = set()
+    for f in (0.05, 0.25, 0.75):
+        cur = {r.doc_id for r in
+               sampling.hash_split(docs, "doc_id", f).collect()}
+        assert prev <= cur, f
+        prev = cur
+
+
 def test_proportional_fractions_rebalance(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     mix = {"en": 0.5, "de": 0.5}

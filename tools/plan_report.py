@@ -32,6 +32,8 @@ CHECKS = {
     "doc_quality_buckets": "threshold agg broadcast back as 1-row join — NO Window/global Sort (vs the ntile decile)",
     "dedup_cluster_representatives": "min-struct argmax in the final agg — no Window; LSH path cap via broadcast LeftAnti",
     "doc_scrub_hits": "one scan, whole-stage-codegen regexp chain (no Python)",
+    "dedup_lsh_incremental": "new-vs-(new ∪ old-index) equi-join; cap via broadcast LeftAnti; no cross join",
+    "events_value_outliers": "tiny per-group stats agg broadcast back; no Window, no wide shuffle",
     "pipeline": "scan(5 cols) -> salt Exchange -> ONE ArrowEvalPython -> project",
     "profile_documents_table": "ONE parquet scan, no Expand (melt -> distinct-value counts -> weighted aggs)",
     "describe_exact": "ONE csv scan, no Expand; Generate (melt) in the scan stage",

@@ -314,6 +314,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_repetition_signals"] = lambda s, d: text.repetition_signals(
         _t(s, d, "documents"))
 
+    # fixed-size token chunking with overlap (pre-embedding splitter)
+    q["doc_chunks"] = lambda s, d: text.chunk_documents(
+        _t(s, d, "documents"), chunk_tokens=32, overlap=8)
+
+    # corpus-wide token vocabulary (tokenizer-training precursor)
+    q["corpus_vocabulary"] = lambda s, d: text.vocabulary(
+        _t(s, d, "documents"), top_k=100)
+
     # corpus-wide quality deciles: ntile window over the rounded score
     # (round BEFORE rank — pinned parity rule), doc_id tie-break.
     # NOTE a global ntile sorts on ONE partition — correct for the
@@ -719,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f7_name_truncate", "doc_token_stats", "doc_fingerprint",
         "doc_bpe_tokens", "doc_dedup_lines", "doc_stopword_langid",
         "doc_quality_score", "a5_group_aggregates", "a10_quantiles_exact",
+        "a11_distinct_exact", "a15_type_vote",
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     # self-enforcing: every non-tail (i.e. new/modified) query must fit
@@ -1053,6 +1062,23 @@ def oracle_sql() -> dict[str, str]:
                                / CAST(len(grams2) AS DOUBLE), 4)
                     ELSE 0.0 END AS dup_2gram_fraction
         FROM g
+    """
+
+    o["doc_chunks"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               CAST(s AS INTEGER) AS chunk_start,
+               CAST(len(toks[s + 1 : s + 32]) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(toks[s + 1 : s + 32], ' ') AS chunk_text
+        FROM (SELECT doc_id, toks,
+                     unnest(range(0, greatest(len(toks), 1), 24)) AS s
+              FROM t)
+    """
+
+    o["corpus_vocabulary"] = f"""
+        SELECT token, COUNT(*) AS n
+        FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+        GROUP BY token ORDER BY n DESC, token ASC LIMIT 100
     """
 
     o["doc_quality_deciles"] = f"""

@@ -218,6 +218,56 @@ def dedup_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    chunk_tokens: int = 64, overlap: int = 16) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap — the
+    pre-embedding / pre-training splitter (long docs exceed embedding
+    and context windows; overlap preserves cross-boundary context).
+    stride = chunk_tokens - overlap; chunk starts are the stride
+    multiples <= last token, so every token is covered and consecutive
+    chunks share ``overlap`` tokens. Pure built-ins: a stepped sequence
+    (Generate in the scan stage) + slice + concat_ws — one scan, no
+    shuffle, no UDF. Returns (doc_id, chunk_start, n_chunk_tokens,
+    chunk_text); chunk_start identifies the chunk (exact stride
+    multiples, portable — no float division)."""
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_tokens "
+                         f"({chunk_tokens})")
+    stride = chunk_tokens - overlap
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    return (
+        df.select("doc_id", toks.alias("_t"),
+                  F.explode(starts).alias("chunk_start"))
+        .withColumn("_t", F.slice(F.col("_t"), F.col("chunk_start") + 1,
+                                  chunk_tokens))
+        .select(
+            "doc_id", "chunk_start",
+            F.size("_t").cast("long").alias("n_chunk_tokens"),
+            F.array_join("_t", " ").alias("chunk_text"),
+        )
+    )
+
+
+def vocabulary(df: DataFrame, text_col: str = "text",
+               top_k: int = 100) -> DataFrame:
+    """Corpus-wide token vocabulary with counts — the tokenizer-training
+    precursor (and the heavy-hitter report a corpus owner reads). One
+    Generate (explode) in the scan stage -> partial-aggregated
+    groupBy(token) (uniform-ish hash keys; a heavy hitter is exactly
+    what map-side combine flattens) -> bounded top-k via TakeOrdered,
+    deterministic tie-break on the token itself."""
+    toks = tokens_col(F.col(text_col))
+    return (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(top_k)
+    )
+
+
 def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style within-document repetition signals (Rae et al. 2021,
     table A1 'repetition' filters — public method): the quality gates

@@ -636,6 +636,47 @@ def test_quantile_buckets_no_global_sort(spark):
         assert abs(c - n / 4) < 0.05 * n + 5, counts
 
 
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token lands in >= 1 chunk; consecutive chunks share exactly
+    `overlap` tokens; short docs yield one curtailed chunk."""
+    from dataquality_cli_spark.operators.text import chunk_documents
+
+    long_text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, "a b c"), (3, "x")], "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=16, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_start)
+    # stride 12: starts 0,12,24,...,96
+    assert [r.chunk_start for r in c1] == list(range(0, 100, 12))
+    toks = long_text.split(" ")
+    covered = set()
+    for r in c1:
+        piece = r.chunk_text.split(" ")
+        assert piece == toks[r.chunk_start:r.chunk_start + 16]
+        assert r.n_chunk_tokens == len(piece)
+        covered.update(range(r.chunk_start, r.chunk_start + len(piece)))
+    assert covered == set(range(100))
+    # consecutive chunks overlap by exactly 4 token positions
+    assert c1[1].chunk_start == 12 and 16 - 12 == 4
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_chunk_tokens == 3
+    assert len(by_doc[3]) == 1 and by_doc[3][0].chunk_text == "x"
+    import pytest
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_vocabulary_counts_and_tiebreak(spark):
+    from dataquality_cli_spark.operators.text import vocabulary
+
+    df = spark.createDataFrame(
+        [(1, "b a b c"), (2, "a b z")], "doc_id long, text string")
+    rows = vocabulary(df, top_k=3).collect()
+    assert [(r.token, r.n) for r in rows] == [("b", 3), ("a", 2), ("c", 1)]
+
+
 def test_repetition_signals_planted_fixtures(spark):
     """Gopher-style repetition gates on hand-computed fixtures."""
     from dataquality_cli_spark.operators.text import repetition_signals

@@ -234,6 +234,12 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
         raise ValueError(f"overlap ({overlap}) must be < chunk_tokens "
                          f"({chunk_tokens})")
     stride = chunk_tokens - overlap
+    # the slice/join work is per-chunk interpreted expression cost —
+    # spread a one-file source to every core (the remove_repeated_spans
+    # lesson: Generate stages inherit the source's partitioning)
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     toks = tokens_col(F.col(text_col))
     n = F.size(toks)
     starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
@@ -258,6 +264,9 @@ def vocabulary(df: DataFrame, text_col: str = "text",
     groupBy(token) (uniform-ish hash keys; a heavy hitter is exactly
     what map-side combine flattens) -> bounded top-k via TakeOrdered,
     deterministic tie-break on the token itself."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     toks = tokens_col(F.col(text_col))
     return (
         df.select(F.explode(toks).alias("token"))

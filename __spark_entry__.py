@@ -1071,7 +1071,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(toks[s + 1 : s + 32]) AS BIGINT) AS n_chunk_tokens,
                array_to_string(toks[s + 1 : s + 32], ' ') AS chunk_text
         FROM (SELECT doc_id, toks,
-                     unnest(range(0, greatest(len(toks), 1), 24)) AS s
+                     unnest(range(0, greatest(len(toks) - 8, 1), 24)) AS s
               FROM t)
     """
 

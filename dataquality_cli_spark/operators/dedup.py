@@ -68,10 +68,9 @@ def minhash_signature(text: Column, n_hashes: int = N_HASHES) -> list[Column]:
 def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     # the salted-md5 signature projection is the expensive part — make
     # sure it runs at cluster parallelism even off a one-partition source
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
-    return df.select("doc_id", *minhash_signature(F.col(text_col)))
+    from .util import spread
+
+    return spread(df).select("doc_id", *minhash_signature(F.col(text_col)))
 
 
 def lsh_bands(sig_df: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
@@ -686,11 +685,11 @@ def repeated_span_positions(df: DataFrame, text_col: str = "text",
     )
     # the windowing projection is interpreted HOF work (transform/slice
     # run outside whole-stage codegen) — spread it to every core even
-    # off a one-file source (same move as minhash_signatures; measured
-    # 15.2s -> ~1s on the sf0.1 one-file documents table)
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    # off a one-file source (measured 15.2s -> ~1s on the sf0.1
+    # one-file documents table)
+    from .util import spread
+
+    df = spread(df)
     windows = (
         df.select("doc_id", F.explode(win).alias("w"))
         .select("doc_id", "w.pos", "w.h")
@@ -725,9 +724,9 @@ def remove_repeated_spans(df: DataFrame, text_col: str = "text",
     # the token-drop projection below is also interpreted HOF work
     # (transform/filter/exists) — spread the doc side before the join so
     # it runs at cluster parallelism off a one-file source
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    from .util import spread
+
+    df = spread(df)
     flagged = (
         repeated_span_positions(df, text_col, k_tokens, min_docs)
         .groupBy("doc_id")

@@ -224,12 +224,14 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
     pre-embedding / pre-training splitter (long docs exceed embedding
     and context windows; overlap preserves cross-boundary context).
     stride = chunk_tokens - overlap; chunk starts are the stride
-    multiples <= last token, so every token is covered and consecutive
-    chunks share ``overlap`` tokens. Pure built-ins: a stepped sequence
-    (Generate in the scan stage) + slice + concat_ws — one scan, no
-    shuffle, no UDF. Returns (doc_id, chunk_start, n_chunk_tokens,
-    chunk_text); chunk_start identifies the chunk (exact stride
-    multiples, portable — no float division)."""
+    multiples that introduce at least one new token, so every token is
+    covered, consecutive chunks share ``overlap`` tokens, and no chunk
+    is fully contained in its predecessor. Pure built-ins: a stepped
+    sequence Generate + slice + array_join, no UDF; one scan plus (only
+    for an under-partitioned source) the spread repartition. Returns
+    (doc_id, chunk_start, n_chunk_tokens, chunk_text); chunk_start
+    identifies the chunk (exact stride multiples, portable — no float
+    division)."""
     if overlap >= chunk_tokens:
         raise ValueError(f"overlap ({overlap}) must be < chunk_tokens "
                          f"({chunk_tokens})")
@@ -237,12 +239,16 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
     # the slice/join work is per-chunk interpreted expression cost —
     # spread a one-file source to every core (the remove_repeated_spans
     # lesson: Generate stages inherit the source's partitioning)
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    from .util import spread
+
+    df = spread(df)
     toks = tokens_col(F.col(text_col))
     n = F.size(toks)
-    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    # last start must introduce >= 1 NEW token: starts <= n-overlap-1
+    # (a start in (n-overlap-1, n) would emit a chunk fully contained in
+    # its predecessor — duplicate embeddings/retrieval hits downstream)
+    starts = F.sequence(F.lit(0), F.greatest(n - overlap - 1, F.lit(0)),
+                        F.lit(stride))
     return (
         df.select("doc_id", toks.alias("_t"),
                   F.explode(starts).alias("chunk_start"))
@@ -260,16 +266,16 @@ def vocabulary(df: DataFrame, text_col: str = "text",
                top_k: int = 100) -> DataFrame:
     """Corpus-wide token vocabulary with counts — the tokenizer-training
     precursor (and the heavy-hitter report a corpus owner reads). One
-    Generate (explode) in the scan stage -> partial-aggregated
-    groupBy(token) (uniform-ish hash keys; a heavy hitter is exactly
-    what map-side combine flattens) -> bounded top-k via TakeOrdered,
-    deterministic tie-break on the token itself."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    Generate (explode) feeding a partial-aggregated groupBy(token)
+    (uniform-ish hash keys; a heavy hitter is exactly what map-side
+    combine flattens) -> bounded top-k via TakeOrdered, deterministic
+    tie-break on the token itself; an under-partitioned source is
+    spread first."""
+    from .util import spread
+
     toks = tokens_col(F.col(text_col))
     return (
-        df.select(F.explode(toks).alias("token"))
+        spread(df).select(F.explode(toks).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("token"))

@@ -1,0 +1,18 @@
+"""Shared operator plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition an under-partitioned source to cluster parallelism —
+    the guard every Generate-/HOF-heavy operator needs: those stages
+    inherit the SOURCE's partitioning, so a one-file table would run the
+    expensive interpreted projections on 1-2 tasks regardless of cores
+    (measured on remove_repeated_spans: 14.3s -> 3.5s at sf0.1). No-op
+    (no Exchange) when the source already has enough partitions."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df

@@ -649,8 +649,9 @@ def test_chunk_documents_coverage_and_overlap(spark):
     for r in out:
         by_doc.setdefault(r.doc_id, []).append(r)
     c1 = sorted(by_doc[1], key=lambda r: r.chunk_start)
-    # stride 12: starts 0,12,24,...,96
-    assert [r.chunk_start for r in c1] == list(range(0, 100, 12))
+    # stride 12, last start <= n - overlap - 1 = 95: 0,12,...,84 — the
+    # old upper bound also emitted 96, a chunk fully inside 84's
+    assert [r.chunk_start for r in c1] == list(range(0, 96, 12))
     toks = long_text.split(" ")
     covered = set()
     for r in c1:
@@ -659,8 +660,15 @@ def test_chunk_documents_coverage_and_overlap(spark):
         assert r.n_chunk_tokens == len(piece)
         covered.update(range(r.chunk_start, r.chunk_start + len(piece)))
     assert covered == set(range(100))
-    # consecutive chunks overlap by exactly 4 token positions
-    assert c1[1].chunk_start == 12 and 16 - 12 == 4
+    # consecutive chunks overlap by exactly `overlap` tokens: each
+    # chunk's tail equals the next chunk's head
+    for prev, nxt in zip(c1, c1[1:]):
+        assert prev.chunk_text.split(" ")[-4:] == \
+            nxt.chunk_text.split(" ")[:4]
+    # every chunk introduces at least one new token vs its predecessor
+    for prev, nxt in zip(c1, c1[1:]):
+        assert nxt.chunk_start + nxt.n_chunk_tokens \
+            > prev.chunk_start + prev.n_chunk_tokens
     assert len(by_doc[2]) == 1 and by_doc[2][0].n_chunk_tokens == 3
     assert len(by_doc[3]) == 1 and by_doc[3][0].chunk_text == "x"
     import pytest

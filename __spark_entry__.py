@@ -322,6 +322,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_vocabulary"] = lambda s, d: text.vocabulary(
         _t(s, d, "documents"), top_k=100)
 
+    # per-doc top-3 TF-IDF keywords (corpus-relative salience)
+    q["doc_tfidf_terms"] = lambda s, d: text.tfidf_top_terms(
+        _t(s, d, "documents"), top_k=3)
+
+    # distributed bigram-LM count collection (the table the KenLM-ish
+    # scorer trains from), top-100 pairs with MLE conditionals
+    q["corpus_bigram_lm"] = lambda s, d: text.bigram_lm_top(
+        _t(s, d, "documents"), top_k=100)
+
     # corpus-wide quality deciles: ntile window over the rounded score
     # (round BEFORE rank — pinned parity rule), doc_id tie-break.
     # NOTE a global ntile sorts on ONE partition — correct for the
@@ -422,6 +431,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- dedup ---
     q["dedup_exact_groups"] = lambda s, d: dedup.exact_dup_groups(_augmented_docs(s, d))
     q["dedup_keep_first"] = lambda s, d: dedup.dedup_keep_first(_augmented_docs(s, d))
+
+    # normalization-robust exact dedup: every 7th doc gets an UPPERCASED
+    # + re-punctuated twin (re-keyed +20000) that raw sha256 dedup CANNOT
+    # see — the oracle checks those groups report n_raw_variants = 2
+    def norm_dups(s, d):
+        docs = _t(s, d, "documents")
+        twins = docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 20_000).alias("doc_id"),
+            F.concat(F.upper(F.col("text")), F.lit(" ?!")).alias("text"),
+            "lang", "source", "n_chars",
+        )
+        return dedup.normalized_dup_groups(docs.unionByName(twins))
+
+    q["dedup_normalized_groups"] = norm_dups
+
+    # train/val shingle-leak audit over the md5-threshold split (the
+    # planted exact dups guarantee cross-split leaks to find)
+    def split_leak(s, d):
+        from dataquality_cli_spark.operators.sampling import split_leak_check
+
+        return split_leak_check(_augmented_docs(s, d), val_fraction=0.25)
+
+    q["corpus_split_leak"] = split_leak
     q["dedup_minhash_signatures"] = lambda s, d: dedup.minhash_signatures(_t(s, d, "documents"))
     # bucket cap ON (the 100 TB boilerplate-flood guard) — the oracles
     # implement the same cap so parity is semantic, not accidental
@@ -728,6 +760,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens", "doc_dedup_lines", "doc_stopword_langid",
         "doc_quality_score", "a5_group_aggregates", "a10_quantiles_exact",
         "a11_distinct_exact", "a15_type_vote",
+        # moved to tail for the r3 additions — each r2-green
+        # (CORRECTNESS_r02) and its implementation untouched since
+        "doc_alnum_fraction", "a16_two_level_summary",
+        "p6_top3_per_segment", "emb_norm_stats",
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     # self-enforcing: every non-tail (i.e. new/modified) query must fit
@@ -1081,6 +1117,44 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY token ORDER BY n DESC, token ASC LIMIT 100
     """
 
+    o["doc_tfidf_terms"] = f"""
+        WITH tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+          GROUP BY doc_id, term),
+        dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+                 round(CAST(tf.tf AS DOUBLE)
+                       * (ln((CAST(n.n_docs AS DOUBLE) + 1.0)
+                              / (CAST(dfreq.doc_freq AS DOUBLE) + 1.0))
+                          + 1.0), 6) AS tfidf
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        SELECT doc_id, term, tf, doc_freq, tfidf FROM (
+          SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY tfidf DESC, term ASC) AS rn
+          FROM scored)
+        WHERE rn <= 3
+    """
+
+    o["corpus_bigram_lm"] = f"""
+        WITH big AS (
+          SELECT toks[i] AS w1, toks[i + 1] AS w2
+          FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                FROM (SELECT {_TOKS} AS toks FROM documents))),
+        c12 AS (SELECT w1, w2, COUNT(*) AS n_pair
+                FROM big GROUP BY w1, w2),
+        c1 AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_ctx
+               FROM c12 GROUP BY w1)
+        SELECT c12.w1, c12.w2, n_pair, n_ctx,
+               round(CAST(n_pair AS DOUBLE) / CAST(n_ctx AS DOUBLE), 6)
+                 AS p_next
+        FROM c12 JOIN c1 USING (w1)
+        ORDER BY n_pair DESC, w1 ASC, w2 ASC LIMIT 100
+    """
+
     o["doc_quality_deciles"] = f"""
         WITH scored AS ({{score_sql}})
         SELECT doc_id, quality_score,
@@ -1170,6 +1244,39 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_streaming_exact"] = f"""
         WITH aug AS ({_AUG_SQL})
         SELECT DISTINCT sha256(text) AS content_hash FROM aug
+    """
+
+    o["dedup_normalized_groups"] = """
+        WITH aug AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 20000 AS doc_id, upper(text) || ' ?!' AS text
+          FROM documents WHERE doc_id % 7 = 0)
+        SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))
+                 AS norm_hash,
+               COUNT(*) AS n_docs,
+               CAST(COUNT(DISTINCT sha256(text)) AS BIGINT)
+                 AS n_raw_variants,
+               MIN(doc_id) AS keeper_id
+        FROM aug GROUP BY norm_hash HAVING COUNT(*) > 1
+    """
+
+    from dataquality_cli_spark.operators.sampling import _hex_threshold as _ht
+
+    o["corpus_split_leak"] = f"""
+        WITH aug AS ({_AUG_SQL}),
+        val AS (SELECT doc_id, text FROM aug
+                WHERE md5('split:' || CAST(doc_id AS VARCHAR))
+                      < '{_ht(0.25)}'),
+        train_sh AS (SELECT DISTINCT s AS sh FROM (
+            SELECT unnest({_SHINGLES}) AS s FROM aug
+            WHERE NOT (md5('split:' || CAST(doc_id AS VARCHAR))
+                       < '{_ht(0.25)}'))),
+        v AS (SELECT doc_id, unnest({_SHINGLES}) AS sh FROM val)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits, TRUE AS leaked
+        FROM v JOIN train_sh USING (sh)
+        GROUP BY doc_id HAVING COUNT(*) >= 3
     """
 
     mh_cols = ",\n".join(

@@ -749,3 +749,40 @@ def remove_repeated_spans(df: DataFrame, text_col: str = "text",
         F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("cleaned_text"),
     )
     return out
+
+
+def normalize_text_col(text: Column) -> Column:
+    """Canonical text normalization for robust exact dedup: lowercase,
+    map every non-alphanumeric rune to a space, collapse whitespace
+    runs, trim. Catches the trivial variants raw sha256 dedup misses
+    (case flips, punctuation/quoting drift, doubled spaces) — the
+    standard pre-hash step in web-corpus exact dedup. Pure built-ins
+    (Java regex here, RE2 'g' flag in the oracle twin — the character
+    classes used are portable between the two)."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " "),
+            r"\s+", " ",
+        )
+    )
+
+
+def normalized_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup over NORMALIZED text: md5(normalize(text)) groups
+    with multiplicity > 1, plus how many distinct RAW variants the
+    group folds together (n_raw_variants > 1 = docs that only
+    normalization reveals as duplicates — the added catch over
+    `exact_dup_groups`). Same 100 TB shape as exact dedup: the
+    normalization is scan-stage expression work, then one shuffle on a
+    uniform 128-bit key with map-side combine."""
+    norm_h = F.md5(normalize_text_col(F.col(text_col)))
+    return (
+        df.groupBy(norm_h.alias("norm_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.sha2(F.col(text_col), 256))
+             .alias("n_raw_variants"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

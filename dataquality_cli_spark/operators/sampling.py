@@ -202,3 +202,42 @@ def hash_split(df: DataFrame, key_col: str, fraction: float,
     shuffle; changing ``salt`` draws an independent split."""
     h = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
     return df.filter(h < F.lit(_hex_threshold(fraction)))
+
+
+def split_leak_check(df: DataFrame, key_col: str = "doc_id",
+                     text_col: str = "text", val_fraction: float = 0.25,
+                     salt: str = "split", min_hits: int = 3) -> DataFrame:
+    """Train/val contamination audit: validation docs sharing >=
+    ``min_hits`` character shingles with ANY training doc — the check a
+    corpus owner runs after splitting, because a random split of a
+    corpus containing near-duplicates leaks eval content into training
+    (the fix is dedup-before-split; this op quantifies the residual).
+    Split membership is the same md5-threshold rule as `hash_split`, so
+    the audit is reproducible across engines and partitionings.
+
+    Physical shape at 100 TB — deliberately NOT the broadcast shape of
+    `benchmark_contamination`: there the eval set is tiny, here the
+    TRAIN side is the big side, so its distinct shingle set cannot be
+    broadcast. This is an honest shuffle equi-join on the 8-char
+    shingle key (uniform, bounded-width), with both sides reduced
+    first (train DISTINCT-ed, val already per-doc-distinct via
+    shingles_col) and a partial-aggregated groupBy(doc) after."""
+    from .dedup import shingles_col
+
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    thr = F.lit(_hex_threshold(val_fraction))
+    val = df.filter(h < thr)
+    train = df.filter(~(h < thr))
+    train_sh = train.select(
+        F.explode(shingles_col(F.col(text_col))).alias("sh")
+    ).distinct()
+    val_sh = val.select(
+        key_col, F.explode(shingles_col(F.col(text_col))).alias("sh")
+    )
+    return (
+        val_sh.join(train_sh, "sh")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+        .withColumn("leaked", F.lit(True))
+    )

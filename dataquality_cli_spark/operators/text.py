@@ -364,3 +364,110 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
         F.length(text_col).cast("long").alias("n_chars"),
         F.round(ratio(F.col(text_col)), 4).alias("compression_ratio"),
     )
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    top_k: int = 3) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic keyword/salience
+    extractor (smooth-idf formula: tf * (ln((N+1)/(df+1)) + 1), the
+    sklearn TfidfVectorizer variant; public knowledge). Recasts the
+    reference's top-value frequency stat (internal/core/analyzer.go
+    top-1 value) to corpus-relative salience.
+
+    Physical shape at 100 TB: explode -> partial-aggregated
+    groupBy(doc_id, term) for tf (uniform two-part keys), a second
+    partial agg over term for document frequency (vocabulary-sized,
+    heavy hitters flattened by map-side combine), an equi-join of the
+    two aggregated sides on term, the corpus size N as a broadcast
+    1-row cross join, and per-doc top-k via sort_array over a
+    collect_list bounded by the doc's distinct-term count — no window,
+    no global sort. Rounds BEFORE ranking (pinned parity rule) and
+    tie-breaks on the term itself, so results are deterministic across
+    engines and partitionings."""
+    from .util import spread
+
+    toks = tokens_col(F.col(text_col))
+    tf = (
+        spread(df).select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf").cast("double")
+                * (F.log((F.col("n_docs").cast("double") + F.lit(1.0))
+                         / (F.col("doc_freq").cast("double") + F.lit(1.0)))
+                   + F.lit(1.0)),
+                6,
+            ),
+        )
+    )
+    # top-k per doc without a window: sort_array ascending on
+    # (-tfidf, term) = tfidf desc, term asc
+    packed = F.struct(
+        (-F.col("tfidf")).alias("neg"), F.col("term").alias("term"),
+        F.col("tf").alias("tf"), F.col("doc_freq").alias("doc_freq"),
+        F.col("tfidf").alias("tfidf"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.slice(F.sort_array(F.collect_list(packed)), 1, top_k)
+             .alias("top"))
+        .select("doc_id", F.explode("top").alias("t"))
+        .select("doc_id", "t.term", "t.tf", "t.doc_freq", "t.tfidf")
+    )
+
+
+def bigram_lm_top(df: DataFrame, text_col: str = "text",
+                  top_k: int = 100) -> DataFrame:
+    """Distributed bigram language-model training: corpus-wide bigram
+    counts with MLE conditional probability p_next = c(w1,w2)/c(w1,*),
+    top-k by pair count. This is the count-collection stage a KenLM-ish
+    scorer (functions/models.py consumes such tables as a broadcast
+    log-prob lookup) trains from — the piece that must run distributed
+    because n-gram counting IS the 100 TB pass.
+
+    Physical shape: one Generate per doc (adjacent-pair structs via
+    transform over a stepped sequence — empty for 1-token docs, Spark's
+    sequence() would count DOWN from 1 to 0 otherwise), two
+    partial-aggregated groupBys (pair counts, then context totals as a
+    second agg over the already-reduced pair table — never over raw
+    tokens), an equi-join on w1 of two aggregated vocabulary-bounded
+    sides, and a bounded TakeOrdered for the top-k. Probability rounds
+    to 6 before emit; total order (n_pair desc, w1, w2) is
+    deterministic across engines."""
+    from .util import spread
+
+    toks = tokens_col(F.col(text_col))
+    tk = F.col("_t")
+    pairs = F.transform(
+        F.when(F.size(tk) >= 2, F.sequence(F.lit(1), F.size(tk) - 1))
+        .otherwise(F.array().cast("array<int>")),
+        lambda i: F.struct(
+            F.element_at(tk, i).alias("w1"),
+            F.element_at(tk, i + 1).alias("w2"),
+        ),
+    )
+    big = (
+        spread(df).select(toks.alias("_t"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    c1 = c12.groupBy("w1").agg(F.sum("n_pair").alias("n_ctx"))
+    return (
+        c12.join(c1, "w1")
+        .select(
+            "w1", "w2", "n_pair", "n_ctx",
+            F.round(F.col("n_pair").cast("double")
+                    / F.col("n_ctx").cast("double"), 6).alias("p_next"),
+        )
+        .orderBy(F.desc("n_pair"), F.asc("w1"), F.asc("w2"))
+        .limit(top_k)
+    )

@@ -753,3 +753,99 @@ def test_remove_repeated_spans_deletes_boilerplate(spark):
     # untouched doc passes through byte-identical
     assert out[100].cleaned_text == rows[-1][1]
     assert out[100].n_tokens_removed == 0
+
+
+def test_tfidf_top_terms_salience_and_bounds(spark):
+    from dataquality_cli_spark.operators import text as T
+
+    rows = [
+        (1, "the the the zebra"),   # 'the' everywhere, 'zebra' only here
+        (2, "the cat sat"),
+        (3, "the dog ran"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = T.tfidf_top_terms(df, top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert all(len(v) <= 2 for v in by_doc.values())
+    # rare 'zebra' outranks thrice-repeated ubiquitous 'the' in doc 1:
+    # idf(the)=ln(4/4)+1=1 -> tfidf(the)=3; idf(zebra)=ln(4/2)+1 -> ~1.69
+    d1 = sorted(by_doc[1], key=lambda r: -r.tfidf)
+    assert d1[0].term == "the" and d1[0].tf == 3 and d1[0].doc_freq == 3
+    assert d1[1].term == "zebra" and d1[1].doc_freq == 1
+    import math
+    assert d1[1].tfidf == pytest.approx(
+        round(1 * (math.log(4 / 2) + 1), 6))
+    # rare terms (idf ~1.69) both outrank ubiquitous 'the' (idf = 1)
+    assert {r.term for r in by_doc[2]} == {"cat", "sat"}
+    # determinism: equal-score terms tie-break lexicographically, so at
+    # top_k=1 the winner among {cat, sat} is 'cat'
+    one = {r.doc_id: r.term
+           for r in T.tfidf_top_terms(df, top_k=1).collect()}
+    assert one[2] == "cat" and one[3] == "dog"
+
+
+def test_bigram_lm_counts_and_conditionals(spark):
+    from dataquality_cli_spark.operators import text as T
+
+    rows = [
+        (1, "a b a b"),
+        (2, "a b c"),
+        (3, "x"),          # 1-token doc: contributes no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.w1, r.w2): r for r in T.bigram_lm_top(df, top_k=100).collect()}
+    # bigrams: doc1 -> (a,b),(b,a),(a,b); doc2 -> (a,b),(b,c)
+    assert out[("a", "b")].n_pair == 3
+    assert out[("b", "a")].n_pair == 1
+    assert out[("b", "c")].n_pair == 1
+    assert ("x", "x") not in out and len(out) == 3
+    # MLE conditionals per context sum to 1
+    assert out[("a", "b")].p_next == pytest.approx(1.0)
+    assert out[("b", "a")].p_next == pytest.approx(0.5)
+    assert out[("b", "c")].p_next == pytest.approx(0.5)
+    assert out[("a", "b")].n_ctx == 3 and out[("b", "a")].n_ctx == 2
+
+
+def test_normalized_dedup_folds_case_and_punct(spark):
+    rows = [
+        (1, "Hello, World!"),
+        (2, "hello   world"),      # same after normalization
+        (3, "HELLO WORLD?"),       # same after normalization
+        (4, "goodbye world"),      # unique
+        (5, "goodbye world"),      # raw exact dup of 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = {r.keeper_id: r for r in
+              dedup.normalized_dup_groups(df).collect()}
+    assert set(groups) == {1, 4}
+    g1, g4 = groups[1], groups[4]
+    assert g1.n_docs == 3 and g1.n_raw_variants == 3  # norm-only catches
+    assert g4.n_docs == 2 and g4.n_raw_variants == 1  # raw dup folds too
+    # raw exact dedup sees only the {4,5} group — normalization strictly
+    # widens the catch
+    raw = dedup.exact_dup_groups(df).collect()
+    assert len(raw) == 1 and raw[0].keeper_id == 4
+
+
+def test_split_leak_check_finds_cross_split_dups(spark, docs, aug):
+    from dataquality_cli_spark.operators.sampling import (
+        _hex_threshold, split_leak_check)
+
+    leaks = split_leak_check(aug, val_fraction=0.25)
+    rows = leaks.collect()
+    assert len(rows) > 0  # planted dups straddle any hash split
+    # every flagged doc really is on the val side of the md5 threshold
+    thr = _hex_threshold(0.25)
+    val_ids = {
+        r.doc_id
+        for r in aug.withColumn(
+            "h", F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        ).filter(F.col("h") < thr).select("doc_id").collect()
+    }
+    assert {r.doc_id for r in rows} <= val_ids
+    # at least one planted twin (id >= 10k, text identical to its train-
+    # side original) is flagged with a saturated hit count
+    twin = [r for r in rows if r.doc_id >= 10_000]
+    assert twin and all(r.n_hits >= 3 for r in rows)

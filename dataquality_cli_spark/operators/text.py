@@ -384,16 +384,26 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     no global sort. Rounds BEFORE ranking (pinned parity rule) and
     tie-breaks on the term itself, so results are deterministic across
     engines and partitionings."""
+    from pyspark import StorageLevel
+
     from .util import spread
 
     toks = tokens_col(F.col(text_col))
+    # persist the reduced (doc, term, tf) table: it feeds BOTH the
+    # doc-frequency agg and the final join — without it Catalyst
+    # re-derives the branch from the source, i.e. a second full corpus
+    # scan + explode at 100 TB (the lsh_candidate_pairs band-persist
+    # lesson). Every doc appears here (empty text still yields one ''
+    # token), so corpus size N comes from this table too — zero extra
+    # passes over the raw corpus.
     tf = (
         spread(df).select("doc_id", F.explode(toks).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
-    n_docs = df.agg(F.countDistinct("doc_id").alias("n_docs"))
+    n_docs = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
@@ -459,7 +469,14 @@ def bigram_lm_top(df: DataFrame, text_col: str = "text",
         .select(F.explode(pairs).alias("p"))
         .select("p.w1", "p.w2")
     )
-    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    # persist the pair-count table: it feeds both the context-total agg
+    # and the join — unpersisted, Catalyst re-runs the corpus explode
+    # for the c1 branch (a second 100 TB pass). c12 is vocabulary²-
+    # bounded (distinct pairs), tiny next to the corpus.
+    from pyspark import StorageLevel
+
+    c12 = (big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
     c1 = c12.groupBy("w1").agg(F.sum("n_pair").alias("n_ctx"))
     return (
         c12.join(c1, "w1")

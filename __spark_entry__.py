@@ -454,6 +454,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return split_leak_check(_augmented_docs(s, d), val_fraction=0.25)
 
     q["corpus_split_leak"] = split_leak
+
+    # incremental-ingest delta between two snapshots: every 6th doc
+    # removed, every 9th (surviving) changed, every 11th re-added under
+    # a new key — only added/changed/removed rows come back
+    def snap_diff(s, d):
+        docs = _t(s, d, "documents")
+        new = (
+            docs.filter(F.col("doc_id") % 6 != 0)
+            .select(
+                "doc_id",
+                F.when(F.col("doc_id") % 9 == 0,
+                       F.concat(F.col("text"), F.lit(" v2")))
+                .otherwise(F.col("text")).alias("text"),
+            )
+            .unionByName(
+                docs.filter(F.col("doc_id") % 11 == 0).select(
+                    (F.col("doc_id") + 30_000).alias("doc_id"), "text"))
+        )
+        return dedup.snapshot_diff(docs, new)
+
+    q["corpus_snapshot_diff"] = snap_diff
+
+    # which source floods duplicates (planted dups give signal)
+    q["dedup_source_dup_rate"] = lambda s, d: dedup.source_dup_rate(
+        _augmented_docs(s, d))
     q["dedup_minhash_signatures"] = lambda s, d: dedup.minhash_signatures(_t(s, d, "documents"))
     # bucket cap ON (the 100 TB boilerplate-flood guard) — the oracles
     # implement the same cap so parity is semantic, not accidental
@@ -567,6 +592,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.avg(similarity.norm_col(F.col("embedding"))), 4).alias("avg_norm"),
         )
     )
+
+    # per-label centroid components (long form) — cluster-quality QA
+    q["emb_centroids"] = lambda s, d: similarity.embedding_centroids(
+        _t(s, d, "embeddings"))
 
     # distribution drift (PSI) between two snapshots of the same table —
     # the monitoring query a data-quality tool runs per ingest
@@ -764,6 +793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (CORRECTNESS_r02) and its implementation untouched since
         "doc_alnum_fraction", "a16_two_level_summary",
         "p6_top3_per_segment", "emb_norm_stats",
+        "doc_benchmark_contamination", "dq_drift_psi",
+        "doc_quality_deciles",
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     # self-enforcing: every non-tail (i.e. new/modified) query must fit
@@ -1277,6 +1308,53 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits, TRUE AS leaked
         FROM v JOIN train_sh USING (sh)
         GROUP BY doc_id HAVING COUNT(*) >= 3
+    """
+
+    o["corpus_snapshot_diff"] = """
+        WITH oldh AS (SELECT doc_id AS k, sha256(text) AS old_hash
+                      FROM documents),
+        newh AS (
+          SELECT doc_id AS k,
+                 sha256(CASE WHEN doc_id % 9 = 0 THEN text || ' v2'
+                             ELSE text END) AS new_hash
+          FROM documents WHERE doc_id % 6 != 0
+          UNION ALL
+          SELECT doc_id + 30000 AS k, sha256(text) AS new_hash
+          FROM documents WHERE doc_id % 11 = 0)
+        SELECT k AS doc_id,
+               CASE WHEN old_hash IS NULL THEN 'added'
+                    WHEN new_hash IS NULL THEN 'removed'
+                    WHEN old_hash != new_hash THEN 'changed'
+               END AS status
+        FROM oldh FULL OUTER JOIN newh USING (k)
+        WHERE (CASE WHEN old_hash IS NULL THEN 'added'
+                    WHEN new_hash IS NULL THEN 'removed'
+                    WHEN old_hash != new_hash THEN 'changed'
+               END) IS NOT NULL
+    """
+
+    o["dedup_source_dup_rate"] = f"""
+        WITH aug AS ({_AUG_SQL}),
+        h AS (SELECT source, sha256(text) AS content_hash FROM aug),
+        counts AS (SELECT content_hash, COUNT(*) AS n_copies
+                   FROM h GROUP BY content_hash HAVING COUNT(*) > 1)
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(COUNT(n_copies) AS BIGINT) AS n_dup_docs,
+               round(CAST(COUNT(n_copies) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+        FROM h LEFT JOIN counts USING (content_hash)
+        GROUP BY source
+    """
+
+    o["emb_centroids"] = """
+        SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+               COUNT(*) AS n_vecs,
+               round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+        FROM (SELECT label, embedding,
+                     unnest(range(1, len(embedding) + 1)) AS i
+              FROM embeddings)
+        GROUP BY label, dim
     """
 
     mh_cols = ",\n".join(

@@ -786,3 +786,61 @@ def normalized_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  key_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Incremental-ingest delta between two corpus snapshots: which
+    keys were added, removed, or changed (content hash differs). The
+    recurring-crawl primitive — downstream stages (dedup, filtering,
+    embedding) re-run only on `added`/`changed` rows instead of the
+    whole corpus. One full-outer equi-join on the uniform key; both
+    sides pre-projected to (key, sha256) so the join never carries
+    document bodies. `unchanged` rows are dropped (at 100 TB they are
+    ~all rows — emitting them would make the delta as big as the
+    corpus)."""
+    oh = old.select(F.col(key_col).alias("k"),
+                    F.sha2(F.col(text_col), 256).alias("old_hash"))
+    nh = new.select(F.col(key_col).alias("k"),
+                    F.sha2(F.col(text_col), 256).alias("new_hash"))
+    j = oh.join(nh, "k", "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+    )
+    return (
+        j.select(F.col("k").alias(key_col), status.alias("status"))
+        .filter(F.col("status").isNotNull())
+    )
+
+
+def source_dup_rate(df: DataFrame, text_col: str = "text",
+                    source_col: str = "source") -> DataFrame:
+    """Per-source duplication report: which source/crawl floods the
+    corpus with duplicate content (n_dup_docs = docs whose exact
+    content hash occurs >1 time ANYWHERE in the corpus; rate rounded).
+    The triage view a corpus owner reads before deciding which feed to
+    throttle. Shape: corpus reduced to (source, hash) once; hash
+    multiplicities from a partial-aggregated groupBy on the uniform
+    128-bit key; multiplicities joined back on hash (both sides
+    reduced; dup-hash side filtered to multiplicity > 1 and usually
+    small enough for AQE to broadcast); final partial agg over
+    source."""
+    h = df.select(F.col(source_col).alias("source"),
+                  F.sha2(F.col(text_col), 256).alias("content_hash"))
+    counts = (h.groupBy("content_hash")
+              .agg(F.count(F.lit(1)).alias("n_copies"))
+              .filter(F.col("n_copies") > 1))
+    return (
+        h.join(counts, "content_hash", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("n_copies").alias("n_dup_docs"),
+            F.round(F.count("n_copies").cast("double")
+                    / F.count(F.lit(1)).cast("double"), 6)
+             .alias("dup_rate"),
+        )
+    )

@@ -263,3 +263,25 @@ def ann_lsh_topk(df: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_centroids(df: DataFrame, vec_col: str = "embedding",
+                        label_col: str = "label") -> DataFrame:
+    """Per-label centroid components in long form (label, dim, c) plus
+    the member count — the cluster-quality QA readout (and the exact
+    computation an IVF/k-means assignment step repeats). Long form
+    keeps it engine-portable and bounded: n_labels * dim rows. Shape:
+    one Generate (posexplode) in the scan stage -> ONE
+    partial-aggregated groupBy on (label, dim) — keys are uniform by
+    construction (every vector contributes every dim exactly once), so
+    no skew is possible; count comes from dim 0 of the same pass, not
+    a second scan."""
+    ex = df.select(F.col(label_col).alias("label"),
+                   F.posexplode(F.col(vec_col)).alias("dim", "v"))
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("c"),
+        )
+    )

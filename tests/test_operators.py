@@ -849,3 +849,46 @@ def test_split_leak_check_finds_cross_split_dups(spark, docs, aug):
     # side original) is flagged with a saturated hit count
     twin = [r for r in rows if r.doc_id >= 10_000]
     assert twin and all(r.n_hits >= 3 for r in rows)
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "doc_id long, text string")
+    out = {r.doc_id: r.status for r in dedup.snapshot_diff(old, new).collect()}
+    # 1 unchanged -> absent; 2 changed; 3 removed; 4 added
+    assert out == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_source_dup_rate(spark):
+    rows = [
+        (1, "x", "crawlA"), (2, "x", "crawlA"),   # dup pair inside A
+        (3, "y", "crawlA"),                        # unique in A
+        (4, "z", "crawlB"), (5, "z", "crawlA"),    # cross-source dup
+        (6, "w", "crawlB"),                        # unique in B
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in dedup.source_dup_rate(df).collect()}
+    a, b = out["crawlA"], out["crawlB"]
+    assert a.n_docs == 4 and a.n_dup_docs == 3  # docs 1,2,5
+    assert b.n_docs == 2 and b.n_dup_docs == 1  # doc 4 (dup with A's 5)
+    assert a.dup_rate == pytest.approx(0.75)
+    assert b.dup_rate == pytest.approx(0.5)
+
+
+def test_embedding_centroids_exact_means(spark):
+    rows = [
+        (1, [1.0, 2.0], 0),
+        (2, [3.0, 4.0], 0),
+        (3, [10.0, 20.0], 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = {(r.label, r.dim): r for r in
+           similarity.embedding_centroids(df).collect()}
+    assert out[(0, 0)].c == pytest.approx(2.0)
+    assert out[(0, 1)].c == pytest.approx(3.0)
+    assert out[(7, 0)].c == pytest.approx(10.0)
+    assert all(r.n_vecs == 2 for k, r in out.items() if k[0] == 0)
+    assert len(out) == 4  # 2 labels x 2 dims

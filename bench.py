@@ -96,6 +96,8 @@ HEADLINE = [
     "dedup_minhash_signatures",  # shingle/md5-heavy
     "dedup_lsh_pairs",         # self-join on band buckets
     "doc_remove_repeated_spans",  # substring dedup: ~n_tokens-row explode
+    "doc_tfidf_terms",         # explode + 2 aggs + term join (persisted tf)
+    "corpus_bigram_lm",        # pair explode + vocab-bounded join
     "ann_cosine_topk",         # broadcast knn
     "events_hourly",           # window agg
     "events_sessionize",       # window functions

@@ -38,6 +38,11 @@ CHECKS = {
     "profile_documents_table": "ONE parquet scan, no Expand (melt -> distinct-value counts -> weighted aggs)",
     "describe_exact": "ONE csv scan, no Expand; Generate (melt) in the scan stage",
     "describe_approx": "ONE csv scan, no Expand, no value shuffle (single groupBy(_file) with HLL/GK sketches)",
+    "doc_tfidf_terms": "tf table persisted (InMemoryTableScan feeds dfreq + join); per-doc top-k via sort_array — no Window; N broadcast as 1-row cross join",
+    "corpus_bigram_lm": "pair Generate in scan stage; c12 persisted; join of two AGGREGATED vocab-bounded sides; bounded TakeOrdered, no global Sort",
+    "corpus_split_leak": "honest shuffle equi-join on the shingle key (train side NOT broadcast — it is the big side); both sides reduced before the join",
+    "corpus_snapshot_diff": "full-outer equi-join of (key, sha256) projections — bodies never enter the join",
+    "emb_centroids": "ONE Generate (posexplode) + ONE uniform-key partial agg — no second scan for counts",
 }
 
 

@@ -1,0 +1,67 @@
+"""Deterministic sharded corpus sink.
+
+The write path of a training-data pipeline: partition directories by
+low-cardinality dimensions (lang, split, ...), shard within each
+partition by a CONTENT-derived hash of the row key, and sort rows
+within each shard. Because shard membership is a pure function of
+(key, n_shards) — never of Spark's runtime partition layout — the same
+input produces the same (partition_dir, shard) -> row-set mapping on 4
+cores or 4,000 executors, which makes outputs diffable across runs and
+cluster sizes and lets downstream consumers address shards stably.
+
+Incremental refresh pairs with `operators.dedup.snapshot_diff`:
+recompute only the partitions that contain added/changed keys and
+rewrite them in place with dynamic partition overwrite (untouched
+partition directories keep their existing files byte-for-byte).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SHARD_COL = "shard"
+
+
+def shard_col(key, n_shards: int):
+    """Content-derived shard id: pmod(xxhash64(key), n_shards). Stable
+    across runs, engines' partition layouts, and cluster sizes."""
+    return F.pmod(F.xxhash64(key.cast("string")), F.lit(n_shards)).cast("int")
+
+
+def write_corpus_sharded(df: DataFrame, path: str,
+                         partition_cols: tuple[str, ...] = ("lang",),
+                         key_col: str = "doc_id", n_shards: int = 8,
+                         mode: str = "overwrite",
+                         dynamic: bool = False) -> None:
+    """Write ``df`` as `path/<p>=<v>/.../shard=<s>/part-*.parquet`.
+
+    One shuffle: repartition on (partition_cols..., shard) places every
+    (dir, shard) group wholly in one task, so each leaf directory gets
+    exactly ONE data file whose rows are sorted by ``key_col`` —
+    deterministic content at any parallelism. ``dynamic=True`` switches
+    to dynamic partition overwrite (only partitions present in ``df``
+    are replaced — the incremental-ingest mode); default static
+    overwrite replaces the whole dataset."""
+    spark = df.sparkSession
+    keys = [*partition_cols, SHARD_COL]
+    out = (
+        df.withColumn(SHARD_COL, shard_col(F.col(key_col), n_shards))
+        .repartition(*[F.col(c) for c in keys])
+        .sortWithinPartitions(*keys, key_col)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    if dynamic:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode(mode).partitionBy(*keys).parquet(path)
+    finally:
+        if dynamic:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def read_corpus_sharded(spark: SparkSession, path: str) -> DataFrame:
+    """Read a sharded corpus back; partition/shard columns come from
+    directory names (partition discovery), so filters on them prune
+    directories before any file is opened."""
+    return spark.read.parquet(path)

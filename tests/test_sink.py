@@ -1,0 +1,87 @@
+"""Deterministic sharded sink: layout, parallelism-invariance, dynamic
+partition overwrite."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataquality_cli_spark.sources.sink import (
+    read_corpus_sharded, write_corpus_sharded)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def _leaf_files(root):
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        data = sorted(f for f in files if f.endswith(".parquet"))
+        if data:
+            out[os.path.relpath(dirpath, root)] = data
+    return out
+
+
+def test_sharded_roundtrip_and_one_file_per_leaf(spark, docs):
+    path = tempfile.mkdtemp(prefix="dq_sink_")
+    write_corpus_sharded(docs, path, partition_cols=("lang",), n_shards=4)
+    back = read_corpus_sharded(spark, path)
+    assert back.count() == docs.count()
+    assert set(r.doc_id for r in back.select("doc_id").collect()) == \
+        set(r.doc_id for r in docs.select("doc_id").collect())
+    leaves = _leaf_files(path)
+    # every leaf dir = one (lang, shard) group = exactly ONE data file
+    assert all(len(files) == 1 for files in leaves.values())
+    assert all("shard=" in d for d in leaves)
+
+
+def test_shard_content_is_parallelism_invariant(spark, docs):
+    p1, p2 = (tempfile.mkdtemp(prefix="dq_sink_det_") for _ in range(2))
+    # same rows arriving with wildly different upstream layouts
+    write_corpus_sharded(docs.repartition(1), p1, n_shards=4)
+    write_corpus_sharded(docs.repartition(17, "source"), p2, n_shards=4)
+
+    def snapshot(path):
+        df = read_corpus_sharded(spark, path)
+        return {
+            (r.lang, r.shard): r.ids
+            for r in df.groupBy("lang", "shard")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+            .collect()
+        }
+
+    assert snapshot(p1) == snapshot(p2)
+
+
+def test_dynamic_overwrite_touches_only_present_partitions(spark, docs):
+    path = tempfile.mkdtemp(prefix="dq_sink_dyn_")
+    write_corpus_sharded(docs, path, partition_cols=("lang",), n_shards=2)
+    before = _leaf_files(path)
+    langs = sorted(r.lang for r in docs.select("lang").distinct().collect())
+    target, keep = langs[0], langs[1:]
+    # refresh ONE language partition (e.g. after snapshot_diff says only
+    # its docs changed)
+    changed = docs.filter(F.col("lang") == target).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" v2")))
+    write_corpus_sharded(changed, path, partition_cols=("lang",),
+                         n_shards=2, dynamic=True)
+    after = _leaf_files(path)
+    # untouched language dirs keep their exact files; target was rewritten
+    for d in after:
+        lang = d.split("/")[0].split("=", 1)[1]
+        if lang in keep:
+            assert after[d] == before[d], d
+        else:
+            assert after[d] != before[d], d
+    back = read_corpus_sharded(spark, path)
+    assert back.count() == docs.count()
+    assert back.filter(
+        (F.col("lang") == target) & ~F.col("text").endswith(" v2")
+    ).count() == 0

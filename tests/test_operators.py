@@ -892,3 +892,54 @@ def test_embedding_centroids_exact_means(spark):
     assert out[(7, 0)].c == pytest.approx(10.0)
     assert all(r.n_vecs == 2 for k, r in out.items() if k[0] == 0)
     assert len(out) == 4  # 2 labels x 2 dims
+
+
+def test_normalize_idempotent_and_case_insensitive_random(spark):
+    # randomized invariant check: normalize(normalize(x)) == normalize(x)
+    # and normalize(x) == normalize(upper(x)) for arbitrary-ish text
+    import random
+
+    rng = random.Random(123)
+    alphabet = list("abcXYZ019 .,;!?\"'\t\n-_#@/\\()[]{}éßλ中")
+    rows = [(i, "".join(rng.choice(alphabet)
+                        for _ in range(rng.randrange(0, 80))))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n1 = dedup.normalize_text_col(F.col("text"))
+    out = df.select(
+        n1.alias("once"),
+        dedup.normalize_text_col(n1).alias("twice"),
+        dedup.normalize_text_col(F.upper(F.col("text"))).alias("upper_norm"),
+    ).collect()
+    for r in out:
+        assert r.twice == r.once
+        assert r.upper_norm == r.once
+        assert "  " not in r.once and r.once == r.once.strip()
+
+
+def test_chunk_documents_random_params_full_coverage(spark):
+    from dataquality_cli_spark.operators import text as T
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, " ".join(f"w{j}" for j in range(rng.randrange(1, 120))))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for chunk_tokens, overlap in [(16, 0), (16, 5), (7, 6), (50, 10)]:
+        out = T.chunk_documents(df, chunk_tokens=chunk_tokens,
+                                overlap=overlap).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for i, txt in rows:
+            n = len(txt.split(" "))
+            chunks = sorted(by_doc[i], key=lambda r: r.chunk_start)
+            covered = set()
+            prev_end = -1
+            for c in chunks:
+                covered.update(range(c.chunk_start,
+                                     c.chunk_start + c.n_chunk_tokens))
+                end = c.chunk_start + c.n_chunk_tokens
+                assert end > prev_end  # every chunk adds a new token
+                prev_end = end
+            assert covered == set(range(n)), (i, chunk_tokens, overlap)

@@ -346,6 +346,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_quality_deciles"] = quality_deciles
 
+    # gate-calibration curve: keep-rate at each candidate threshold
+    # (one scan -> bounded bucket table; never |df| x |thresholds|)
+    q["dq_threshold_sweep"] = lambda s, d: profile.threshold_sweep(
+        text.quality_score(_t(s, d, "documents")), "quality_score",
+        [0.5, 0.6, 0.7, 0.8, 0.9])
+
     # the SCALE path for the same need: equal-VALUE quartile buckets via
     # exact thresholds + broadcast compare — no global sort/window
     q["doc_quality_buckets"] = lambda s, d: profile.quantile_buckets(
@@ -794,7 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_alnum_fraction", "a16_two_level_summary",
         "p6_top3_per_segment", "emb_norm_stats",
         "doc_benchmark_contamination", "dq_drift_psi",
-        "doc_quality_deciles",
+        "doc_quality_deciles", "doc_repo_quality_report",
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     # self-enforcing: every non-tail (i.e. new/modified) query must fit
@@ -1192,6 +1198,18 @@ def oracle_sql() -> dict[str, str]:
                CAST(ntile(10) OVER (ORDER BY quality_score DESC, doc_id ASC)
                     AS INTEGER) AS decile
         FROM scored
+    """.format(score_sql=o["doc_quality_score"])
+
+    o["dq_threshold_sweep"] = """
+        SELECT CAST(t.threshold AS DOUBLE) AS threshold,
+               CAST(SUM(CASE WHEN s.quality_score >= t.threshold
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+               round(CAST(SUM(CASE WHEN s.quality_score >= t.threshold
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS keep_rate
+        FROM (VALUES (0.5),(0.6),(0.7),(0.8),(0.9)) t(threshold),
+             ({score_sql}) s
+        GROUP BY t.threshold
     """.format(score_sql=o["doc_quality_score"])
 
     o["doc_quality_buckets"] = f"""

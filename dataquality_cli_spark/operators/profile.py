@@ -412,3 +412,60 @@ def schema_drift(cur: DataFrame, ref: DataFrame) -> list[dict]:
             out.append({"column": c, "change": "type_changed",
                         "cur_type": cur_t[c], "ref_type": ref_t[c]})
     return out
+
+
+def threshold_sweep(df: DataFrame, score_col: str,
+                    thresholds: list[float]) -> DataFrame:
+    """Keep-rate calibration curve: for each candidate gate threshold,
+    how many rows (and what fraction) survive ``score >= threshold`` —
+    the readout a corpus owner sweeps before pinning a quality gate.
+
+    Scale shape: NOT |df| x |thresholds| (a naive explode); each row is
+    bucketed once with a constant-cost fold (bucket = #thresholds <=
+    score), then ONE uniform-key groupBy bounded by n_thresholds+1
+    rows. The cumulative keep-counts run on that bounded table (the
+    single-partition window touches <= n_thresholds+1 rows — bounded by
+    the PARAMETER, not the data). A left join against the literal
+    threshold list keeps zero-count thresholds present."""
+    from pyspark.sql import Window as W
+
+    ts = sorted(thresholds)
+    arr = F.array([F.lit(float(x)) for x in ts])
+    bucket = F.aggregate(
+        arr, F.lit(0),
+        lambda acc, x: acc + F.when(F.col(score_col) >= x, 1).otherwise(0),
+    )
+    # persisted: `counts` feeds both the total and the cumulative
+    # branch — unpersisted, each branch would re-run the corpus scan.
+    # The table itself is bounded by n_thresholds+1 rows.
+    counts = (
+        df.select(bucket.alias("bucket"))
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    # the corpus is scanned exactly once (into `counts`); the total
+    # comes from the bounded bucket table, not a second count() pass
+    total = counts.agg(F.sum("n").alias("n_total"))
+    # cumulative from the top: rows with bucket >= i survive threshold i
+    w = W.orderBy(F.desc("bucket")).rowsBetween(W.unboundedPreceding, 0)
+    cum = counts.select(
+        "bucket", F.sum("n").over(w).alias("n_keep_at_bucket"))
+    t_df = df.sparkSession.createDataFrame(
+        [(i + 1, float(t)) for i, t in enumerate(ts)],
+        "bucket int, threshold double",
+    )
+    return (
+        t_df.join(
+            cum.withColumnRenamed("bucket", "cb"),
+            F.col("cb") >= F.col("bucket"), "left")
+        .groupBy("threshold")
+        .agg(F.coalesce(F.max("n_keep_at_bucket"), F.lit(0))
+             .alias("n_keep"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "threshold",
+            F.col("n_keep").cast("long").alias("n_keep"),
+            F.round(F.col("n_keep").cast("double")
+                    / F.col("n_total").cast("double"), 6).alias("keep_rate"),
+        )
+    )

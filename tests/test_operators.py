@@ -943,3 +943,23 @@ def test_chunk_documents_random_params_full_coverage(spark):
                 assert end > prev_end  # every chunk adds a new token
                 prev_end = end
             assert covered == set(range(n)), (i, chunk_tokens, overlap)
+
+
+def test_threshold_sweep_curve(spark):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate([0.1, 0.45, 0.5, 0.62, 0.9, 0.9])],
+        "doc_id long, score double")
+    out = {r.threshold: r for r in
+           profile.threshold_sweep(df, "score", [0.9, 0.5, 0.7]).collect()}
+    assert set(out) == {0.5, 0.7, 0.9}
+    assert out[0.5].n_keep == 4   # 0.5, 0.62, 0.9, 0.9
+    assert out[0.7].n_keep == 2
+    assert out[0.9].n_keep == 2   # >= semantics: the two 0.9s survive
+    assert out[0.5].keep_rate == pytest.approx(4 / 6, abs=1e-6)
+    # monotone non-increasing in the threshold
+    rates = [out[t].n_keep for t in sorted(out)]
+    assert rates == sorted(rates, reverse=True)
+    # a threshold nothing reaches still appears, with zero keeps
+    hi = {r.threshold: r.n_keep
+          for r in profile.threshold_sweep(df, "score", [0.95]).collect()}
+    assert hi == {0.95: 0}

@@ -1,0 +1,78 @@
+"""Incremental corpus refresh: snapshot_diff decides which partitions
+changed; write_corpus_sharded(dynamic=True) rewrites only those — the
+O(delta) refresh loop the sink + diff operators promise together."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataquality_cli_spark.operators.dedup import snapshot_diff
+from dataquality_cli_spark.sources.sink import (
+    read_corpus_sharded, write_corpus_sharded)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _leaf_files(root):
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        data = sorted(f for f in files if f.endswith(".parquet"))
+        if data:
+            out[os.path.relpath(dirpath, root)] = data
+    return out
+
+
+def test_incremental_refresh_rewrites_only_touched_partitions(spark):
+    v1 = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text", "lang").cache()
+    langs = sorted(r.lang for r in v1.select("lang").distinct().collect())
+    assert len(langs) >= 3
+    touched_lang, added_lang = langs[0], langs[1]
+
+    # v2: edit every doc of one language, add new docs to another
+    v2 = v1.withColumn(
+        "text",
+        F.when(F.col("lang") == touched_lang,
+               F.concat(F.col("text"), F.lit(" edit2"))).otherwise(
+            F.col("text")),
+    ).unionByName(
+        v1.filter(F.col("lang") == added_lang).limit(5).select(
+            (F.col("doc_id") + 900_000).alias("doc_id"),
+            F.concat(F.lit("brand new "), F.col("text")).alias("text"),
+            "lang",
+        )
+    ).cache()
+
+    path = tempfile.mkdtemp(prefix="dq_incr_")
+    write_corpus_sharded(v1, path, partition_cols=("lang",), n_shards=2)
+    before = _leaf_files(path)
+
+    # the refresh driver: diff -> affected partitions -> dynamic rewrite
+    delta = snapshot_diff(v1, v2)
+    affected = sorted(
+        r.lang
+        for r in delta.join(v2.select("doc_id", "lang"), "doc_id")
+        .select("lang").distinct().collect()
+    )
+    assert affected == sorted({touched_lang, added_lang})
+    write_corpus_sharded(
+        v2.filter(F.col("lang").isin(affected)), path,
+        partition_cols=("lang",), n_shards=2, dynamic=True)
+
+    after = _leaf_files(path)
+    for d in after:
+        lang = d.split("/")[0].split("=", 1)[1]
+        if lang in affected:
+            assert after[d] != before[d], d
+        else:
+            assert after[d] == before[d], d  # untouched: same files verbatim
+
+    # final state == v2 exactly
+    back = read_corpus_sharded(spark, path).select("doc_id", "text", "lang")
+    assert back.count() == v2.count()
+    assert back.exceptAll(v2).count() == 0
+    assert v2.exceptAll(back).count() == 0

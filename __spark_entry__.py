@@ -560,6 +560,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_streaming_exact"] = stream_dedup
 
+    # streaming NEAR-dup admission control vs a static band index —
+    # single-batch input, so the kept set is a pure band-match filter
+    # (SQL-expressible); the multi-batch fold-forward path is
+    # pytest-covered (test_stream_pipeline.py)
+    def stream_neardup(s, d):
+        import tempfile
+
+        from dataquality_cli_spark.operators.dedup import (
+            lsh_bands, minhash_signatures)
+        from dataquality_cli_spark.streaming.stream_pipeline import (
+            stream_neardup_filter)
+
+        docs = _t(s, d, "documents")
+        corpus = docs.filter(F.col("doc_id") < 300).select("doc_id", "text")
+        index = lsh_bands(minhash_signatures(corpus))
+        newb = (
+            docs.filter(F.col("doc_id") >= 300)
+            .select((F.col("doc_id") + 70_000).alias("doc_id"), "text")
+            .unionByName(
+                corpus.filter(F.col("doc_id") % 10 == 0).select(
+                    (F.col("doc_id") + 50_000).alias("doc_id"), "text"))
+        )
+        in_dir = tempfile.mkdtemp(prefix="dq_sndup_in_")
+        out_dir = tempfile.mkdtemp(prefix="dq_sndup_out_")
+        newb.coalesce(1).write.mode("overwrite").parquet(in_dir)
+        qy = stream_neardup_filter(s, in_dir, newb.schema, out_dir, index)
+        if not qy.awaitTermination(300):
+            qy.stop()
+            raise RuntimeError("dedup_streaming_neardup: availableNow "
+                               "stream did not finish within 300s")
+        return s.read.parquet(f"{out_dir}/data").select("doc_id")
+
+    q["dedup_streaming_neardup"] = stream_neardup
+
     # --- similarity search ---
     def ann(s, d):
         emb = _t(s, d, "embeddings")
@@ -801,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_top3_per_segment", "emb_norm_stats",
         "doc_benchmark_contamination", "dq_drift_psi",
         "doc_quality_deciles", "doc_repo_quality_report",
+        "dedup_ngram_jaccard_top",
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     # self-enforcing: every non-tail (i.e. new/modified) query must fit
@@ -1392,6 +1427,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash) AS _bn
             FROM bands_all)
           WHERE _bn <= {dedup.DEFAULT_MAX_BUCKET})"""
+
+    o["dedup_streaming_neardup"] = f"""
+        WITH corpus AS (SELECT doc_id, text FROM documents
+                        WHERE doc_id < 300),
+        newb AS (
+          SELECT doc_id + 70000 AS doc_id, text FROM documents
+          WHERE doc_id >= 300
+          UNION ALL
+          SELECT doc_id + 50000 AS doc_id, text FROM documents
+          WHERE doc_id < 300 AND doc_id % 10 = 0),
+        csig AS (SELECT doc_id, {mh_cols} FROM corpus),
+        cband AS (
+          SELECT 0 AS band_id, md5(concat_ws('|', mh0, mh1, mh2)) AS band_hash FROM csig
+          UNION
+          SELECT 1 AS band_id, md5(concat_ws('|', mh3, mh4, mh5)) AS band_hash FROM csig),
+        nsig AS (SELECT doc_id, {mh_cols} FROM newb),
+        nband AS (
+          SELECT doc_id, 0 AS band_id, md5(concat_ws('|', mh0, mh1, mh2)) AS band_hash FROM nsig
+          UNION ALL
+          SELECT doc_id, 1 AS band_id, md5(concat_ws('|', mh3, mh4, mh5)) AS band_hash FROM nsig),
+        hits AS (SELECT DISTINCT n.doc_id
+                 FROM nband n JOIN cband c
+                   ON n.band_id = c.band_id AND n.band_hash = c.band_hash)
+        SELECT doc_id FROM newb
+        WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+    """
 
     o["dedup_lsh_pairs"] = f"""
         WITH aug AS ({_AUG_SQL}),

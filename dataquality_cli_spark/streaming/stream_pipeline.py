@@ -92,3 +92,74 @@ def stream_dedup_exact(spark: SparkSession, input_dir: str, schema,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_neardup_filter(spark: SparkSession, input_dir: str, schema,
+                          out_dir: str, index_bands: DataFrame,
+                          text_col: str = "text",
+                          glob: str = "*.parquet") -> "StreamingQuery":
+    """Streaming NEAR-dup admission control: each micro-batch of new
+    documents is MinHashed and its LSH bands joined against the band
+    index of the already-kept corpus; any doc sharing >= 1 band bucket
+    with the index (or with a survivor of an earlier batch) is dropped,
+    survivors are appended to ``out/data`` and their bands to
+    ``out/bands`` — so the index folds forward and the stream is
+    self-deduping across batches.
+
+    This is the streaming face of `dedup.lsh_incremental_pairs`: the
+    existing corpus participates ONLY through its materialized band
+    index (never re-scanned, never re-hashed), which is exactly what a
+    production crawl pipeline maintains as the corpus grows. Band
+    hashing is stateless per batch, so no Spark state store is involved
+    at all — the "state" IS the band table on storage, which also makes
+    the job trivially resumable (checkpoint + append sinks). Band-level
+    matching is the high-recall screen (a band hit at the default 8x2
+    config ~ Jaccard >= ~0.3 candidates); a periodic batch
+    `lsh_verified_pairs` pass over the accumulated corpus is the
+    precision backstop, same two-tier layout as stream_dedup_exact."""
+    from pyspark.errors import AnalysisException
+
+    from ..operators.dedup import lsh_bands, minhash_signatures
+
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", 1)
+        .load(input_dir)
+    )
+    data_dir = os.path.join(out_dir, "data")
+    bands_dir = os.path.join(out_dir, "bands")
+    metrics_dir = os.path.join(out_dir, "metrics")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        bands = lsh_bands(
+            minhash_signatures(batch_df, text_col)).persist()
+        try:
+            grown = spark.read.parquet(bands_dir)
+        except AnalysisException:  # first batch: no survivors yet
+            grown = None
+        index = (index_bands if grown is None
+                 else index_bands.unionByName(grown))
+        hit_ids = (
+            bands.join(
+                index.select("band_id", "band_hash").distinct(),
+                ["band_id", "band_hash"])
+            .select("doc_id").distinct()
+        )
+        survivors = batch_df.join(hit_ids, "doc_id", "left_anti").persist()
+        survivors.write.mode("append").parquet(data_dir)
+        (bands.join(hit_ids, "doc_id", "left_anti")
+         .write.mode("append").parquet(bands_dir))
+        (spark.createDataFrame(
+            [(epoch_id, batch_df.count(), survivors.count())],
+            "epoch_id long, n_in long, n_kept long")
+         .coalesce(1).write.mode("append").parquet(metrics_dir))
+        survivors.unpersist()
+        bands.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -49,3 +49,68 @@ def test_stream_matches_batch(spark, tmp_path):
     assert streamed == batch
     metrics = spark.read.parquet(os.path.join(out_dir, "metrics")).collect()
     assert sum(m.n for m in metrics) == 150
+
+
+def test_stream_neardup_filter_vs_index_and_across_batches(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dataquality_cli_spark.operators.dedup import (
+        lsh_bands, minhash_signatures)
+    from dataquality_cli_spark.streaming.stream_pipeline import (
+        stream_neardup_filter)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    corpus = docs.filter("doc_id < 300").cache()   # the already-kept corpus
+    index = lsh_bands(minhash_signatures(corpus)).cache()
+    index.count()
+
+    # genuinely new docs: random token soup, so no band of theirs can
+    # collide with the template-generated corpus (fixture docs share
+    # templates, i.e. ARE band-level candidates of each other — using
+    # them as "fresh" would test the fixture, not the operator)
+    import random
+
+    rng = random.Random(31)
+    fresh = spark.createDataFrame(
+        [(300 + i,
+          " ".join(f"uniq{rng.randrange(10**9)}" for _ in range(60)))
+         for i in range(40)],
+        "doc_id long, text string").cache()
+    # batch 0: 10 exact copies of indexed docs (must drop) + fresh docs
+    b0 = corpus.limit(10).select(
+        (F.col("doc_id") + 50_000).alias("doc_id"), "text"
+    ).unionByName(fresh)
+    # batch 1: re-sends of batch-0 FRESH docs — dropped only if the index
+    # folds forward across batches
+    b1 = fresh.limit(7).select(
+        (F.col("doc_id") + 60_000).alias("doc_id"), "text")
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # two files -> two micro-batches (maxFilesPerTrigger=1); file order =
+    # lexicographic, matches batch order
+    b0.toPandas().to_parquet(str(in_dir / "a_batch0.parquet"), index=False)
+    b1.toPandas().to_parquet(str(in_dir / "b_batch1.parquet"), index=False)
+
+    out_dir = str(tmp_path / "out")
+    q = stream_neardup_filter(
+        spark, str(in_dir), b0.schema, out_dir, index)
+    q.awaitTermination(180)
+
+    kept = {r.doc_id for r in
+            spark.read.parquet(os.path.join(out_dir, "data")).collect()}
+    fresh_ids = {r.doc_id for r in fresh.collect()}
+    # exact copies of indexed docs all dropped
+    assert not any(50_000 <= d < 60_000 for d in kept)
+    # fresh docs kept (identical-text twins INSIDE batch 0 could only
+    # collide via their own band buckets, which the left_anti on hit_ids
+    # does not consult — so all fresh survive batch 0)
+    assert fresh_ids <= kept
+    # batch-1 re-sends collide with batch-0 survivors' bands -> dropped
+    assert not any(d >= 60_000 for d in kept)
+    metrics = {r.epoch_id: (r.n_in, r.n_kept) for r in
+               spark.read.parquet(os.path.join(out_dir, "metrics")).collect()}
+    assert len(metrics) == 2
+    assert sum(n for n, _ in metrics.values()) == b0.count() + b1.count()
+    assert sum(k for _, k in metrics.values()) == len(kept)

@@ -322,6 +322,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_vocabulary"] = lambda s, d: text.vocabulary(
         _t(s, d, "documents"), top_k=100)
 
+    # distributed BPE tokenizer training: k merge rounds over the
+    # vocabulary-sized word-frequency table (iterative — no SQL twin;
+    # determinism + parity vs the pure-Python Sennrich reference are
+    # pytest-pinned, incl. partition-layout invariance)
+    def bpe_train(s, d):
+        from dataquality_cli_spark.operators.bpe import bpe_merges_df
+
+        return bpe_merges_df(_t(s, d, "documents"), n_merges=16)
+
+    q["corpus_bpe_merges"] = bpe_train
+
     # per-doc top-3 TF-IDF keywords (corpus-relative salience)
     q["doc_tfidf_terms"] = lambda s, d: text.tfidf_top_terms(
         _t(s, d, "documents"), top_k=3)
@@ -835,7 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_top3_per_segment", "emb_norm_stats",
         "doc_benchmark_contamination", "dq_drift_psi",
         "doc_quality_deciles", "doc_repo_quality_report",
-        "dedup_ngram_jaccard_top",
+        "dedup_ngram_jaccard_top", "corpus_lang_summary",
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     # self-enforcing: every non-tail (i.e. new/modified) query must fit

@@ -1,0 +1,165 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016, the
+public byte-pair-encoding merge-learning algorithm) — the "train the
+tokenizer ON the corpus" stage of a training-data pipeline.
+
+Scale shape — the part that matters at 100 TB: BPE learns from the
+DISTINCT-WORD FREQUENCY table, not the raw corpus. One corpus pass
+builds (word, freq) — a vocabulary-sized table (Heaps' law: ~10^6-10^7
+rows even for web corpora, vs 10^12 documents). Every one of the k
+merge rounds then runs over that bounded table only: pair counts are a
+partial-aggregated groupBy over exploded adjacent symbol pairs weighted
+by word frequency, the argmax pair is one tiny TakeOrdered action, and
+the merge application is a fold over each word's symbol array.
+localCheckpoint truncates the per-round lineage (the star-contraction
+lesson). The corpus text is never touched again after pass one.
+
+The learned merge list is deterministic: pair counts tie-break on the
+pair itself, and merge application is greedy left-to-right
+non-overlapping — pinned to match the pure-Python reference
+implementation in tests bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# end-of-word marker (standard BPE: keeps merges from crossing word
+# boundaries when the vocab is applied); ASCII unit separator so it
+# cannot collide with real corpus characters in the fixtures
+EOW = "\x1f"
+
+
+def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """ONE corpus pass -> (word, freq): the table BPE trains on."""
+    from .util import spread
+
+    return (
+        spread(df)
+        .select(F.explode(F.split(F.col(text_col), " ", -1)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _to_symbols(word: Column) -> Column:
+    """Initial symbol sequence: characters + end-of-word marker."""
+    return F.concat(F.split(word, "", -1), F.array(F.lit(EOW)))
+
+
+def _pair_counts(syms: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent-pair counts over the symbol table."""
+    s = F.col("syms")
+    idx = F.when(F.size(s) >= 2, F.sequence(F.lit(1), F.size(s) - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(F.element_at(s, i).alias("left"),
+                           F.element_at(s, i + 1).alias("right")),
+    )
+    return (
+        syms.select(F.explode(pairs).alias("p"), "freq")
+        .groupBy("p.left", "p.right")
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def _apply_merge(sym_col: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right non-overlapping replacement of the adjacent
+    pair (left, right) by the merged symbol — a fold, so the merged
+    token never re-pairs with the following symbol in the same round
+    (standard BPE single-round semantics)."""
+    merged = left + right
+    return F.aggregate(
+        sym_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == left) & (x == right),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def learn_bpe_merges(df: DataFrame, text_col: str = "text",
+                     n_merges: int = 32,
+                     min_pair_count: int = 2) -> list[dict]:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the merge
+    list [{step, left, right, merged, pair_count}] — bounded driver
+    state (k entries), the artifact a tokenizer ships. Stops early when
+    no pair reaches ``min_pair_count``."""
+    freqs = word_freqs(df, text_col)
+    syms = (
+        freqs.select(_to_symbols(F.col("word")).alias("syms"), "freq")
+        .localCheckpoint()
+    )
+    merges: list[dict] = []
+    for step in range(n_merges):
+        top = (
+            _pair_counts(syms)
+            .orderBy(F.desc("n"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_pair_count:
+            break
+        left, right, n = top[0]["left"], top[0]["right"], top[0]["n"]
+        merges.append({"step": step, "left": left, "right": right,
+                       "merged": left + right, "pair_count": int(n)})
+        new_syms = syms.select(
+            _apply_merge(F.col("syms"), left, right).alias("syms"), "freq"
+        ).localCheckpoint()
+        syms.unpersist()
+        syms = new_syms
+    syms.unpersist()
+    return merges
+
+
+def bpe_merges_df(df: DataFrame, text_col: str = "text",
+                  n_merges: int = 32) -> DataFrame:
+    """The merge list as a DataFrame (step, left, right, merged,
+    pair_count) — deterministic content, driver-queryable."""
+    merges = learn_bpe_merges(df, text_col, n_merges)
+    spark = df.sparkSession
+    if not merges:
+        return spark.createDataFrame(
+            [], "step int, left string, right string, merged string, "
+                "pair_count long")
+    return spark.createDataFrame(
+        [(m["step"], m["left"], m["right"], m["merged"], m["pair_count"])
+         for m in merges],
+        "step int, left string, right string, merged string, pair_count long",
+    )
+
+
+def bpe_reference(word_freq: dict[str, int], n_merges: int,
+                  min_pair_count: int = 2) -> list[tuple[str, str]]:
+    """Pure-Python reference (Sennrich-style) used by tests to pin the
+    distributed implementation's semantics exactly."""
+    vocab = {tuple(list(w) + [EOW]): f for w, f in word_freq.items()}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        (a, b), _n = best
+        merges.append((a, b))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges

@@ -963,3 +963,42 @@ def test_threshold_sweep_curve(spark):
     hi = {r.threshold: r.n_keep
           for r in profile.threshold_sweep(df, "score", [0.95]).collect()}
     assert hi == {0.95: 0}
+
+
+def test_bpe_merges_match_pure_python_reference(spark):
+    from dataquality_cli_spark.operators import bpe
+
+    rows = [
+        (1, "low low low lower lower newest newest newest newest widest"),
+        (2, "widest widest newest low lowest lowest"),
+        (3, "the newest widest lowest low"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # the exact word-frequency dict the corpus implies
+    wf = {}
+    for _i, t in rows:
+        for w in t.split(" "):
+            wf[w] = wf.get(w, 0) + 1
+    expected = bpe.bpe_reference(wf, n_merges=12)
+    got = bpe.learn_bpe_merges(df, n_merges=12)
+    assert [(m["left"], m["right"]) for m in got] == expected
+    assert len(got) > 4  # non-vacuous: real merges learned
+    # merged symbol is the concatenation, steps are sequential
+    for i, m in enumerate(got):
+        assert m["step"] == i and m["merged"] == m["left"] + m["right"]
+        assert m["pair_count"] >= 2
+    # pair counts are non-increasing? NOT guaranteed by BPE (a merge can
+    # create a new frequent pair) — assert only positivity above.
+    # early stop: a corpus with no repeated pair learns nothing
+    tiny = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
+    assert bpe.learn_bpe_merges(tiny, n_merges=5) == []
+
+
+def test_bpe_merges_df_deterministic(spark):
+    from dataquality_cli_spark.operators import bpe
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    a = bpe.bpe_merges_df(docs, n_merges=6).collect()
+    b = bpe.bpe_merges_df(docs.repartition(13), n_merges=6).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 6

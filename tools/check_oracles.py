@@ -32,6 +32,7 @@ ROWS_ONLY_MIN = {
     "ann_lsh_topk": 20,
     "ann_ivf_topk": 20,
     "emb_neardup_lsh": 3,
+    "corpus_bpe_merges": 16,
 }
 
 

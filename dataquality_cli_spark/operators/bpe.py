@@ -21,6 +21,8 @@ implementation in tests bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves the postponed
+                     # 'pd.Series' annotations from these globals
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -163,3 +165,60 @@ def bpe_reference(word_freq: dict[str, int], n_merges: int,
             new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
         vocab = new_vocab
     return merges
+
+
+def bpe_tokenize(df: DataFrame, merges: list[dict],
+                 text_col: str = "text") -> DataFrame:
+    """Apply a learned merge list: (doc_id, bpe_tokens, n_bpe_tokens).
+    The merges ship to executors as ONE broadcast (bounded: k entries).
+    Encoding applies the merges in training order with the same greedy
+    left-to-right fold as training, so encode(train_corpus) reproduces
+    the exact symbol sequences training ended with (pytest-pinned).
+
+    Arrow-batched pandas UDF with a per-batch DISTINCT-WORD cache:
+    Zipf's law means a handful of words dominate any batch, so the
+    per-word Python cost is paid once per distinct word, not once per
+    occurrence — the same "reduce to the vocabulary" move the trainer
+    makes. (Real deployments swap this UDF for a native tokenizer
+    library; the plumbing — broadcast artifact, Arrow batches, array
+    output — is what this operator pins down.)"""
+    from pyspark.sql.functions import pandas_udf
+
+    merge_pairs = [(m["left"], m["right"]) for m in merges]
+    bc = df.sparkSession.sparkContext.broadcast(merge_pairs)
+
+    @pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        pairs = bc.value
+        cache: dict[str, list[str]] = {}
+
+        def encode_word(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            syms = list(w) + [EOW]
+            for a, b in pairs:
+                out: list[str] = []
+                for x in syms:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                syms = out
+                if len(syms) == 1:
+                    break
+            cache[w] = syms
+            return syms
+
+        res = []
+        for t in texts:
+            toks: list[str] = []
+            for w in (t or "").split(" "):
+                if w:
+                    toks.extend(encode_word(w))
+            res.append(toks)
+        return pd.Series(res)
+
+    out = df.select("doc_id", enc(F.col(text_col)).alias("bpe_tokens"))
+    return out.withColumn(
+        "n_bpe_tokens", F.size("bpe_tokens").cast("long"))

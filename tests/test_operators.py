@@ -1002,3 +1002,47 @@ def test_bpe_merges_df_deterministic(spark):
     b = bpe.bpe_merges_df(docs.repartition(13), n_merges=6).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert len(a) == 6
+
+
+def test_bpe_tokenize_roundtrip_and_training_parity(spark):
+    from dataquality_cli_spark.operators import bpe
+
+    rows = [
+        (1, "low low low lower lower newest newest newest newest widest"),
+        (2, "widest widest newest low lowest lowest"),
+        (3, "the newest widest lowest low"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe.learn_bpe_merges(df, n_merges=10)
+    enc = {r.doc_id: r for r in bpe.bpe_tokenize(df, merges).collect()}
+    for doc_id, t in rows:
+        toks = enc[doc_id].bpe_tokens
+        assert enc[doc_id].n_bpe_tokens == len(toks)
+        # lossless: stripping end-of-word markers reconstructs the text
+        rebuilt = "".join(toks).replace(bpe.EOW, " ").rstrip(" ")
+        assert rebuilt == t
+        # fewer tokens than characters: merges actually compress
+        assert len(toks) < len(t.replace(" ", "")) + t.count(" ") + 1
+    # parity with the pure-Python reference applied the same way
+    wf = {}
+    for _i, t in rows:
+        for w in t.split(" "):
+            wf[w] = wf.get(w, 0) + 1
+    ref_pairs = bpe.bpe_reference(wf, n_merges=10)
+    assert [(m["left"], m["right"]) for m in merges] == ref_pairs
+
+    def ref_encode(w):
+        syms = list(w) + [bpe.EOW]
+        for a, b in ref_pairs:
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms = out
+        return syms
+
+    for doc_id, t in rows:
+        expect = [s for w in t.split(" ") if w for s in ref_encode(w)]
+        assert list(enc[doc_id].bpe_tokens) == expect

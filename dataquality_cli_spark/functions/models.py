@@ -301,3 +301,71 @@ def get_models() -> tuple[LangIdModel, CharLM]:
     langid = LangIdModel.train({c: tx[c] for c in LANGID_CLASSES})
     lm = CharLM.train([t for c in LANGID_CLASSES for t in tx[c]])
     return langid, lm
+
+
+def train_char_lm_distributed(df, text_col: str = "content",
+                              dim: int = PPL_HASH_DIM) -> "CharLM":
+    """Train the CharLM's hashed trigram/bigram count tables OVER THE
+    CORPUS with Spark — the "retrain the quality models on your own
+    data" path (the in-repo default model trains on the synthetic
+    fixture corpus driver-side; at 100 TB the counting pass IS the
+    training and must be distributed).
+
+    Scale shape: each partition accumulates LOCAL dense histograms with
+    the same concat + boundary-mask + np.add.at vectorized pass the
+    scorers use (no per-row Python), then emits only its NONZERO
+    (kind, bucket, count) rows — a sparse, dim-bounded spill per
+    partition. One uniform-key groupBy sums them; the driver collects
+    at most 2*dim rows to assemble the arrays. Counts are integers in
+    float64 (exact to 2^53), so the result is BIT-IDENTICAL to
+    CharLM.train() on the same texts regardless of partitioning —
+    pytest-pinned."""
+    from pyspark.sql import functions as F
+
+    n = PPL_ORDER
+
+    def part(batches):
+        import pandas as pd
+
+        tri = np.zeros(dim, dtype=np.float64)
+        bi = np.zeros(dim, dtype=np.float64)
+        for pdf in batches:
+            for chunk in _chunks(list(pdf[text_col])):
+                concat, lens, starts = _concat_batch(chunk)
+                if concat.size < n:
+                    continue
+                h3 = ngram_hashes(concat, n, dim)
+                h2 = ngram_hashes(concat, n - 1, dim)[: h3.size]
+                invalid_idx, _seg, _lens = _batch_segments(
+                    lens, starts, n, h3.size)
+                valid = np.ones(h3.size, dtype=bool)
+                valid[invalid_idx] = False
+                np.add.at(tri, h3[valid], 1.0)
+                # context = the bigram STARTING each trigram: same
+                # window positions, so the same validity mask
+                np.add.at(bi, h2[valid], 1.0)
+        rows = []
+        for kind, arr in (("tri", tri), ("bi", bi)):
+            nz = np.nonzero(arr)[0]
+            if nz.size:
+                rows.append(pd.DataFrame(
+                    {"kind": kind, "bucket": nz.astype("int64"),
+                     "n": arr[nz]}))
+        if rows:
+            yield pd.concat(rows, ignore_index=True)
+
+    counts = (
+        df.select(F.col(text_col))
+        .mapInPandas(part, "kind string, bucket long, n double")
+        .groupBy("kind", "bucket")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    tri = np.zeros(dim, dtype=np.float64)
+    bi = np.zeros(dim, dtype=np.float64)
+    for r in counts:
+        (tri if r.kind == "tri" else bi)[r.bucket] = r.n
+    with np.errstate(divide="ignore"):
+        ltri = np.where(tri > 0, np.log(tri), PPL_FLOOR_LOGP)
+        lbi = np.where(bi > 0, np.log(bi), 0.0)
+    return CharLM.from_arrays({"ltri": ltri, "lbi": lbi, "dim": dim})

@@ -369,3 +369,65 @@ def train_char_lm_distributed(df, text_col: str = "content",
         ltri = np.where(tri > 0, np.log(tri), PPL_FLOOR_LOGP)
         lbi = np.where(bi > 0, np.log(bi), 0.0)
     return CharLM.from_arrays({"ltri": ltri, "lbi": lbi, "dim": dim})
+
+
+def train_langid_distributed(df, label_col: str = "lang",
+                             text_col: str = "content",
+                             dim: int = LANGID_HASH_DIM,
+                             orders: tuple[int, ...] = LANGID_NGRAM_ORDERS,
+                             ) -> "LangIdModel":
+    """Train the fastText-style langid model's per-class hashed n-gram
+    count tables over a LABELED corpus with Spark (same motivation and
+    shape as train_char_lm_distributed: the counting pass is the
+    training). Partitions accumulate RAW per-label histograms with the
+    vectorized concat + boundary-mask pass and emit sparse nonzero
+    (label, bucket, n) rows; one uniform-key groupBy sums them; the
+    driver applies the add-1 smoothing and row-normalization exactly as
+    LangIdModel.train does. Classes are sorted for determinism.
+    Bit-identical to driver-side training on the same grouped texts
+    (integer counts in float64) — pytest-pinned."""
+    from pyspark.sql import functions as F
+
+    def part(batches):
+        import pandas as pd
+
+        acc: dict[str, np.ndarray] = {}
+        for pdf in batches:
+            for label, grp in pdf.groupby(label_col):
+                arr = acc.setdefault(str(label),
+                                     np.zeros(dim, dtype=np.float64))
+                for chunk in _chunks(list(grp[text_col])):
+                    concat, lens, starts = _concat_batch(chunk)
+                    for n in orders:
+                        if concat.size < n:
+                            continue
+                        hs = ngram_hashes(concat, n, dim)
+                        invalid_idx, _seg, _lens = _batch_segments(
+                            lens, starts, n, hs.size)
+                        valid = np.ones(hs.size, dtype=bool)
+                        valid[invalid_idx] = False
+                        np.add.at(arr, hs[valid], 1.0)
+        rows = []
+        for label, arr in acc.items():
+            nz = np.nonzero(arr)[0]
+            if nz.size:
+                rows.append(pd.DataFrame(
+                    {"label": label, "bucket": nz.astype("int64"),
+                     "n": arr[nz]}))
+        if rows:
+            yield pd.concat(rows, ignore_index=True)
+
+    counts_rows = (
+        df.select(F.col(label_col), F.col(text_col))
+        .mapInPandas(part, "label string, bucket long, n double")
+        .groupBy("label", "bucket")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    classes = tuple(sorted({r.label for r in counts_rows}))
+    ci = {c: i for i, c in enumerate(classes)}
+    counts = np.ones((len(classes), dim), dtype=np.float64)  # add-1
+    for r in counts_rows:
+        counts[ci[r.label], r.bucket] += r.n
+    weights = np.log(counts / counts.sum(axis=1, keepdims=True))
+    return LangIdModel(classes, weights)

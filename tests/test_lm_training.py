@@ -32,3 +32,29 @@ def test_distributed_char_lm_matches_driver_training(spark):
     rng = random.Random(3)
     soup = "".join(chr(rng.randrange(33, 127)) for _ in range(400))
     assert got.nll(texts[0]) < got.nll(soup)
+
+
+def test_distributed_langid_matches_driver_training(spark):
+    from dataquality_cli_spark.functions.models import (
+        LangIdModel, train_langid_distributed)
+
+    rows = corpus_to_rows(gen_corpus(120, seed=56))
+    by_class: dict[str, list[str]] = {}
+    for r in rows:
+        by_class.setdefault(r[3], []).append(r[4])
+    # sorted keys: the distributed trainer sorts classes for determinism
+    expected = LangIdModel.train(
+        {k: by_class[k] for k in sorted(by_class)})
+
+    df = spark.createDataFrame(rows, SCHEMA)
+    for parts in (1, 9):
+        got = train_langid_distributed(df.repartition(parts))
+        assert got.classes == expected.classes, parts
+        assert np.array_equal(got.weights, expected.weights), parts
+    sample = [r[4] for r in rows[:30]]
+    assert got.predict(sample) == expected.predict(sample)
+    # the corpus-trained model carries real signal (go/js/py classes on
+    # the synthetic code corpus; 1/3 chance level)
+    preds = got.predict([r[4] for r in rows])
+    acc = sum(p == r[3] for p, r in zip(preds, rows)) / len(rows)
+    assert acc >= 0.8

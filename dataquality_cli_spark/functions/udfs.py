@@ -21,8 +21,15 @@ from .models import CharLM, LangIdModel, get_models
 _SCORE_SCHEMA = "langid_pred string, ppl double"
 
 
-def broadcast_models(spark: SparkSession):
-    langid, lm = get_models()
+def broadcast_models(spark: SparkSession, langid=None, lm=None):
+    """Broadcast the scoring models. Defaults to the deterministic
+    fixture-trained models; pass corpus-trained replacements (e.g. from
+    models.train_langid_distributed / train_char_lm_distributed) to run
+    the pipeline with models trained ON the data being filtered — same
+    arrays format, so the fused scorer UDF is unchanged."""
+    d_langid, d_lm = get_models()
+    langid = langid if langid is not None else d_langid
+    lm = lm if lm is not None else d_lm
     return spark.sparkContext.broadcast(
         {"langid": langid.to_arrays(), "lm": lm.to_arrays()}
     )

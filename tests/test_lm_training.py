@@ -58,3 +58,27 @@ def test_distributed_langid_matches_driver_training(spark):
     preds = got.predict([r[4] for r in rows])
     acc = sum(p == r[3] for p, r in zip(preds, rows)) / len(rows)
     assert acc >= 0.8
+
+
+def test_pipeline_runs_with_corpus_trained_models(spark):
+    """The trainers' output plugs into the production pipeline: rerun
+    the verdict pipeline with corpus-trained langid + LM and check the
+    perplexity/langid-dependent verdicts still fire coherently."""
+    from dataquality_cli_spark.functions.models import (
+        train_char_lm_distributed, train_langid_distributed)
+    from dataquality_cli_spark.functions.udfs import broadcast_models
+    from dataquality_cli_spark.plans.pipeline import run_pipeline
+
+    rows = corpus_to_rows(gen_corpus(150, seed=57))
+    df = spark.createDataFrame(rows, SCHEMA)
+    langid = train_langid_distributed(df)
+    lm = train_char_lm_distributed(df)
+    bc = broadcast_models(spark, langid=langid, lm=lm)
+    verdicts = run_pipeline(spark, df, bc=bc).collect()
+    assert len(verdicts) == len(rows)
+    kept = [r for r in verdicts if r.keep]
+    # an in-domain-trained LM considers most of its own corpus natural:
+    # the pipeline must not degenerate to drop-everything or keep-everything
+    assert 0 < len(kept) < len(verdicts)
+    reasons = {r.drop_reason for r in verdicts if not r.keep}
+    assert reasons  # drop reasons populated

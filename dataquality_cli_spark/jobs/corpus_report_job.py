@@ -1,0 +1,103 @@
+"""One-shot corpus analytics report — the `describe` of the documents
+surface: a single spark-submit run over a (doc_id, text, lang, source)
+table that emits ONE JSON line a corpus owner reads before touching
+anything else: size, language mix, quality distribution, duplication
+rate, repetition flags, heavy-hitter vocabulary.
+
+Composed from the oracle-verified operators; every number is produced
+by a bounded plan (aggregates, approx percentiles, top-k TakeOrdered)
+— nothing here collects unbounded data to the driver.
+
+    spark-submit --py-files dist/dataquality_cli_spark.zip \\
+        dataquality_cli_spark/jobs/corpus_report_job.py \\
+        --input <documents parquet> [--top-tokens 10]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def corpus_report(spark: SparkSession, df: DataFrame,
+                  top_tokens: int = 10) -> dict:
+    """All report numbers from a handful of bounded jobs."""
+    from dataquality_cli_spark.operators import text as T
+    from dataquality_cli_spark.operators.dedup import exact_dup_groups
+
+    df = df.persist()
+    report: dict = {}
+
+    # size + language mix + token budget in ONE aggregation pass
+    toks = F.size(F.split(F.col("text"), " ", -1)).cast("long")
+    base = df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+    ).collect()
+    report["n_docs"] = int(sum(r.n_docs for r in base))
+    report["n_tokens"] = int(sum(r.n_tokens for r in base))
+    report["langs"] = {r.lang: int(r.n_docs) for r in
+                       sorted(base, key=lambda r: -r.n_docs)}
+
+    # quality distribution (approx percentiles: one pass, no sort)
+    q = T.quality_score(df).agg(
+        F.round(F.avg("quality_score"), 4).alias("mean"),
+        F.percentile_approx("quality_score", [0.25, 0.5, 0.75], 10_000)
+        .alias("q"),
+    ).collect()[0]
+    report["quality"] = {"mean": float(q["mean"]),
+                         "q25": float(q["q"][0]), "q50": float(q["q"][1]),
+                         "q75": float(q["q"][2])}
+
+    # exact duplication: docs whose content hash repeats
+    dup = exact_dup_groups(df).agg(
+        F.coalesce(F.sum("n_copies"), F.lit(0)).alias("in_dup_groups"),
+        F.count(F.lit(1)).alias("groups"),
+    ).collect()[0]
+    extra = int(dup["in_dup_groups"]) - int(dup["groups"])  # removable copies
+    report["exact_dup"] = {
+        "groups": int(dup["groups"]),
+        "removable_docs": max(extra, 0),
+        "rate": round(max(extra, 0) / max(report["n_docs"], 1), 6),
+    }
+
+    # Gopher repetition flags (share of docs over the standard gates)
+    rep = T.repetition_signals(df).agg(
+        F.round(F.avg(F.when(F.col("dup_line_fraction") > 0.30, 1.0)
+                      .otherwise(0.0)), 6).alias("dup_lines"),
+        F.round(F.avg(F.when(F.col("top_token_fraction") > 0.20, 1.0)
+                      .otherwise(0.0)), 6).alias("top_token"),
+    ).collect()[0]
+    report["repetition_flagged"] = {"dup_line_frac_gt_30pct": float(rep["dup_lines"]),
+                                    "top_token_frac_gt_20pct": float(rep["top_token"])}
+
+    # heavy-hitter vocabulary (bounded TakeOrdered)
+    report["top_tokens"] = [
+        {"token": r.token, "n": int(r.n)}
+        for r in T.vocabulary(df, top_k=top_tokens).collect()
+    ]
+    df.unpersist()
+    return report
+
+
+def main() -> None:
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--top-tokens", type=int, default=10)
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.appName("dq-corpus-report")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    df = spark.read.parquet(args.input)
+    print(json.dumps({"metric": "corpus_report",
+                      **corpus_report(spark, df, args.top_tokens)}))
+
+
+if __name__ == "__main__":
+    main()

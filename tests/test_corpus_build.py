@@ -153,3 +153,29 @@ def test_corpus_build_main_smoke(spark, tmp_path, capsys, monkeypatch):
     assert spark.read.parquet(str(tmp_path / "val")).count() == m["val_docs"]
     assert (spark.read.parquet(str(tmp_path / "kept")).count()
             == m["after_decontamination"])
+
+
+def test_corpus_report_shape_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from dataquality_cli_spark.jobs.corpus_report_job import corpus_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 10_000))
+    rep = corpus_report(spark, aug, top_tokens=5)
+    assert rep["n_docs"] == aug.count()
+    assert rep["n_tokens"] > rep["n_docs"]
+    assert set(rep["langs"]) == {r.lang for r in
+                                 docs.select("lang").distinct().collect()}
+    assert 0.0 < rep["quality"]["q25"] <= rep["quality"]["q50"] \
+        <= rep["quality"]["q75"] <= 1.0
+    n_planted = docs.filter(F.col("doc_id") % 5 == 0).count()
+    assert rep["exact_dup"]["groups"] == n_planted
+    assert rep["exact_dup"]["removable_docs"] == n_planted
+    assert len(rep["top_tokens"]) == 5
+    assert rep["top_tokens"][0]["n"] >= rep["top_tokens"][-1]["n"]
+    # deterministic across runs and input partitionings
+    rep2 = corpus_report(spark, aug.repartition(11), top_tokens=5)
+    assert rep2 == rep

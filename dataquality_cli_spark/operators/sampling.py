@@ -80,6 +80,35 @@ def proportional_fractions(df: DataFrame, strata_col: str,
     return out
 
 
+def temperature_fractions(df: DataFrame, strata_col: str,
+                          alpha: float = 0.3,
+                          total_rows: int | None = None,
+                          ) -> dict[str, float]:
+    """Temperature-based rebalancing fractions (the multilingual mixing
+    rule of XLM-R, Conneau et al. 2020 — public method): target share
+    p_l^alpha / sum_k p_k^alpha flattens the observed distribution
+    (alpha=1 keeps it, alpha->0 approaches uniform), up-weighting rare
+    strata without a hand-written mix. Returns per-stratum KEEP
+    fractions for `stratified_sample`, capped at 1.0 (no replacement);
+    ``total_rows`` defaults to the corpus size. Same bounded shape as
+    `proportional_fractions`: one stratum-cardinality aggregation."""
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = sum(counts.values())
+    if n == 0:
+        return {}
+    if total_rows is None:
+        total_rows = n
+    weights = {k: (c / n) ** alpha for k, c in counts.items()}
+    z = sum(weights.values())
+    return {
+        k: min(1.0, (weights[k] / z) * total_rows / counts[k])
+        for k in counts
+    }
+
+
 def _pack_schema(id_ddl: str) -> str:
     return (f"doc_id {id_ddl}, n_tokens long, pack_id string, "
             f"pack_slot int, pack_tokens long")

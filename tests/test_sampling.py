@@ -119,3 +119,35 @@ def test_pack_sequences_string_ids_and_bad_type(spark):
     with pytest.raises(TypeError, match="integral or string"):
         sampling.pack_sequences(bad, budget=512, id_col="fid",
                                 tokens_col="tok")
+
+
+def test_temperature_fractions_flatten_language_mix(spark):
+    from dataquality_cli_spark.operators.sampling import (
+        stratified_sample, temperature_fractions)
+
+    rows = [(i, "en") for i in range(800)] + \
+           [(i + 1000, "de") for i in range(150)] + \
+           [(i + 2000, "sw") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    # alpha = 1 reproduces the observed mix: every fraction ~ total/have
+    f1 = temperature_fractions(df, "lang", alpha=1.0)
+    assert all(abs(v - 1.0) < 1e-9 for v in f1.values())
+
+    # alpha < 1 up-weights rare strata: sw keeps a larger share than en
+    f = temperature_fractions(df, "lang", alpha=0.3, total_rows=500)
+    assert f["sw"] > f["de"] > f["en"]
+    assert f["sw"] == 1.0  # rare stratum fully kept (capped, no replacement)
+
+    sampled = stratified_sample(df, "lang", f)
+    got = {r.lang: r.n for r in
+           sampled.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    # flattening: the en share of the SAMPLE is well below its 80% corpus
+    # share; sw share is well above its 5%
+    total = sum(got.values())
+    assert got["en"] / total < 0.65
+    assert got["sw"] / total > 0.10
+    # deterministic: same fractions -> identical selection
+    again = stratified_sample(df, "lang", f)
+    assert {r.doc_id for r in again.collect()} == \
+        {r.doc_id for r in sampled.collect()}

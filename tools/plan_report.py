@@ -43,6 +43,7 @@ CHECKS = {
     "corpus_split_leak": "honest shuffle equi-join on the shingle key (train side NOT broadcast — it is the big side); both sides reduced before the join",
     "corpus_snapshot_diff": "full-outer equi-join of (key, sha256) projections — bodies never enter the join",
     "emb_centroids": "ONE Generate (posexplode) + ONE uniform-key partial agg — no second scan for counts",
+    "dq_threshold_sweep": "one corpus scan into a bounded bucket table (persisted; feeds total + cumulative); never |df| x |thresholds|; window only over <= n_thresholds+1 rows",
 }
 
 

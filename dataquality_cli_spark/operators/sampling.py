@@ -235,7 +235,8 @@ def hash_split(df: DataFrame, key_col: str, fraction: float,
 
 def split_leak_check(df: DataFrame, key_col: str = "doc_id",
                      text_col: str = "text", val_fraction: float = 0.25,
-                     salt: str = "split", min_hits: int = 3) -> DataFrame:
+                     salt: str = "split", min_hits: int = 3,
+                     max_shingle_docs: int | None = None) -> DataFrame:
     """Train/val contamination audit: validation docs sharing >=
     ``min_hits`` character shingles with ANY training doc — the check a
     corpus owner runs after splitting, because a random split of a
@@ -251,18 +252,28 @@ def split_leak_check(df: DataFrame, key_col: str = "doc_id",
     shingle key (uniform, bounded-width), with both sides reduced
     first (train DISTINCT-ed, val already per-doc-distinct via
     shingles_col) and a partial-aggregated groupBy(doc) after."""
-    from .dedup import shingles_col
+    from .dedup import cap_buckets, shingles_col
 
     h = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
     thr = F.lit(_hex_threshold(val_fraction))
     val = df.filter(h < thr)
     train = df.filter(~(h < thr))
-    train_sh = train.select(
+    train_sh_all = train.select(
         F.explode(shingles_col(F.col(text_col))).alias("sh")
-    ).distinct()
+    )
+    # optional boilerplate guard: a shingle present in more than
+    # ``max_shingle_docs`` TRAIN docs (license headers, shared
+    # templates) says nothing about leakage but inflates every val
+    # doc's n_hits — drop those keys from both sides with the shared
+    # broadcast-anti-join cap (train doc-frequency counted BEFORE the
+    # distinct, same one-agg shape as the LSH bucket cap)
+    train_sh_all = cap_buckets(train_sh_all, ["sh"], max_shingle_docs)
+    train_sh = train_sh_all.distinct()
     val_sh = val.select(
         key_col, F.explode(shingles_col(F.col(text_col))).alias("sh")
     )
+    # the val side needs no explicit filter: capped-away train shingles
+    # simply have no match in the inner join below
     return (
         val_sh.join(train_sh, "sh")
         .groupBy(key_col)

@@ -151,3 +151,29 @@ def test_temperature_fractions_flatten_language_mix(spark):
     again = stratified_sample(df, "lang", f)
     assert {r.doc_id for r in again.collect()} == \
         {r.doc_id for r in sampled.collect()}
+
+
+def test_split_leak_check_boilerplate_shingle_cap(spark):
+    from pyspark.sql import functions as F
+
+    from dataquality_cli_spark.operators.sampling import split_leak_check
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    # every doc carries the same license-header boilerplate
+    boiler = " SPDX LICENSE HEADER COPYRIGHT 2026 ALL RIGHTS RESERVED "
+    noisy = docs.withColumn("text", F.concat(F.lit(boiler), F.col("text")))
+
+    uncapped = {(r.doc_id, r.n_hits)
+                for r in split_leak_check(noisy).collect()}
+    capped = {(r.doc_id, r.n_hits)
+              for r in split_leak_check(noisy, max_shingle_docs=50).collect()}
+    # the shared header's shingles appear in ~75% of train docs -> the
+    # cap removes them from the audit: every doc's hit count strictly
+    # shrinks (fixture docs still leak via template shingles, so the
+    # flagged SET may not shrink — the inflation does)
+    uncapped_hits, capped_hits = dict(uncapped), dict(capped)
+    assert set(capped_hits) <= set(uncapped_hits)
+    assert all(capped_hits[d] < uncapped_hits[d] for d in capped_hits)
+    assert sum(capped_hits.values()) < 0.9 * sum(
+        uncapped_hits[d] for d in capped_hits)

@@ -202,6 +202,44 @@ def _describe(args) -> int:
             spark.stop()
 
 
+def _report(args) -> int:
+    from pyspark.sql import SparkSession
+
+    from dataquality_cli_spark.jobs.corpus_report_job import corpus_report
+    from dataquality_cli_spark.session import get_spark
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark(app="dataqa-report", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        df = spark.read.parquet(args.input)
+        rep = corpus_report(spark, df, top_tokens=args.top_tokens)
+        if args.json:
+            print(json.dumps({"metric": "corpus_report", **rep}))
+            return 0
+        print(f"Corpus report: {args.input}")
+        print(f"  documents: {rep['n_docs']:,}   "
+              f"tokens: {rep['n_tokens']:,}")
+        print("  languages: " + ", ".join(
+            f"{k}={v:,}" for k, v in rep["langs"].items()))
+        q = rep["quality"]
+        print(f"  quality: mean={q['mean']}  q25={q['q25']}  "
+              f"q50={q['q50']}  q75={q['q75']}")
+        d = rep["exact_dup"]
+        print(f"  exact dups: {d['groups']} groups, "
+              f"{d['removable_docs']} removable docs "
+              f"({d['rate'] * 100:.2f}%)")
+        r = rep["repetition_flagged"]
+        print(f"  repetition flags: dup-lines>30% {r['dup_line_frac_gt_30pct'] * 100:.1f}%"
+              f"   top-token>20% {r['top_token_frac_gt_20pct'] * 100:.1f}%")
+        print("  top tokens: " + ", ".join(
+            f"{x['token']}({x['n']})" for x in rep["top_tokens"]))
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="dataquality_cli_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -221,9 +259,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="also write the report to this file")
     d.add_argument("--master", default=None)
     d.add_argument("--json", action="store_true")
+    r = sub.add_parser(
+        "report", help="one-shot analytics report over a documents parquet")
+    r.add_argument("input")
+    r.add_argument("--top-tokens", type=int, default=10)
+    r.add_argument("--master", default=None)
+    r.add_argument("--json", action="store_true")
     args = ap.parse_args(argv)
     if args.cmd == "describe":
         return _describe(args)
+    if args.cmd == "report":
+        return _report(args)
     return 2
 
 

@@ -300,3 +300,18 @@ def test_distributed_header_scan_matches_driver_path(spark, tmp_path):
     # and describe_dir still groups into the two schema shapes
     groups = csvdir.describe_dir(spark, str(tmp_path))
     assert sorted(tuple(c) for c, _ in groups) == [("id", "name"), ("price", "qty")]
+
+
+def test_cli_report_smoke(spark, capsys):
+    from dataquality_cli_spark.__main__ import main
+
+    rc = main(["report", "/root/testdata/sf0.001/documents.parquet",
+               "--top-tokens", "3", "--json"])
+    assert rc == 0
+    import json as _json
+
+    out = [l for l in capsys.readouterr().out.splitlines()
+           if l.startswith("{")][-1]
+    rep = _json.loads(out)
+    assert rep["metric"] == "corpus_report"
+    assert rep["n_docs"] == 500 and len(rep["top_tokens"]) == 3

@@ -800,6 +800,9 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
     document bodies. `unchanged` rows are dropped (at 100 TB they are
     ~all rows — emitting them would make the delta as big as the
     corpus)."""
+    # precondition: key_col is the snapshot identity, i.e. unique per
+    # snapshot — a repeated key would fan out in the join like any join
+    # (run exact dedup / keep-first upstream if ingest can repeat keys)
     oh = old.select(F.col(key_col).alias("k"),
                     F.sha2(F.col(text_col), 256).alias("old_hash"))
     nh = new.select(F.col(key_col).alias("k"),

@@ -1046,3 +1046,16 @@ def test_bpe_tokenize_roundtrip_and_training_parity(spark):
     for doc_id, t in rows:
         expect = [s for w in t.split(" ") if w for s in ref_encode(w)]
         assert list(enc[doc_id].bpe_tokens) == expect
+
+
+def test_snapshot_diff_empty_snapshots(spark):
+    old = spark.createDataFrame([(1, "a"), (2, "b")],
+                                "doc_id long, text string")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    gone = {r.doc_id: r.status for r in
+            dedup.snapshot_diff(old, empty).collect()}
+    assert gone == {1: "removed", 2: "removed"}
+    born = {r.doc_id: r.status for r in
+            dedup.snapshot_diff(empty, old).collect()}
+    assert born == {1: "added", 2: "added"}
+    assert dedup.snapshot_diff(empty, empty).count() == 0

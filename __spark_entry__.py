@@ -1375,12 +1375,15 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["corpus_snapshot_diff"] = """
-        WITH oldh AS (SELECT doc_id AS k, sha256(text) AS old_hash
+        WITH oldh AS (SELECT doc_id AS k,
+                             sha256(COALESCE(text, chr(0) || '<null>'))
+                               AS old_hash
                       FROM documents),
         newh AS (
           SELECT doc_id AS k,
-                 sha256(CASE WHEN doc_id % 9 = 0 THEN text || ' v2'
-                             ELSE text END) AS new_hash
+                 sha256(COALESCE(CASE WHEN doc_id % 9 = 0 THEN text || ' v2'
+                                      ELSE text END, chr(0) || '<null>'))
+                   AS new_hash
           FROM documents WHERE doc_id % 6 != 0
           UNION ALL
           SELECT doc_id + 30000 AS k, sha256(text) AS new_hash
@@ -1442,12 +1445,20 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_streaming_neardup"] = f"""
         WITH corpus AS (SELECT doc_id, text FROM documents
                         WHERE doc_id < 300),
-        newb AS (
+        newb_raw AS (
           SELECT doc_id + 70000 AS doc_id, text FROM documents
           WHERE doc_id >= 300
           UNION ALL
           SELECT doc_id + 50000 AS doc_id, text FROM documents
           WHERE doc_id < 300 AND doc_id % 10 = 0),
+        -- intra-batch exact dedup (keep lowest key per content hash),
+        -- mirroring the sink's first step; a no-op on this fixture
+        -- (raw docs have no exact text dups) but part of the semantics
+        newb AS (
+          SELECT n.doc_id, n.text FROM newb_raw n
+          JOIN (SELECT sha256(text) AS h, MIN(doc_id) AS doc_id
+                FROM newb_raw GROUP BY sha256(text)) k
+            ON n.doc_id = k.doc_id),
         csig AS (SELECT doc_id, {mh_cols} FROM corpus),
         cband AS (
           SELECT 0 AS band_id, md5(concat_ws('|', mh0, mh1, mh2)) AS band_hash FROM csig

@@ -410,15 +410,22 @@ def train_langid_distributed(df, label_col: str = "lang",
         rows = []
         for label, arr in acc.items():
             nz = np.nonzero(arr)[0]
-            if nz.size:
-                rows.append(pd.DataFrame(
-                    {"label": label, "bucket": nz.astype("int64"),
-                     "n": arr[nz]}))
+            # bucket -1 marker: the label EXISTS in this partition even
+            # if none of its texts reached the minimum n-gram order —
+            # such a class must still end up in the model (smoothed
+            # uniform weights), exactly as driver-side train keeps it
+            rows.append(pd.DataFrame(
+                {"label": label,
+                 "bucket": np.concatenate(([-1], nz)).astype("int64"),
+                 "n": np.concatenate(([0.0], arr[nz]))}))
         if rows:
             yield pd.concat(rows, ignore_index=True)
 
     counts_rows = (
+        # NULL labels are excluded (a driver-side dict cannot address
+        # them as a class either)
         df.select(F.col(label_col), F.col(text_col))
+        .filter(F.col(label_col).isNotNull())
         .mapInPandas(part, "label string, bucket long, n double")
         .groupBy("label", "bucket")
         .agg(F.sum("n").alias("n"))
@@ -428,6 +435,7 @@ def train_langid_distributed(df, label_col: str = "lang",
     ci = {c: i for i, c in enumerate(classes)}
     counts = np.ones((len(classes), dim), dtype=np.float64)  # add-1
     for r in counts_rows:
-        counts[ci[r.label], r.bucket] += r.n
+        if r.bucket >= 0:  # skip the label-presence marker rows
+            counts[ci[r.label], r.bucket] += r.n
     weights = np.log(counts / counts.sum(axis=1, keepdims=True))
     return LangIdModel(classes, weights)

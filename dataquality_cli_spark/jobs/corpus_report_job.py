@@ -29,15 +29,27 @@ def corpus_report(spark: SparkSession, df: DataFrame,
     report: dict = {}
 
     # size + language mix + token budget in ONE aggregation pass
-    toks = F.size(F.split(F.col("text"), " ", -1)).cast("long")
+    # (same tokenizer as the vocabulary/quality sections below)
+    toks = F.size(T.tokens_col(F.col("text"))).cast("long")
     base = df.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(toks).alias("n_tokens"),
     ).collect()
     report["n_docs"] = int(sum(r.n_docs for r in base))
-    report["n_tokens"] = int(sum(r.n_tokens for r in base))
+    report["n_tokens"] = int(sum(r.n_tokens or 0 for r in base))
     report["langs"] = {r.lang: int(r.n_docs) for r in
                        sorted(base, key=lambda r: -r.n_docs)}
+    if report["n_docs"] == 0:
+        # empty corpus (e.g. a fully-filtered partition): every later
+        # aggregate would be NULL — return the zero report instead of
+        # crashing on float(None)
+        df.unpersist()
+        report.update({
+            "quality": None, "exact_dup":
+                {"groups": 0, "removable_docs": 0, "rate": 0.0},
+            "repetition_flagged": None, "top_tokens": [],
+        })
+        return report
 
     # quality distribution (approx percentiles: one pass, no sort)
     q = T.quality_score(df).agg(

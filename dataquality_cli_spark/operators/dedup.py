@@ -803,10 +803,16 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
     # precondition: key_col is the snapshot identity, i.e. unique per
     # snapshot — a repeated key would fan out in the join like any join
     # (run exact dedup / keep-first upstream if ingest can repeat keys)
+    # NULL text must hash to a real value: sha2(NULL) is NULL, which
+    # would misreport a key whose old text is NULL as 'added' (and
+    # NULL != NULL is never true, hiding NULL->value changes)
+    def _h(c):
+        return F.sha2(F.coalesce(c, F.lit("\x00<null>")), 256)
+
     oh = old.select(F.col(key_col).alias("k"),
-                    F.sha2(F.col(text_col), 256).alias("old_hash"))
+                    _h(F.col(text_col)).alias("old_hash"))
     nh = new.select(F.col(key_col).alias("k"),
-                    F.sha2(F.col(text_col), 256).alias("new_hash"))
+                    _h(F.col(text_col)).alias("new_hash"))
     j = oh.join(nh, "k", "full_outer")
     status = (
         F.when(F.col("old_hash").isNull(), F.lit("added"))

@@ -388,14 +388,17 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
 
     from .util import spread
 
-    toks = tokens_col(F.col(text_col))
+    # NULL text coalesces to '': split(NULL) is NULL and explode(NULL)
+    # emits nothing, which would silently drop the doc from tf AND from
+    # the corpus size N used in every other doc's idf
+    toks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
     # persist the reduced (doc, term, tf) table: it feeds BOTH the
     # doc-frequency agg and the final join — without it Catalyst
     # re-derives the branch from the source, i.e. a second full corpus
     # scan + explode at 100 TB (the lsh_candidate_pairs band-persist
-    # lesson). Every doc appears here (empty text still yields one ''
-    # token), so corpus size N comes from this table too — zero extra
-    # passes over the raw corpus.
+    # lesson). Every doc appears here (empty/NULL text still yields one
+    # '' token), so corpus size N comes from this table too — zero
+    # extra passes over the raw corpus.
     tf = (
         spread(df).select("doc_id", F.explode(toks).alias("term"))
         .groupBy("doc_id", "term")

@@ -110,13 +110,20 @@ def stream_neardup_filter(spark: SparkSession, input_dir: str, schema,
     existing corpus participates ONLY through its materialized band
     index (never re-scanned, never re-hashed), which is exactly what a
     production crawl pipeline maintains as the corpus grows. Band
-    hashing is stateless per batch, so no Spark state store is involved
-    at all — the "state" IS the band table on storage, which also makes
-    the job trivially resumable (checkpoint + append sinks). Band-level
-    matching is the high-recall screen (a band hit at the default 8x2
-    config ~ Jaccard >= ~0.3 candidates); a periodic batch
-    `lsh_verified_pairs` pass over the accumulated corpus is the
-    precision backstop, same two-tier layout as stream_dedup_exact."""
+    hashing is stateless per batch, so no Spark state store is involved.
+
+    Resume is IDEMPOTENT: every write is epoch-keyed
+    (``.../epoch_id=<n>/`` with overwrite), so foreachBatch's
+    at-least-once re-run of an epoch replaces its own previous partial
+    output instead of appending duplicates, and the fold-forward index
+    read EXCLUDES the current epoch — a re-run can never collide a doc
+    with its own half-written bands. Exact duplicates WITHIN a batch are
+    dropped first (keep-lowest-key per sha256); NEAR-dups within one
+    micro-batch are deliberately left to the periodic batch
+    `lsh_verified_pairs` pass over the accumulated corpus — the same
+    two-tier layout as stream_dedup_exact. Band-level matching is the
+    high-recall screen (a band hit at the default 8x2 config ~ Jaccard
+    >= ~0.3 candidates); the batch pass is also the precision backstop."""
     from pyspark.errors import AnalysisException
 
     from ..operators.dedup import lsh_bands, minhash_signatures
@@ -132,10 +139,22 @@ def stream_neardup_filter(spark: SparkSession, input_dir: str, schema,
     metrics_dir = os.path.join(out_dir, "metrics")
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        # intra-batch exact dedup: keep the lowest key per content hash
+        # (two copies of a NEW doc in one crawl file would otherwise
+        # both pass the index screen and both be admitted)
+        keep = (batch_df
+                .groupBy(F.sha2(F.col(text_col), 256).alias("_h"))
+                .agg(F.min("doc_id").alias("doc_id"))
+                .select("doc_id"))
+        batch_df = batch_df.join(keep, "doc_id", "left_semi").persist()
         bands = lsh_bands(
             minhash_signatures(batch_df, text_col)).persist()
         try:
-            grown = spark.read.parquet(bands_dir)
+            # partition discovery exposes epoch_id; exclude the CURRENT
+            # epoch so a re-run never sees its own partial bands
+            grown = (spark.read.parquet(bands_dir)
+                     .filter(F.col("epoch_id") != epoch_id)
+                     .select("doc_id", "band_id", "band_hash"))
         except AnalysisException:  # first batch: no survivors yet
             grown = None
         index = (index_bands if grown is None
@@ -147,15 +166,19 @@ def stream_neardup_filter(spark: SparkSession, input_dir: str, schema,
             .select("doc_id").distinct()
         )
         survivors = batch_df.join(hit_ids, "doc_id", "left_anti").persist()
-        survivors.write.mode("append").parquet(data_dir)
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(data_dir, f"epoch_id={epoch_id}"))
         (bands.join(hit_ids, "doc_id", "left_anti")
-         .write.mode("append").parquet(bands_dir))
+         .write.mode("overwrite").parquet(
+             os.path.join(bands_dir, f"epoch_id={epoch_id}")))
         (spark.createDataFrame(
-            [(epoch_id, batch_df.count(), survivors.count())],
-            "epoch_id long, n_in long, n_kept long")
-         .coalesce(1).write.mode("append").parquet(metrics_dir))
+            [(batch_df.count(), survivors.count())],
+            "n_in long, n_kept long")
+         .coalesce(1).write.mode("overwrite").parquet(
+             os.path.join(metrics_dir, f"epoch_id={epoch_id}")))
         survivors.unpersist()
         bands.unpersist()
+        batch_df.unpersist()
 
     return (
         stream.writeStream.foreachBatch(sink)

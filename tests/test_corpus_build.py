@@ -179,3 +179,14 @@ def test_corpus_report_shape_and_determinism(spark):
     # deterministic across runs and input partitionings
     rep2 = corpus_report(spark, aug.repartition(11), top_tokens=5)
     assert rep2 == rep
+
+
+def test_corpus_report_empty_corpus(spark):
+    from dataquality_cli_spark.jobs.corpus_report_job import corpus_report
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string")
+    rep = corpus_report(spark, empty)
+    assert rep["n_docs"] == 0 and rep["n_tokens"] == 0
+    assert rep["top_tokens"] == [] and rep["quality"] is None
+    assert rep["exact_dup"]["rate"] == 0.0

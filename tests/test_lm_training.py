@@ -82,3 +82,21 @@ def test_pipeline_runs_with_corpus_trained_models(spark):
     assert 0 < len(kept) < len(verdicts)
     reasons = {r.drop_reason for r in verdicts if not r.keep}
     assert reasons  # drop reasons populated
+
+
+def test_langid_trainer_keeps_empty_and_skips_null_classes(spark):
+    from dataquality_cli_spark.functions.models import (
+        LangIdModel, train_langid_distributed)
+
+    rows = [("go", "package main func init loop over range"),
+            ("go", "func handler writes bytes to the conn"),
+            ("tiny", "a"),            # below every n-gram order
+            ("tiny", "b"),
+            (None, "label is null — excluded entirely")]
+    df = spark.createDataFrame(rows, "lang string, content string")
+    m = train_langid_distributed(df)
+    assert m.classes == ("go", "tiny")  # 'tiny' kept, NULL dropped
+    expected = LangIdModel.train(
+        {"go": [r[1] for r in rows if r[0] == "go"],
+         "tiny": [r[1] for r in rows if r[0] == "tiny"]})
+    assert np.array_equal(m.weights, expected.weights)

@@ -1059,3 +1059,29 @@ def test_snapshot_diff_empty_snapshots(spark):
             dedup.snapshot_diff(empty, old).collect()}
     assert born == {1: "added", 2: "added"}
     assert dedup.snapshot_diff(empty, empty).count() == 0
+
+
+def test_snapshot_diff_null_text(spark):
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "c")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "now set"), (2, None), (3, "c")], "doc_id long, text string")
+    out = {r.doc_id: r.status for r in dedup.snapshot_diff(old, new).collect()}
+    # NULL -> value is a CHANGE (not 'added'); NULL -> NULL is unchanged
+    assert out == {1: "changed"}
+
+
+def test_tfidf_counts_null_text_docs_in_corpus_size(spark):
+    from dataquality_cli_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "apple banana"), (2, None), (3, "apple candle")],
+        "doc_id long, text string")
+    out = T.tfidf_top_terms(df, top_k=2).collect()
+    docs = {r.doc_id for r in out}
+    assert docs == {1, 2, 3}  # NULL-text doc present (as the '' term)
+    # idf uses N=3: apple appears in 2 docs -> idf = ln(4/3)+1
+    import math
+    apple = [r for r in out if r.term == "apple"][0]
+    assert apple.doc_freq == 2
+    assert apple.tfidf == pytest.approx(round(math.log(4 / 3) + 1, 6))

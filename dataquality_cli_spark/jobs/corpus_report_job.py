@@ -30,7 +30,11 @@ def corpus_report(spark: SparkSession, df: DataFrame,
 
     # size + language mix + token budget in ONE aggregation pass
     # (same tokenizer as the vocabulary/quality sections below)
-    toks = F.size(T.tokens_col(F.col("text"))).cast("long")
+    # coalesce NULL text to '' BEFORE tokenizing: size(split(NULL)) is
+    # NULL under ANSI and -1 under legacy sizeOfNull — either silently
+    # corrupts the token budget (same fix as tfidf_top_terms)
+    toks = F.size(
+        T.tokens_col(F.coalesce(F.col("text"), F.lit("")))).cast("long")
     base = df.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(toks).alias("n_tokens"),

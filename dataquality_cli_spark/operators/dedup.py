@@ -805,7 +805,9 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
     # (run exact dedup / keep-first upstream if ingest can repeat keys)
     # NULL text must hash to a real value: sha2(NULL) is NULL, which
     # would misreport a key whose old text is NULL as 'added' (and
-    # NULL != NULL is never true, hiding NULL->value changes)
+    # NULL != NULL is never true, hiding NULL->value changes). A
+    # document whose text LITERALLY equals the sentinel collides with
+    # NULL (NUL-prefixed — not producible by line-based ingest)
     def _h(c):
         return F.sha2(F.coalesce(c, F.lit("\x00<null>")), 256)
 

@@ -1,9 +1,10 @@
 """Streaming variant of the quality-filter pipeline: the SAME fused
 scoring UDF + verdict expressions applied under Structured Streaming
 (file source for incremental ingest of new repo snapshots), with a
-``foreachBatch`` sink that writes the verdict table and per-batch
-drop-reason metrics transactionally enough for idempotent resume
-(epoch id recorded with the metrics; rerunning an epoch overwrites).
+``foreachBatch`` sink whose every write is epoch-keyed with overwrite
+(``.../epoch_id=<n>/``) — foreachBatch is at-least-once, so a re-run
+of an epoch replaces its own previous partial output instead of
+appending duplicates; epoch_id surfaces as a partition column on read.
 
 Batch/stream parity is free because the pipeline is stateless per row —
 the exact property that makes it safe at 10^12-file scale: no watermark
@@ -40,14 +41,19 @@ def stream_quality_filter(spark: SparkSession, input_dir: str, schema,
     metrics_dir = os.path.join(out_dir, "metrics")
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        # epoch-keyed OVERWRITE (not append): foreachBatch is
+        # at-least-once, so a crash-and-restart re-runs an epoch — the
+        # re-run must replace its own previous partial output, never
+        # duplicate it (epoch_id surfaces as a partition column on read)
         batch_df = batch_df.persist()
         (batch_df.select(*VERDICT_COLS)
-         .write.mode("append").parquet(data_dir))
+         .write.mode("overwrite").parquet(
+             os.path.join(data_dir, f"epoch_id={epoch_id}")))
         (batch_df.groupBy("drop_reason")
          .agg(F.count(F.lit(1)).alias("n"),
               F.sum("total_scrub_hits").alias("scrub_hits"))
-         .withColumn("epoch_id", F.lit(epoch_id))
-         .write.mode("append").parquet(metrics_dir))
+         .write.mode("overwrite").parquet(
+             os.path.join(metrics_dir, f"epoch_id={epoch_id}")))
         batch_df.unpersist()
 
     return (
@@ -102,9 +108,9 @@ def stream_neardup_filter(spark: SparkSession, input_dir: str, schema,
     documents is MinHashed and its LSH bands joined against the band
     index of the already-kept corpus; any doc sharing >= 1 band bucket
     with the index (or with a survivor of an earlier batch) is dropped,
-    survivors are appended to ``out/data`` and their bands to
-    ``out/bands`` — so the index folds forward and the stream is
-    self-deduping across batches.
+    survivors land under ``out/data`` and their bands under
+    ``out/bands`` (epoch-keyed, see below) — so the index folds
+    forward and the stream is self-deduping across batches.
 
     This is the streaming face of `dedup.lsh_incremental_pairs`: the
     existing corpus participates ONLY through its materialized band
@@ -138,15 +144,20 @@ def stream_neardup_filter(spark: SparkSession, input_dir: str, schema,
     bands_dir = os.path.join(out_dir, "bands")
     metrics_dir = os.path.join(out_dir, "metrics")
 
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        # intra-batch exact dedup: keep the lowest key per content hash
-        # (two copies of a NEW doc in one crawl file would otherwise
-        # both pass the index screen and both be admitted)
-        keep = (batch_df
-                .groupBy(F.sha2(F.col(text_col), 256).alias("_h"))
-                .agg(F.min("doc_id").alias("doc_id"))
-                .select("doc_id"))
-        batch_df = batch_df.join(keep, "doc_id", "left_semi").persist()
+    def sink(raw_df: DataFrame, epoch_id: int) -> None:
+        from ..operators.dedup import dedup_keep_first
+
+        # intra-batch exact dedup (two copies of a NEW doc in one crawl
+        # file would otherwise both pass the index screen and both be
+        # admitted) — the batch-path keep-first operator, not a local
+        # re-implementation, so streaming and batch semantics cannot
+        # drift. Raw batch persisted: it feeds the keep-first groupBy,
+        # the semi join, and the n_in metric (counted BEFORE dedup —
+        # sum(n_in) across epochs must equal docs ingested).
+        raw_df = raw_df.persist()
+        n_in = raw_df.count()
+        keep = dedup_keep_first(raw_df, text_col).select("doc_id")
+        batch_df = raw_df.join(keep, "doc_id", "left_semi").persist()
         bands = lsh_bands(
             minhash_signatures(batch_df, text_col)).persist()
         try:
@@ -172,13 +183,14 @@ def stream_neardup_filter(spark: SparkSession, input_dir: str, schema,
          .write.mode("overwrite").parquet(
              os.path.join(bands_dir, f"epoch_id={epoch_id}")))
         (spark.createDataFrame(
-            [(batch_df.count(), survivors.count())],
+            [(n_in, survivors.count())],
             "n_in long, n_kept long")
          .coalesce(1).write.mode("overwrite").parquet(
              os.path.join(metrics_dir, f"epoch_id={epoch_id}")))
         survivors.unpersist()
         bands.unpersist()
         batch_df.unpersist()
+        raw_df.unpersist()
 
     return (
         stream.writeStream.foreachBatch(sink)

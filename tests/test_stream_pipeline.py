@@ -103,9 +103,8 @@ def test_stream_neardup_filter_vs_index_and_across_batches(spark, tmp_path):
     fresh_ids = {r.doc_id for r in fresh.collect()}
     # exact copies of indexed docs all dropped
     assert not any(50_000 <= d < 60_000 for d in kept)
-    # fresh docs kept (identical-text twins INSIDE batch 0 could only
-    # collide via their own band buckets, which the left_anti on hit_ids
-    # does not consult — so all fresh survive batch 0)
+    # fresh docs kept (all pairwise-distinct random text, so neither the
+    # intra-batch exact dedup nor the band screen can touch them)
     assert fresh_ids <= kept
     # batch-1 re-sends collide with batch-0 survivors' bands -> dropped
     assert not any(d >= 60_000 for d in kept)

@@ -1085,3 +1085,27 @@ def test_tfidf_counts_null_text_docs_in_corpus_size(spark):
     apple = [r for r in out if r.term == "apple"][0]
     assert apple.doc_freq == 2
     assert apple.tfidf == pytest.approx(round(math.log(4 / 3) + 1, 6))
+
+
+def test_bpe_random_corpora_parity(spark):
+    """Distributed BPE == pure-Python reference over randomized corpora
+    (seeded): words with shared prefixes/suffixes force nontrivial merge
+    interactions, repeated applications force within-word re-merging."""
+    import random
+
+    from dataquality_cli_spark.operators import bpe
+
+    for seed in (11, 23, 37):
+        rng = random.Random(seed)
+        vocab = ["ab", "abc", "abcd", "xyab", "ccab", "aaaa", "aaab",
+                 "ba", "bab", "abab", "ababab"]
+        rows = [(i, " ".join(rng.choices(vocab, k=rng.randrange(3, 20))))
+                for i in range(25)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        wf = {}
+        for _i, t in rows:
+            for w in t.split(" "):
+                wf[w] = wf.get(w, 0) + 1
+        expected = bpe.bpe_reference(wf, n_merges=15)
+        got = bpe.learn_bpe_merges(df, n_merges=15)
+        assert [(m["left"], m["right"]) for m in got] == expected, seed

@@ -377,6 +377,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents").filter(F.col("doc_id") % 50 == 0),
     )
 
+    # token-level 13-gram decontamination (the GPT-3/PaLM-style rule;
+    # every 40th doc stands in for the eval set — its own members
+    # self-contaminate, so the match is never vacuous)
+    q["doc_token_ngram_contamination"] = lambda s, d: \
+        text.token_ngram_contamination(
+            _t(s, d, "documents"),
+            _t(s, d, "documents").filter(F.col("doc_id") % 40 == 0))
+
     # PII/secrets/toxicity scrub: hit counts + scrubbed-text sha256 over
     # the RE2-safe subset of SCRUB_RULES (6 of 7 — private_key uses a
     # lookahead DuckDB's RE2 can't run; it stays pytest-covered). Every
@@ -847,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_benchmark_contamination", "dq_drift_psi",
         "doc_quality_deciles", "doc_repo_quality_report",
         "dedup_ngram_jaccard_top", "corpus_lang_summary",
+        "profile_documents_table",
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     # self-enforcing: every non-tail (i.e. new/modified) query must fit
@@ -1282,6 +1291,28 @@ def oracle_sql() -> dict[str, str]:
           FROM d JOIN bench ON d.sh = bench.sh
           GROUP BY d.doc_id)
         WHERE n_hits >= 3
+    """
+
+    o["doc_token_ngram_contamination"] = f"""
+        WITH bench AS (
+          SELECT DISTINCT array_to_string(toks[i : i + 12], ' ') AS g
+          FROM (SELECT toks,
+                       unnest(range(1, greatest(len(toks) - 12, 0) + 1))
+                         AS i
+                FROM (SELECT {_TOKS} AS toks FROM documents
+                      WHERE doc_id % 40 = 0))),
+        d AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(toks[i : i + 12], ' ') AS g
+          FROM (SELECT doc_id, toks,
+                       unnest(range(1, greatest(len(toks) - 12, 0) + 1))
+                         AS i
+                FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)))
+        SELECT doc_id, n_hits, TRUE AS contaminated FROM (
+          SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM d JOIN bench USING (g)
+          GROUP BY d.doc_id)
+        WHERE n_hits >= 1
     """
 
     _scrub_rules = _re2_safe_scrub_rules()

@@ -491,3 +491,39 @@ def bigram_lm_top(df: DataFrame, text_col: str = "text",
         .orderBy(F.desc("n_pair"), F.asc("w1"), F.asc("w2"))
         .limit(top_k)
     )
+
+
+def token_ngram_contamination(docs: DataFrame, bench: DataFrame,
+                              text_col: str = "text", n: int = 13,
+                              min_hits: int = 1) -> DataFrame:
+    """Token-level n-gram decontamination (the GPT-3/PaLM-style rule:
+    a training doc sharing any 13-token n-gram with an eval example is
+    contaminated — public method). Complements
+    `benchmark_contamination`'s char-shingle screen: token n-grams at
+    n=13 are far more specific (near-zero accidental collisions), so
+    ``min_hits`` defaults to 1.
+
+    Same physical shape as the shingle variant: eval n-grams
+    DISTINCT-ed and BROADCAST; corpus side is one Generate + broadcast
+    hash join + partial-aggregated groupBy(doc_id) — the corpus text
+    never shuffles. Docs shorter than n tokens produce no n-grams and
+    are clean by definition."""
+    def grams(col):
+        t = tokens_col(col)
+        idx = F.when(
+            F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " ")))
+
+    bench_g = bench.select(
+        F.explode(grams(F.col(text_col))).alias("g")).distinct()
+    doc_g = docs.select(
+        "doc_id", F.explode(grams(F.col(text_col))).alias("g"))
+    return (
+        doc_g.join(F.broadcast(bench_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+        .withColumn("contaminated", F.lit(True))
+    )

@@ -1109,3 +1109,26 @@ def test_bpe_random_corpora_parity(spark):
         expected = bpe.bpe_reference(wf, n_merges=15)
         got = bpe.learn_bpe_merges(df, n_merges=15)
         assert [(m["left"], m["right"]) for m in got] == expected, seed
+
+
+def test_token_ngram_contamination_window_semantics(spark):
+    from dataquality_cli_spark.operators import text as T
+
+    eval_text = " ".join(f"e{i}" for i in range(20))
+    eval_df = spark.createDataFrame([(100, eval_text)],
+                                    "doc_id long, text string")
+    toks = eval_text.split(" ")
+    docs = spark.createDataFrame([
+        # contains a full 13-token window of the eval doc -> flagged
+        (1, "x y " + " ".join(toks[3:16]) + " z"),
+        # only 12 consecutive eval tokens -> clean
+        (2, "x y " + " ".join(toks[3:15]) + " z"),
+        # same tokens but scrambled (no contiguous window) -> clean
+        (3, " ".join(reversed(toks))),
+        # short doc (< 13 tokens) -> clean by definition
+        (4, " ".join(toks[:5])),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r.n_hits for r in
+           T.token_ngram_contamination(docs, eval_df).collect()}
+    assert set(out) == {1}
+    assert out[1] == 1  # exactly one shared 13-gram window

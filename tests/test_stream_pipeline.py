@@ -113,3 +113,66 @@ def test_stream_neardup_filter_vs_index_and_across_batches(spark, tmp_path):
     assert len(metrics) == 2
     assert sum(n for n, _ in metrics.values()) == b0.count() + b1.count()
     assert sum(k for _, k in metrics.values()) == len(kept)
+
+
+def test_stream_sinks_idempotent_on_epoch_replay(spark, tmp_path):
+    """Epoch-keyed overwrite: wiping the checkpoint and re-running the
+    stream re-delivers every epoch (the at-least-once worst case) — the
+    outputs must equal the single-run outputs, not double."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dataquality_cli_spark.operators.dedup import (
+        lsh_bands, minhash_signatures)
+    from dataquality_cli_spark.streaming.stream_pipeline import (
+        stream_neardup_filter, stream_quality_filter)
+
+    rows = corpus_to_rows(gen_corpus(80, seed=91))
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i in range(2):
+        chunk = rows[i * 40 : (i + 1) * 40]
+        cols = list(zip(*chunk))
+        pq.write_table(
+            pa.table({n: list(c) for n, c in zip(
+                ("repo", "path", "commit", "lang", "content"), cols)}),
+            str(in_dir / f"part{i}.parquet"))
+
+    out_dir = str(tmp_path / "out_q")
+    schema = spark.createDataFrame([], SCHEMA).schema
+    for run in range(2):
+        q = stream_quality_filter(spark, str(in_dir), schema, out_dir)
+        assert q.awaitTermination(180)
+        if run == 0:
+            first = sorted(
+                (r.repo, r.path) for r in
+                spark.read.parquet(os.path.join(out_dir, "data")).collect())
+            # wipe ONLY the checkpoint: availableNow re-delivers all epochs
+            shutil.rmtree(os.path.join(out_dir, "_checkpoint"))
+    again = sorted(
+        (r.repo, r.path) for r in
+        spark.read.parquet(os.path.join(out_dir, "data")).collect())
+    assert again == first  # no duplicated epochs
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    corpus = docs.filter("doc_id < 200")
+    index = lsh_bands(minhash_signatures(corpus))
+    nin_dir = tmp_path / "nin"
+    nin_dir.mkdir()
+    docs.filter("doc_id >= 200 and doc_id < 260").select(
+        (F.col("doc_id") + 70_000).alias("doc_id"), "text"
+    ).toPandas().to_parquet(str(nin_dir / "b0.parquet"), index=False)
+    nout = str(tmp_path / "out_n")
+    for run in range(2):
+        q = stream_neardup_filter(
+            spark, str(nin_dir), docs.schema, nout, index)
+        assert q.awaitTermination(180)
+        if run == 0:
+            kept1 = sorted(r.doc_id for r in spark.read.parquet(
+                os.path.join(nout, "data")).collect())
+            shutil.rmtree(os.path.join(nout, "_checkpoint"))
+    kept2 = sorted(r.doc_id for r in spark.read.parquet(
+        os.path.join(nout, "data")).collect())
+    assert kept2 == kept1  # replay replaced, never appended

@@ -1,0 +1,65 @@
+"""JSONL corpus source — how web-scale text corpora actually arrive
+(one JSON object per line, usually gzip-sharded).
+
+Design: read lines with the text source (handles .gz transparently)
+and parse with ``from_json`` in the projection. This sidesteps
+SPARK-21610 entirely — the native ``.json()`` reader's corrupt-record
+column cannot be queried on its own without caching the parsed corpus
+(a non-starter at 100 TB), while here a malformed line is simply a
+NULL struct: clean rows and the quarantine are both plain filters over
+ONE text scan, with the JSON parsing running JVM-side in whole-stage
+codegen either way.
+
+Production settings pinned:
+- explicit schema (never inferSchema at 10^12 lines — inference is a
+  full extra pass AND a schema-drift hazard);
+- malformed lines are counted and quarantined with their raw text, not
+  failed on (FAILFAST) or silently dropped (DROPMALFORMED);
+- .gz shards are NOT splittable: one task per shard, so shard size is
+  the parallelism knob (writer-side fix: ~256MB-1GB shards;
+  reader-side fix: operators.util.spread() after load).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CORRUPT_COL = "_corrupt_record"
+
+# the documents-table shape (TESTDATA.md) as the default corpus schema
+DOCS_SCHEMA = ("doc_id long, text string, lang string, source string, "
+               "n_chars long")
+
+
+def read_jsonl(spark: SparkSession, path: str,
+               schema: str = DOCS_SCHEMA) -> DataFrame:
+    """Read a JSONL dataset (plain or .gz) as (raw_line, parsed struct).
+    Use `split_corrupt` to separate clean rows from the quarantine.
+    The corrupt capture lives INSIDE the from_json schema (from_json
+    returns an all-null struct — not a NULL — for malformed input, so
+    a struct-level null test cannot detect bad lines)."""
+    full = f"{schema}, {CORRUPT_COL} string"
+    return (
+        spark.read.text(path)
+        .select(
+            F.col("value").alias("raw_line"),
+            F.from_json(
+                F.col("value"), full,
+                {"mode": "PERMISSIVE",
+                 "columnNameOfCorruptRecord": CORRUPT_COL},
+            ).alias("parsed"),
+        )
+    )
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean rows with the schema's columns, quarantine rows keeping
+    the raw line for triage). A line is quarantined when the parser
+    recorded it in the corrupt column — unparseable JSON, or a value
+    that cannot coerce to the declared field type."""
+    flag = F.col(f"parsed.{CORRUPT_COL}")
+    clean = (df.filter(flag.isNull())
+             .select("parsed.*").drop(CORRUPT_COL))
+    bad = df.filter(flag.isNotNull()).select("raw_line")
+    return clean, bad

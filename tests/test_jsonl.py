@@ -1,0 +1,42 @@
+"""JSONL corpus source: schema'd read, gzip shards, corrupt-line
+quarantine, parquet-roundtrip equality."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+from dataquality_cli_spark.sources.jsonl import read_jsonl, split_corrupt
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_jsonl_roundtrip_gz_and_corrupt_quarantine(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = [r.asDict() for r in docs.limit(200).collect()]
+
+    # two gzip shards + one plain shard, with 3 corrupt lines planted
+    shard_rows = [rows[:80], rows[80:160], rows[160:]]
+    for i, chunk in enumerate(shard_rows[:2]):
+        with gzip.open(tmp_path / f"shard{i}.jsonl.gz", "wt") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+    with open(tmp_path / "shard2.jsonl", "w") as f:
+        for j, r in enumerate(shard_rows[2]):
+            f.write(json.dumps(r) + "\n")
+            if j == 0:
+                f.write("{this is : not json}\n")
+        f.write('{"doc_id": "also-not-a-long"???\n')
+        f.write("plain garbage line\n")
+
+    df = read_jsonl(spark, str(tmp_path))
+    clean, bad = split_corrupt(df)
+    assert bad.count() == 3
+    assert clean.count() == len(rows)
+    # roundtrip equality against the parquet original
+    orig = {r["doc_id"]: r for r in rows}
+    back = {r.doc_id: r.asDict() for r in clean.collect()}
+    assert back == orig
+    # quarantine keeps the raw lines for triage
+    raw = {r.raw_line for r in bad.collect()}
+    assert "plain garbage line" in raw

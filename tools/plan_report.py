@@ -44,6 +44,7 @@ CHECKS = {
     "corpus_snapshot_diff": "full-outer equi-join of (key, sha256) projections — bodies never enter the join",
     "emb_centroids": "ONE Generate (posexplode) + ONE uniform-key partial agg — no second scan for counts",
     "dq_threshold_sweep": "one corpus scan into a bounded bucket table (persisted; feeds total + cumulative); never |df| x |thresholds|; window only over <= n_thresholds+1 rows",
+    "doc_token_ngram_contamination": "eval 13-grams DISTINCT + BROADCAST; corpus side Generate + broadcast hash join + partial agg — corpus text never shuffles",
 }
 
 

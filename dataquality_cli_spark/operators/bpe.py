@@ -3,15 +3,20 @@ public byte-pair-encoding merge-learning algorithm) — the "train the
 tokenizer ON the corpus" stage of a training-data pipeline.
 
 Scale shape — the part that matters at 100 TB: BPE learns from the
-DISTINCT-WORD FREQUENCY table, not the raw corpus. One corpus pass
-builds (word, freq) — a vocabulary-sized table (Heaps' law: ~10^6-10^7
-rows even for web corpora, vs 10^12 documents). Every one of the k
-merge rounds then runs over that bounded table only: pair counts are a
-partial-aggregated groupBy over exploded adjacent symbol pairs weighted
-by word frequency, the argmax pair is one tiny TakeOrdered action, and
-the merge application is a fold over each word's symbol array.
-localCheckpoint truncates the per-round lineage (the star-contraction
-lesson). The corpus text is never touched again after pass one.
+DISTINCT-WORD FREQUENCY table, not the raw corpus. ONE distributed
+corpus pass builds (word, freq) — a vocabulary-sized table (Heaps'
+law: ~10^6-10^7 rows even for web corpora, vs 10^12 documents). That
+table is then collected to the driver (bounded: vocabulary-sized, the
+same artifact a tokenizer trainer like SentencePiece holds in RAM) and
+the k merges are learned there with the classic INCREMENTAL
+pair-count update: each merge touches only the words that contain the
+winning pair (tracked by an inverted pair->words index), not the whole
+vocabulary. Spark is used for exactly what it is good at here — the
+corpus pass and the final encoding fan-out (bpe_tokenize) — and never
+for the inherently sequential merge loop. The previous shape (one
+Spark job per merge, n_merges sequential shuffles) is a scheduler-
+latency disaster at a real tokenizer's 32k merges; see VERDICT r3 #1.
+The corpus text is never touched again after pass one.
 
 The learned merge list is deterministic: pair counts tie-break on the
 pair itself, and merge application is greedy left-to-right
@@ -23,7 +28,7 @@ from __future__ import annotations
 
 import pandas as pd  # module-level: pandas_udf resolves the postponed
                      # 'pd.Series' annotations from these globals
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # end-of-word marker (standard BPE: keeps merges from crossing word
@@ -45,44 +50,74 @@ def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _to_symbols(word: Column) -> Column:
-    """Initial symbol sequence: characters + end-of-word marker."""
-    return F.concat(F.split(word, "", -1), F.array(F.lit(EOW)))
-
-
-def _pair_counts(syms: DataFrame) -> DataFrame:
-    """Frequency-weighted adjacent-pair counts over the symbol table."""
-    s = F.col("syms")
-    idx = F.when(F.size(s) >= 2, F.sequence(F.lit(1), F.size(s) - 1)) \
-        .otherwise(F.array().cast("array<int>"))
-    pairs = F.transform(
-        idx,
-        lambda i: F.struct(F.element_at(s, i).alias("left"),
-                           F.element_at(s, i + 1).alias("right")),
-    )
-    return (
-        syms.select(F.explode(pairs).alias("p"), "freq")
-        .groupBy("p.left", "p.right")
-        .agg(F.sum("freq").alias("n"))
-    )
-
-
-def _apply_merge(sym_col: Column, left: str, right: str) -> Column:
+def _merge_word(syms: list[str], a: str, b: str) -> list[str]:
     """Greedy left-to-right non-overlapping replacement of the adjacent
-    pair (left, right) by the merged symbol — a fold, so the merged
-    token never re-pairs with the following symbol in the same round
-    (standard BPE single-round semantics)."""
-    merged = left + right
-    return F.aggregate(
-        sym_col,
-        F.array().cast("array<string>"),
-        lambda acc, x: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == left) & (x == right),
-            F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                     F.array(F.lit(merged))),
-        ).otherwise(F.concat(acc, F.array(x))),
-    )
+    pair (a, b) by the merged symbol — the merged token never re-pairs
+    with the following symbol in the same round (standard BPE
+    single-round semantics, identical to ``bpe_reference``)."""
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+def learn_bpe_merges_from_freqs(word_freq: list[tuple[str, int]],
+                                n_merges: int,
+                                min_pair_count: int = 2) -> list[dict]:
+    """Driver-side incremental BPE over a (word, freq) table.
+
+    Classic fast-BPE bookkeeping: maintain frequency-weighted adjacent-
+    pair counts plus an inverted index pair -> word-ids. Each merge
+    re-counts ONLY the words that contain the winning pair (Zipf: a
+    shrinking minority after the first few merges), so total work is
+    O(corpus_vocab * avg_word_len + sum of touched-word lengths), not
+    O(n_merges * vocab). Tie-break is min over (-count, (left, right))
+    — bit-identical to ``bpe_reference`` and to the retired
+    one-Spark-job-per-merge implementation (pytest-pinned).
+
+    The inverted index is maintained lazily: a word stays listed under
+    a pair it no longer contains until that pair next wins, at which
+    point its remove-then-re-add pass is a net no-op. Correct, and
+    cheaper than eagerly pruning every round.
+    """
+    words: list[list] = [[list(w) + [EOW], int(f)] for w, f in word_freq]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for i, (syms, f) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            pair_words.setdefault(p, set()).add(i)
+
+    merges: list[dict] = []
+    for step in range(n_merges):
+        if not pair_counts:
+            break
+        (a, b), n = min(pair_counts.items(),
+                        key=lambda kv: (-kv[1], kv[0]))
+        if n < min_pair_count:
+            break
+        merges.append({"step": step, "left": a, "right": b,
+                       "merged": a + b, "pair_count": int(n)})
+        for i in pair_words.pop((a, b), ()):
+            syms, f = words[i]
+            new_syms = _merge_word(syms, a, b)
+            if new_syms == syms:  # stale index entry — skip
+                continue
+            for p in zip(syms, syms[1:]):
+                left = pair_counts[p] - f
+                if left > 0:
+                    pair_counts[p] = left
+                else:
+                    del pair_counts[p]
+            words[i][0] = new_syms
+            for p in zip(new_syms, new_syms[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + f
+                pair_words.setdefault(p, set()).add(i)
+        pair_counts.pop((a, b), None)
+    return merges
 
 
 def learn_bpe_merges(df: DataFrame, text_col: str = "text",
@@ -91,32 +126,15 @@ def learn_bpe_merges(df: DataFrame, text_col: str = "text",
     """Learn ``n_merges`` BPE merges from the corpus. Returns the merge
     list [{step, left, right, merged, pair_count}] — bounded driver
     state (k entries), the artifact a tokenizer ships. Stops early when
-    no pair reaches ``min_pair_count``."""
-    freqs = word_freqs(df, text_col)
-    syms = (
-        freqs.select(_to_symbols(F.col("word")).alias("syms"), "freq")
-        .localCheckpoint()
-    )
-    merges: list[dict] = []
-    for step in range(n_merges):
-        top = (
-            _pair_counts(syms)
-            .orderBy(F.desc("n"), F.asc("left"), F.asc("right"))
-            .limit(1)
-            .collect()
-        )
-        if not top or top[0]["n"] < min_pair_count:
-            break
-        left, right, n = top[0]["left"], top[0]["right"], top[0]["n"]
-        merges.append({"step": step, "left": left, "right": right,
-                       "merged": left + right, "pair_count": int(n)})
-        new_syms = syms.select(
-            _apply_merge(F.col("syms"), left, right).alias("syms"), "freq"
-        ).localCheckpoint()
-        syms.unpersist()
-        syms = new_syms
-    syms.unpersist()
-    return merges
+    no pair reaches ``min_pair_count``.
+
+    One distributed pass (``word_freqs``) reduces the corpus to the
+    vocabulary-bounded (word, freq) table; the collect is bounded by
+    Heaps' law, NOT corpus size, and the merge loop never touches
+    Spark again (see module docstring for why)."""
+    wf = [(r["word"], r["freq"])
+          for r in word_freqs(df, text_col).collect()]
+    return learn_bpe_merges_from_freqs(wf, n_merges, min_pair_count)
 
 
 def bpe_merges_df(df: DataFrame, text_col: str = "text",

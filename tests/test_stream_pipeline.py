@@ -115,6 +115,86 @@ def test_stream_neardup_filter_vs_index_and_across_batches(spark, tmp_path):
     assert sum(k for _, k in metrics.values()) == len(kept)
 
 
+def test_stream_neardup_compaction_equivalence_and_bounded_reads(
+        spark, tmp_path):
+    """Admissions with compact_every=1 + remove_folded must be IDENTICAL
+    to the uncompacted run on the same multi-epoch stream, and the
+    folded epoch directories must actually be gone (bounded per-batch
+    file reads)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dataquality_cli_spark.operators.dedup import (
+        lsh_bands, minhash_signatures)
+    from dataquality_cli_spark.streaming.stream_pipeline import (
+        _compacted_upto, read_band_index, stream_neardup_filter)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    corpus = docs.filter("doc_id < 200").cache()
+    index = lsh_bands(minhash_signatures(corpus)).cache()
+    index.count()
+
+    rng = random.Random(53)
+
+    def fresh_rows(base, n):
+        return [(base + i,
+                 " ".join(f"uniq{rng.randrange(10**9)}" for _ in range(60)))
+                for i in range(n)]
+
+    # 4 files -> 4 micro-batches. Epoch 2 re-sends epoch-0 fresh docs
+    # (admission must consult epoch-0 bands, which by then live ONLY in
+    # the compacted index when remove_folded=True); epoch 3 re-sends an
+    # indexed-corpus doc (must consult the initial index).
+    e0 = fresh_rows(10_000, 12)
+    e1 = fresh_rows(20_000, 12)
+    e2 = [(30_000 + i, t) for i, (_d, t) in enumerate(e0[:5])]
+    e3 = [(40_000, corpus.limit(1).collect()[0].text)] + fresh_rows(41_000, 4)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, chunk in enumerate((e0, e1, e2, e3)):
+        spark.createDataFrame(chunk, "doc_id long, text string") \
+            .toPandas().to_parquet(str(in_dir / f"f{i}.parquet"),
+                                   index=False)
+
+    schema = spark.createDataFrame([], "doc_id long, text string").schema
+    kept = {}
+    for mode, kwargs in (
+            ("plain", {}),
+            ("compacted", dict(compact_every=1, remove_folded=True,
+                               n_shards=2))):
+        out = str(tmp_path / f"out_{mode}")
+        q = stream_neardup_filter(
+            spark, str(in_dir), schema, out, index, **kwargs)
+        assert q.awaitTermination(240)
+        kept[mode] = sorted(r.doc_id for r in spark.read.parquet(
+            os.path.join(out, "data")).collect())
+
+    assert kept["compacted"] == kept["plain"]
+    assert any(10_000 <= d < 20_000 for d in kept["plain"])  # e0 kept
+    assert not any(30_000 <= d < 40_000 for d in kept["plain"])  # re-sends
+    assert 40_000 not in kept["plain"]  # indexed-corpus copy dropped
+
+    out = str(tmp_path / "out_compacted")
+    # compaction watermark advanced and folded epoch dirs removed:
+    # per-batch reads are bounded by the cadence, not stream age
+    upto = _compacted_upto(spark, out)
+    assert upto is not None and upto >= 2
+    leftover = [d for d in os.listdir(os.path.join(out, "bands"))
+                if d.startswith("epoch_id=")]
+    assert all(int(d.split("=")[1]) > upto for d in leftover)
+    assert len(leftover) <= 1
+    # the fold-forward index still contains every survivor's bands
+    idx = read_band_index(spark, out)
+    n_band_docs = idx.select("doc_id").distinct().count()
+    assert n_band_docs == len(kept["compacted"])
+    # idempotent: re-compacting an already-folded epoch is a no-op
+    from dataquality_cli_spark.streaming.stream_pipeline import (
+        compact_band_index)
+    assert compact_band_index(spark, out, upto_epoch=upto) == upto
+
+
 def test_stream_sinks_idempotent_on_epoch_replay(spark, tmp_path):
     """Epoch-keyed overwrite: wiping the checkpoint and re-running the
     stream re-delivers every epoch (the at-least-once worst case) — the

@@ -342,18 +342,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_bigram_lm"] = lambda s, d: text.bigram_lm_top(
         _t(s, d, "documents"), top_k=100)
 
-    # corpus-wide quality deciles: ntile window over the rounded score
-    # (round BEFORE rank — pinned parity rule), doc_id tie-break.
-    # NOTE a global ntile sorts on ONE partition — correct for the
-    # oracle gate; the 100 TB shape is percentile_approx thresholds +
-    # a bucketing join (equal-VALUE splits instead of equal-COUNT)
+    # corpus-wide quality deciles: EXACT ntile semantics (round BEFORE
+    # rank, doc_id tie-break) via profile.distributed_ntile — range
+    # repartition + per-partition row_number + broadcast prefix offsets;
+    # bit-identical to the global-Window ntile (the DuckDB twin) with NO
+    # single-partition sort (plan-tested)
     def quality_deciles(s, d):
         scored = text.quality_score(_t(s, d, "documents"))
-        w = Window.orderBy(F.desc("quality_score"), F.asc("doc_id"))
-        return scored.select(
-            "doc_id", "quality_score",
-            F.ntile(10).over(w).cast("int").alias("decile"),
-        )
+        return profile.distributed_ntile(
+            scored.select("doc_id", "quality_score"), 10,
+            [F.desc("quality_score"), F.asc("doc_id")],
+        ).withColumnRenamed("_tile", "decile")
 
     q["doc_quality_deciles"] = quality_deciles
 

@@ -439,3 +439,24 @@ def train_langid_distributed(df, label_col: str = "lang",
             counts[ci[r.label], r.bucket] += r.n
     weights = np.log(counts / counts.sum(axis=1, keepdims=True))
     return LangIdModel(classes, weights)
+
+
+def corpus_trained_models_bc(spark, df, labeled=None,
+                             text_col: str = "content",
+                             label_col: str = "lang"):
+    """Train BOTH scoring models ON the corpus being filtered and
+    broadcast them — the "retrain on your own data" loop, reachable from
+    the spark-submit jobs via ``--train-models``. The perplexity LM
+    trains unsupervised on the corpus text; langid trains on ``labeled``
+    (a labeled sample, e.g. a human-audited or metadata-labeled subset)
+    or, absent that, on the corpus's own ``lang`` metadata column — the
+    standard bootstrap for repo corpora where the VCS already labels
+    languages. Returns the same broadcast shape as
+    ``udfs.broadcast_models``, so the fused scorer UDF is unchanged."""
+    from .udfs import broadcast_models
+
+    lm = train_char_lm_distributed(df, text_col=text_col)
+    langid = train_langid_distributed(
+        labeled if labeled is not None else df,
+        label_col=label_col, text_col=text_col)
+    return broadcast_models(spark, langid=langid, lm=lm)

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _filter_stage(spark: SparkSession, df: DataFrame):
+def _filter_stage(spark: SparkSession, df: DataFrame, bc=None):
     """Quality filter -> (verdicts, kept). doc_id hashes the FULL
     identity (repo, path, commit): two commits of one path are distinct
     documents — a (repo, path)-only key made the dedup join fan out.
@@ -47,7 +47,7 @@ def _filter_stage(spark: SparkSession, df: DataFrame):
     (128-bit string keys); the chain is key-type agnostic."""
     from dataquality_cli_spark.plans.pipeline import run_pipeline
 
-    verdicts = run_pipeline(spark, df)
+    verdicts = run_pipeline(spark, df, bc=bc)
     kept = verdicts.filter("keep").select(
         F.xxhash64("repo", "path", "commit").alias("doc_id"),
         "repo", "path", "lang", "content_sha256",
@@ -63,12 +63,44 @@ def _exact_stage(kept: DataFrame) -> DataFrame:
     return kept.join(survivors, "doc_id")
 
 
-def _neardup_stage(exact: DataFrame, threshold: float) -> DataFrame:
+def _neardup_stage(exact: DataFrame, threshold: float,
+                   keep: str = "quality") -> DataFrame:
+    """Near-dup dedup with quality-aware representative selection.
+
+    ``keep='quality'`` (default, the production choice): keep the
+    BEST-SCORING member of each near-dup cluster via
+    ``dedup.select_representatives`` over ``text.quality_score`` —
+    a mirror of a crawled page should lose to the cleaner original, not
+    to whichever got the lower hash. Scores are computed only for
+    CLUSTERED docs (a small minority of the corpus after exact dedup),
+    so the scoring pass is bounded by the near-dup rate, not corpus
+    size. Tie-break is lowest doc_id, so a score-flat cluster keeps
+    exactly the min-id member — byte-identical to ``keep='min_id'``
+    when scores tie (pytest-pinned for the resumable path).
+
+    ``keep='min_id'``: the arbitrary canonical label (cluster_id),
+    kept for reproducing pre-r4 builds."""
     from dataquality_cli_spark.operators import dedup
 
     pairs = dedup.lsh_verified_pairs(exact, threshold=threshold)
     clusters = dedup.neardup_clusters(pairs)
-    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    if keep == "min_id":
+        losers = clusters.filter(
+            F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    elif keep == "quality":
+        from dataquality_cli_spark.operators.text import quality_score
+
+        members = exact.join(clusters.select("doc_id"), "doc_id")
+        scores = quality_score(members).select("doc_id", "quality_score")
+        reps = dedup.select_representatives(clusters, scores)
+        losers = (
+            clusters.join(reps.select("cluster_id", "rep_id"), "cluster_id")
+            .filter(F.col("doc_id") != F.col("rep_id"))
+            .select("doc_id")
+        )
+    else:
+        raise ValueError(f"neardup keep must be 'quality' or 'min_id', "
+                         f"got {keep!r}")
     return exact.join(losers, "doc_id", "left_anti")
 
 
@@ -97,6 +129,8 @@ def build_corpus(
     pack_budget: int = 2048,
     contamination_min_hits: int = 3,
     token_kind: str = "bpe",
+    neardup_keep: str = "quality",
+    bc=None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
     """Run the full chain over a (repo, path, commit, lang, content)
     corpus. Returns (train_packed, val_docs, kept_docs, metrics) where
@@ -114,7 +148,7 @@ def build_corpus(
 
     # 1. quality filter — persist the VERDICTS (not just kept): the
     # input metric and the kept selection then share one pipeline pass
-    verdicts, kept = _filter_stage(spark, df)
+    verdicts, kept = _filter_stage(spark, df, bc=bc)
     verdicts = verdicts.persist()
     metrics["input"] = verdicts.count()
     kept = kept.persist()
@@ -128,7 +162,8 @@ def build_corpus(
 
     # 3. near-dup dedup: LSH -> verified Jaccard -> components; drop
     # every clustered doc that is not its cluster's representative
-    uniq = _neardup_stage(exact, neardup_threshold).persist()
+    uniq = _neardup_stage(exact, neardup_threshold,
+                          keep=neardup_keep).persist()
     metrics["after_neardup_dedup"] = uniq.count()
     exact.unpersist()
 
@@ -215,6 +250,8 @@ def build_corpus_resumable(
     pack_budget: int = 2048,
     contamination_min_hits: int = 3,
     token_kind: str = "bpe",
+    neardup_keep: str = "quality",
+    bc=None,
     run_id: str = "run0",
     fail_after_stages: int | None = None,
 ) -> dict:
@@ -241,6 +278,8 @@ def build_corpus_resumable(
 
     params = {
         "neardup_threshold": neardup_threshold,
+        "neardup_keep": neardup_keep,
+        "custom_models": bc is not None,
         "val_fraction": val_fraction,
         "pack_budget": pack_budget,
         "contamination_min_hits": contamination_min_hits,
@@ -292,7 +331,11 @@ def build_corpus_resumable(
     # — the recount is deterministic and _read_manifest collapses it),
     # never a completed stage with a missing input metric.
     if "filtered" not in done:
-        verdicts, kept = _filter_stage(spark, df)
+        # bc may be a zero-arg factory (e.g. corpus-model training):
+        # invoked ONLY when the filter stage actually runs, so a resumed
+        # run that skips the filter never pays the training pass
+        verdicts, kept = _filter_stage(spark, df,
+                                       bc=bc() if callable(bc) else bc)
         verdicts = verdicts.persist()
         _append_manifest(spark, out_dir, "input", verdicts.count(), "", run_id)
         filtered = finish("filtered", kept)
@@ -311,14 +354,16 @@ def build_corpus_resumable(
         exact = load("exact")
     if "unique" not in done:
         if benchmark is not None:
-            uniq = finish("unique", _neardup_stage(exact, neardup_threshold))
+            uniq = finish("unique", _neardup_stage(
+                exact, neardup_threshold, keep=neardup_keep))
         else:
             # a kill between the kept write and the unique alias row
             # must not recompute the completed neardup stage
             if "kept" in done:
                 uniq = load("kept")
             else:
-                uniq = finish("kept", _neardup_stage(exact, neardup_threshold))
+                uniq = finish("kept", _neardup_stage(
+                    exact, neardup_threshold, keep=neardup_keep))
             _append_manifest(spark, out_dir, "unique", uniq.count(),
                              done["kept"]["path"], run_id)
             done["unique"] = {"n_rows": None, "path": done["kept"]["path"]}
@@ -390,10 +435,20 @@ def main() -> None:
     ap.add_argument("--val-fraction", type=float, default=0.05)
     ap.add_argument("--pack-budget", type=int, default=2048)
     ap.add_argument("--neardup-threshold", type=float, default=0.7)
+    ap.add_argument("--neardup-keep", default="quality",
+                    choices=["quality", "min_id"])
     ap.add_argument("--token-kind", default="bpe",
                     choices=["bpe", "whitespace"])
     ap.add_argument("--synth", type=int, default=None)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--train-models", action="store_true",
+                    help="train the langid + perplexity models ON the "
+                         "input corpus (distributed) instead of the "
+                         "fixture models")
+    ap.add_argument("--labeled-sample", default=None,
+                    help="labeled (lang, content) table for langid "
+                         "training; defaults to the corpus's own lang "
+                         "column")
     args = ap.parse_args()
     if args.input is None and not args.synth:
         ap.error("one of --input or --synth is required")
@@ -417,13 +472,27 @@ def main() -> None:
         df = read_corpus(spark, args.input)
     bench = read_corpus(spark, args.benchmark) if args.benchmark else None
 
+    bc = None
+    if args.train_models:
+        from dataquality_cli_spark.functions.models import (
+            corpus_trained_models_bc)
+        labeled = (read_corpus(spark, args.labeled_sample)
+                   if args.labeled_sample else None)
+        # factory, not a broadcast: training runs only if the filter
+        # stage is not already checkpointed (resume skips it)
+        def bc(labeled=labeled):
+            return corpus_trained_models_bc(spark, df, labeled=labeled)
+
     metrics = build_corpus_resumable(
         spark, df, args.output, benchmark=bench,
         neardup_threshold=args.neardup_threshold,
+        neardup_keep=args.neardup_keep,
         val_fraction=args.val_fraction, pack_budget=args.pack_budget,
-        token_kind=args.token_kind,
+        token_kind=args.token_kind, bc=bc,
     )
-    print(json.dumps({"metric": "corpus_build", **metrics}))
+    print(json.dumps({"metric": "corpus_build",
+                  "trained_models": bool(args.train_models),
+                  **metrics}))
 
 
 if __name__ == "__main__":

@@ -35,6 +35,14 @@ def main() -> None:
     ap.add_argument("--synth", type=int, default=None,
                     help="generate an N-file synthetic corpus instead of --input")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--train-models", action="store_true",
+                    help="train the langid + perplexity models ON the "
+                         "input corpus (distributed) instead of the "
+                         "fixture models")
+    ap.add_argument("--labeled-sample", default=None,
+                    help="labeled (lang, content) table for langid "
+                         "training; defaults to the corpus's own lang "
+                         "column")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -64,9 +72,17 @@ def main() -> None:
     else:
         ap.error("one of --input / --synth is required")
 
+    bc = None
+    if args.train_models:
+        from dataquality_cli_spark.functions.models import (
+            corpus_trained_models_bc)
+        labeled = (read_corpus(spark, args.labeled_sample)
+                   if args.labeled_sample else None)
+        bc = corpus_trained_models_bc(spark, df, labeled=labeled)
+
     t0 = time.time()
     run_with_checkpoint(spark, df, args.output,
-                        n_parts=args.n_parts, run_id=args.run_id)
+                        n_parts=args.n_parts, run_id=args.run_id, bc=bc)
     wall = time.time() - t0
 
     verdicts = read_verdicts(spark, args.output)
@@ -85,6 +101,7 @@ def main() -> None:
         "scrub_hits": int(summary.scrub_hits or 0), "drop_reasons": reasons,
         "wall_sec": round(wall, 3), "files_per_sec": round(summary.files / wall, 1),
         "master": spark.sparkContext.master, "run_id": args.run_id,
+        "trained_models": bool(args.train_models),
     }))
     spark.stop()
 

@@ -380,6 +380,62 @@ def quantile_buckets(df: DataFrame, col: str, n_buckets: int = 4) -> DataFrame:
     )
 
 
+def distributed_ntile(df: DataFrame, n_tiles: int,
+                      order_by: list, n_parts: int = 32) -> DataFrame:
+    """EXACT ntile(n) over a total order WITHOUT a single-partition
+    Window — the scale-safe form of `ntile(n) OVER (ORDER BY ...)`
+    (Spark warns "No Partition Defined ... moving all data to a single
+    partition" on the naive form; at 100 TB that is one executor
+    sorting the corpus).
+
+    Classic distributed rank: (1) repartitionByRange on the order —
+    partition i holds a contiguous slice of the global order; (2)
+    row_number per partition, Window PARTITIONED by partition id, so
+    every partition sorts only itself in parallel; (3) per-partition
+    counts to the driver (bounded: n_parts rows), prefix-summed into
+    offsets and broadcast back; global rank = offset + local rank; (4)
+    the ntile split formula on the rank. Output values are
+    bit-identical to the global-Window ntile for any total order
+    (``order_by`` must be tie-free — include a unique key) —
+    DuckDB-oracle-checked via doc_quality_deciles.
+
+    Adds the column ``_tile`` (int, 1-based)."""
+    from pyspark.sql import Window
+
+    ranged = (df.repartitionByRange(n_parts, *order_by)
+              .withColumn("_pid", F.spark_partition_id()))
+    w = Window.partitionBy("_pid").orderBy(*order_by)
+    # localCheckpoint: the counts action and the output plan must see
+    # the SAME range boundaries + lineage only once
+    local = ranged.withColumn("_r", F.row_number().over(w)) \
+        .localCheckpoint()
+    counts = sorted(
+        ((r["_pid"], r["n"]) for r in
+         local.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()))
+    offsets, acc = [], 0
+    for pid, c in counts:
+        offsets.append((pid, acc))
+        acc += c
+    n = acc
+    if n == 0:
+        return df.withColumn("_tile", F.lit(None).cast("int"))
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "_pid int, _off long")
+    rank = F.col("_off") + F.col("_r")  # global 1-indexed
+    base, rem = divmod(n, n_tiles)
+    big = base + 1
+    tile = F.when(
+        rank <= big * rem, F.ceil(rank / F.lit(big))
+    ).otherwise(
+        # base==0 only when n < n_tiles, where every rank <= big*rem
+        rem + F.ceil((rank - big * rem) / F.lit(max(base, 1)))
+    )
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .select(*df.columns, tile.cast("int").alias("_tile"))
+    )
+
+
 def schema_drift(cur: DataFrame, ref: DataFrame) -> list[dict]:
     """Schema diff between two snapshots (the metadata half of drift
     monitoring): columns added / removed / type-changed. Pure metadata —

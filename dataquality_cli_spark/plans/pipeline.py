@@ -118,15 +118,19 @@ def completed_parts(spark: SparkSession, out_dir: str) -> set[int]:
 
 def run_with_checkpoint(spark: SparkSession, df: DataFrame, out_dir: str,
                         n_parts: int = 16, run_id: str = "run0",
-                        fail_after_parts: int | None = None) -> None:
+                        fail_after_parts: int | None = None,
+                        bc=None) -> None:
     """Process partition groups one at a time, appending data THEN the
     manifest row (atomic-enough ordering: a partition is only marked done
     after its data is fully written; rerun overwrites any partial
     unmarked partition via dynamic partition overwrite).
 
     ``fail_after_parts`` is a test hook simulating a mid-job kill.
+    ``bc``: an existing model broadcast (e.g. corpus-trained via
+    functions.models.corpus_trained_models_bc); defaults to the
+    fixture-trained models.
     """
-    bc = broadcast_models(spark)
+    bc = bc or broadcast_models(spark)
     done = completed_parts(spark, out_dir)
     parts = [p for p in range(n_parts) if p not in done]
     staged = _with_part_id(df, n_parts)

@@ -76,6 +76,46 @@ def test_two_commits_of_one_path_are_distinct_documents(spark):
     assert versions.count() == versions.select("doc_id").distinct().count()
 
 
+def test_neardup_stage_keeps_best_quality_member(spark):
+    """keep='quality' (default) must keep the BEST-scoring member of a
+    planted near-dup cluster — even when it has the higher doc_id — and
+    keep='min_id' must keep the min-id one; a score-flat cluster keeps
+    the min id under both modes (byte-identical tie behavior)."""
+    import random
+
+    from dataquality_cli_spark.jobs.corpus_build_job import _neardup_stage
+    from dataquality_cli_spark.operators.text import quality_score
+
+    rng = random.Random(41)
+    base = " ".join(f"tok{rng.randrange(10**6)}" for _ in range(80))
+    worse = base + " ;;;; !!!! ;;;; !!!!"  # punct junk: lower alnum+diversity
+    tie = " ".join(f"uniq{rng.randrange(10**9)}" for _ in range(60))
+    rows = [
+        (1, worse), (2, base),          # planted cluster, id 1 is worse
+        (10, tie), (11, tie),           # score-flat cluster
+        (20, " ".join(f"solo{rng.randrange(10**9)}" for _ in range(60))),
+    ]
+    exact = spark.createDataFrame(
+        [(i, "r", f"p{i}", "en", f"sha{i}", t) for i, t in rows],
+        "doc_id long, repo string, path string, lang string, "
+        "content_sha256 string, text string")
+
+    # the planting is non-vacuous: scores really differ the right way
+    sc = {r.doc_id: r.quality_score
+          for r in quality_score(exact).collect()}
+    assert sc[2] > sc[1] and sc[10] == sc[11]
+
+    kept_q = {r.doc_id for r in
+              _neardup_stage(exact, 0.7, keep="quality").collect()}
+    kept_m = {r.doc_id for r in
+              _neardup_stage(exact, 0.7, keep="min_id").collect()}
+    assert 2 in kept_q and 1 not in kept_q       # best member wins
+    assert 1 in kept_m and 2 not in kept_m       # old convention
+    assert 10 in kept_q and 11 not in kept_q     # tie -> min id
+    assert 10 in kept_m and 11 not in kept_m     # identical on ties
+    assert 20 in kept_q and 20 in kept_m         # unclustered untouched
+
+
 def test_corpus_build_resumable_kill_and_rerun(spark, tmp_path):
     """A mid-job kill + rerun must resume from the last complete stage
     and produce byte-identical outputs and metrics vs an uninterrupted
@@ -130,6 +170,39 @@ def test_corpus_build_resumable_kill_and_rerun(spark, tmp_path):
     with pytest.raises(ValueError, match="different parameters"):
         build_corpus_resumable(spark, df, resume_dir,
                                val_fraction=0.2, pack_budget=1024)
+
+
+def test_corpus_build_train_models_factory_is_lazy(spark, tmp_path):
+    """--train-models rides the resumable chain as a bc FACTORY: it is
+    invoked exactly once on a fresh build (when the filter stage runs)
+    and NOT invoked on resume over a complete dir — a resumed run must
+    never pay the training pass for a stage it skips."""
+    from dataquality_cli_spark.functions.models import (
+        corpus_trained_models_bc)
+    from dataquality_cli_spark.jobs.corpus_build_job import (
+        build_corpus_resumable)
+
+    df = spark.createDataFrame(corpus_to_rows(gen_corpus(60, seed=71)),
+                               SCHEMA)
+    calls = []
+
+    def factory():
+        calls.append(1)
+        return corpus_trained_models_bc(spark, df)
+
+    out = str(tmp_path / "out")
+    kw = dict(val_fraction=0.1, pack_budget=1024, bc=factory)
+    m1 = build_corpus_resumable(spark, df, out, **kw)
+    assert calls == [1]
+    m2 = build_corpus_resumable(spark, df, out, **kw)  # pure resume
+    assert calls == [1]  # factory NOT re-invoked
+    assert m1 == m2
+    # drift guard: resuming the custom-model dir without the factory
+    # is a config change and must fail fast
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="different parameters"):
+        build_corpus_resumable(spark, df, out,
+                               val_fraction=0.1, pack_budget=1024)
 
 
 def test_corpus_build_main_smoke(spark, tmp_path, capsys, monkeypatch):

@@ -100,3 +100,43 @@ def test_langid_trainer_keeps_empty_and_skips_null_classes(spark):
         {"go": [r[1] for r in rows if r[0] == "go"],
          "tiny": [r[1] for r in rows if r[0] == "tiny"]})
     assert np.array_equal(m.weights, expected.weights)
+
+
+def test_corpus_trained_models_reach_the_pipeline(spark):
+    """--train-models path: verdicts from corpus-trained models differ
+    from the fixture-model run ONLY via the documented score columns
+    (langid_pred, ppl) and their downstream gates (keep, drop_reason)
+    — heuristics and scrub are model-independent and must be
+    byte-identical per document."""
+    from dataquality_cli_spark.functions.models import (
+        corpus_trained_models_bc)
+    from dataquality_cli_spark.plans.pipeline import run_pipeline
+
+    rows = corpus_to_rows(gen_corpus(150, seed=63))
+    df = spark.createDataFrame(rows, SCHEMA)
+    base = {(r.repo, r.path, r.commit): r
+            for r in run_pipeline(spark, df).collect()}
+    bc = corpus_trained_models_bc(spark, df)
+    trained = {(r.repo, r.path, r.commit): r
+               for r in run_pipeline(spark, df, bc=bc).collect()}
+
+    assert base.keys() == trained.keys()
+    # scrubbed_content/scrubbed_sha256 are NULLED for dropped docs, so
+    # they follow keep — compare them only where both runs kept the doc
+    model_cols = {"langid_pred", "ppl", "keep", "drop_reason",
+                  "scrubbed_content", "scrubbed_sha256"}
+    fixed_cols = [c for c in base[next(iter(base))].asDict()
+                  if c not in model_cols]
+    for k in base:
+        b, t = base[k].asDict(), trained[k].asDict()
+        for c in fixed_cols:
+            assert b[c] == t[c], (k, c)
+        if b["keep"] and t["keep"]:  # scrub itself is model-independent
+            assert b["scrubbed_content"] == t["scrubbed_content"], k
+            assert b["scrubbed_sha256"] == t["scrubbed_sha256"], k
+    # non-vacuous: the trained models actually score differently
+    assert any(base[k].ppl != trained[k].ppl for k in base)
+    # and the trained-model gate still keeps a sane majority of the
+    # clean synthetic corpus (models trained ON it find it in-domain)
+    n_keep = sum(1 for r in trained.values() if r.keep)
+    assert n_keep > len(trained) * 0.5

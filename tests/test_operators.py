@@ -636,6 +636,30 @@ def test_quantile_buckets_no_global_sort(spark):
         assert abs(c - n / 4) < 0.05 * n + 5, counts
 
 
+def test_distributed_ntile_matches_global_window(spark):
+    """distributed_ntile == the single-partition ntile window for
+    several n (incl. n > rows and uneven splits), with NO
+    SinglePartition exchange in its plan."""
+    from pyspark.sql import Window
+
+    from dataquality_cli_spark.operators.profile import distributed_ntile
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.monotonically_increasing_id().alias("rid"),
+        F.col("l_extendedprice").alias("v")).limit(997).cache()
+    order = [F.desc("v"), F.asc("rid")]
+    for n_tiles in (10, 4, 3, 2000):
+        got = distributed_ntile(li, n_tiles, order, n_parts=16)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+        g = {r.rid: r._tile for r in got.collect()}
+        w = Window.orderBy(*order)
+        exp = {r.rid: r.t for r in li.select(
+            "rid", F.ntile(n_tiles).over(w).alias("t")).collect()}
+        assert g == exp, n_tiles
+    li.unpersist()
+
+
 def test_chunk_documents_coverage_and_overlap(spark):
     """Every token lands in >= 1 chunk; consecutive chunks share exactly
     `overlap` tokens; short docs yield one curtailed chunk."""

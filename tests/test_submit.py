@@ -56,3 +56,24 @@ def test_iceberg_write_corpus_parquet_fallback(spark, tmp_path):
     back = iceberg.read_corpus(spark, out)
     assert back.count() == df.count()
     assert set(back.columns) == set(df.columns)
+
+
+@pytest.mark.slow
+def test_spark_submit_train_models_smoke(tmp_path):
+    """--train-models end-to-end through real spark-submit --py-files:
+    the corpus-trained path must run on the deployment surface, not
+    just in-process."""
+    out = str(tmp_path / "out")
+    proc = subprocess.run(
+        ["bash", f"{REPO}/tools/submit.sh", "local[4]", "200", out,
+         "--train-models"],
+        capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    payload = next(
+        json.loads(line) for line in proc.stdout.splitlines()
+        if line.startswith('{"job": "quality_filter"')
+    )
+    assert payload["files"] == 200
+    assert payload["trained_models"] is True
+    assert 0 < payload["kept"] <= 200

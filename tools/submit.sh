@@ -5,7 +5,8 @@
 # cluster swap --master (e.g. yarn / k8s) and point --input at the
 # Iceberg table.
 #
-#   tools/submit.sh [master] [n_files] [out_dir]
+#   tools/submit.sh [master] [n_files] [out_dir] [extra job args...]
+# e.g. tools/submit.sh local[8] 2000 /tmp/out --train-models
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -24,5 +25,6 @@ spark-submit \
   --conf spark.ui.enabled=false \
   --py-files dist/dataquality_cli_spark.zip \
   dataquality_cli_spark/jobs/quality_filter_job.py \
-  --synth "$N_FILES" --output "$OUT" --n-parts 8 --run-id submit-smoke
+  --synth "$N_FILES" --output "$OUT" --n-parts 8 --run-id submit-smoke \
+  "${@:4}"
 echo "verdicts at: $OUT"

@@ -190,7 +190,8 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
 def lsh_incremental_pairs(new_df: DataFrame, old_bands: DataFrame,
                           text_col: str = "text",
                           max_bucket_size: int | None = None,
-                          metrics_out: dict | None = None) -> DataFrame:
+                          metrics_out: dict | None = None,
+                          cache_out: dict | None = None) -> DataFrame:
     """Incremental dedup: candidates between a NEW batch and an existing
     corpus represented ONLY by its materialized band table
     (doc_id, band_id, band_hash) — the signature index a production
@@ -200,7 +201,14 @@ def lsh_incremental_pairs(new_df: DataFrame, old_bands: DataFrame,
     (new x new) and (new x old), never (old x old), which the previous
     full run already emitted. Bucket-size capping applies to the UNION
     (boilerplate floods count across old+new). Pairs are canonical
-    (id_a < id_b)."""
+    (id_a < id_b).
+
+    Cache lifetime: the persisted union band table is released by
+    Spark's ContextCleaner once the returned plan is dropped (same
+    convention as lsh_candidate_pairs). A LONG-LIVED driver calling
+    this repeatedly should pass ``cache_out={}`` and call
+    ``cache_out["union"].unpersist()`` after materializing the result —
+    deterministic release instead of waiting on GC."""
     from pyspark import StorageLevel
 
     new_bands = lsh_bands(minhash_signatures(new_df, text_col))
@@ -213,6 +221,8 @@ def lsh_incremental_pairs(new_df: DataFrame, old_bands: DataFrame,
         .unionByName(old_bands.withColumn("_is_new", F.lit(False)))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if cache_out is not None:
+        cache_out["union"] = union
     if max_bucket_size is not None:
         # oversized keys counted over the UNION (boilerplate floods
         # count across old+new), anti-joined off the shared dataset so
@@ -220,6 +230,9 @@ def lsh_incremental_pairs(new_df: DataFrame, old_bands: DataFrame,
         keys = ["band_id", "band_hash"]
         oversized = oversized_bucket_keys(union, keys, max_bucket_size,
                                           metrics_out)
+        if cache_out is not None and metrics_out is not None:
+            # oversized_bucket_keys persists the key set when observed
+            cache_out["oversized"] = oversized
         union = union.join(F.broadcast(oversized), keys, "left_anti")
     new_side = union.filter(F.col("_is_new")).drop("_is_new")
     all_side = union.drop("_is_new")

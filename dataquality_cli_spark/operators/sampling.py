@@ -44,14 +44,24 @@ def stratified_sample(df: DataFrame, strata_col: str,
     sample. Samples are NESTED in the fraction: raising a stratum's
     fraction only ADDS rows (the threshold grows, the predicate set is
     monotone) — growing a training mix later never invalidates data
-    already selected, cleaned, and tokenized."""
+    already selected, cleaned, and tokenized.
+
+    A NULL stratum is a real stratum: ``proportional_fractions`` /
+    ``temperature_fractions`` emit a ``None`` key when the corpus has
+    NULL strata values, and the keep predicate matches it null-safely
+    (a plain ``==`` is NULL-valued on NULLs and would silently drop the
+    stratum regardless of its computed fraction)."""
     h = F.md5(F.concat(
-        F.lit(salt + ":"), F.col(strata_col).cast("string"),
+        F.lit(salt + ":"),
+        # NULL stratum hashes under a sentinel that cannot collide with
+        # a real string value (contains a NUL byte)
+        F.coalesce(F.col(strata_col).cast("string"), F.lit("\x00null")),
         F.lit(":"), F.col(key_col).cast("string"),
     ))
     keep = F.lit(False)
     for stratum, frac in fractions.items():
-        in_stratum = F.col(strata_col) == stratum
+        in_stratum = (F.col(strata_col).isNull() if stratum is None
+                      else F.col(strata_col) == stratum)
         if frac >= 1.0:
             keep = keep | in_stratum
         elif frac > 0.0:

@@ -371,8 +371,9 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     """Per-document top-k TF-IDF terms — the classic keyword/salience
     extractor (smooth-idf formula: tf * (ln((N+1)/(df+1)) + 1), the
     sklearn TfidfVectorizer variant; public knowledge). Recasts the
-    reference's top-value frequency stat (internal/core/analyzer.go
-    top-1 value) to corpus-relative salience.
+    reference's top-value frequency stat (updateStringStats top-1
+    value, internal/engine/simple_engine.go:239-245) to
+    corpus-relative salience.
 
     Physical shape at 100 TB: explode -> partial-aggregated
     groupBy(doc_id, term) for tf (uniform two-part keys), a second

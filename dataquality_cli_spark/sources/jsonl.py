@@ -57,9 +57,14 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean rows with the schema's columns, quarantine rows keeping
     the raw line for triage). A line is quarantined when the parser
     recorded it in the corrupt column — unparseable JSON, or a value
-    that cannot coerce to the declared field type."""
+    that cannot coerce to the declared field type — OR when from_json
+    returned a NULL struct outright: blank/whitespace-only lines parse
+    to NULL (not to a struct with the corrupt column set), and without
+    the null-struct test they would enter the clean output as all-null,
+    null-keyed rows."""
     flag = F.col(f"parsed.{CORRUPT_COL}")
-    clean = (df.filter(flag.isNull())
+    parsed_null = F.col("parsed").isNull()
+    clean = (df.filter(flag.isNull() & ~parsed_null)
              .select("parsed.*").drop(CORRUPT_COL))
-    bad = df.filter(flag.isNotNull()).select("raw_line")
+    bad = df.filter(flag.isNotNull() | parsed_null).select("raw_line")
     return clean, bad

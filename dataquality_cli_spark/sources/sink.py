@@ -42,12 +42,27 @@ def write_corpus_sharded(df: DataFrame, path: str,
     deterministic content at any parallelism. ``dynamic=True`` switches
     to dynamic partition overwrite (only partitions present in ``df``
     are replaced — the incremental-ingest mode); default static
-    overwrite replaces the whole dataset."""
+    overwrite replaces the whole dataset.
+
+    Dynamic overwrite replaces only (partition, shard) LEAVES present
+    in the new write, so a rewritten partition whose new data left some
+    shard empty (doc deletions) would otherwise keep that shard's old
+    file. After the write, stale shard leaves of every rewritten
+    partition are deleted (Hadoop FS, portable). The leaf inventory is
+    one tiny distinct over (partition_cols, shard) — bounded by
+    #affected-partitions x n_shards, never row count. Cleanup runs
+    AFTER the data commit: a crash between the two leaves at worst the
+    pre-fix behavior (a stale shard until the next refresh), never a
+    half-written partition."""
     spark = df.sparkSession
     keys = [*partition_cols, SHARD_COL]
+    staged = df.withColumn(SHARD_COL, shard_col(F.col(key_col), n_shards))
+    new_leaves = None
+    if dynamic:
+        new_leaves = {tuple(r) for r in
+                      staged.select(*keys).distinct().collect()}
     out = (
-        df.withColumn(SHARD_COL, shard_col(F.col(key_col), n_shards))
-        .repartition(*[F.col(c) for c in keys])
+        staged.repartition(*[F.col(c) for c in keys])
         .sortWithinPartitions(*keys, key_col)
     )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -58,6 +73,43 @@ def write_corpus_sharded(df: DataFrame, path: str,
     finally:
         if dynamic:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if dynamic and new_leaves:
+        _cleanup_stale_shards(spark, path, partition_cols, new_leaves)
+
+
+def _partition_dirname(col: str, value) -> str:
+    """Directory name Spark uses for a partition value (simple values;
+    NULL maps to the Hive default-partition sentinel)."""
+    return f"{col}=__HIVE_DEFAULT_PARTITION__" if value is None \
+        else f"{col}={value}"
+
+
+def _cleanup_stale_shards(spark: SparkSession, path: str,
+                          partition_cols: tuple[str, ...],
+                          new_leaves: set) -> None:
+    """Delete shard leaves in rewritten partitions that the new write
+    did not produce (see write_corpus_sharded)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    parts = {leaf[:-1] for leaf in new_leaves}
+    for pv in parts:
+        dir_path = "/".join(
+            [path] + [_partition_dirname(c, v)
+                      for c, v in zip(partition_cols, pv)])
+        hp = jvm.org.apache.hadoop.fs.Path(dir_path)
+        fs = hp.getFileSystem(conf)
+        if not fs.exists(hp):
+            continue
+        valid = {leaf[-1] for leaf in new_leaves if leaf[:-1] == pv}
+        for st in fs.listStatus(hp):
+            name = st.getPath().getName()
+            if name.startswith(f"{SHARD_COL}="):
+                try:
+                    s = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if s not in valid:
+                    fs.delete(st.getPath(), True)
 
 
 def read_corpus_sharded(spark: SparkSession, path: str) -> DataFrame:

@@ -28,10 +28,16 @@ def test_jsonl_roundtrip_gz_and_corrupt_quarantine(spark, tmp_path):
                 f.write("{this is : not json}\n")
         f.write('{"doc_id": "also-not-a-long"???\n')
         f.write("plain garbage line\n")
+        # blank + whitespace-only lines: from_json returns a NULL struct
+        # (not a struct with the corrupt column set) — they must land in
+        # the quarantine, never as all-null clean rows
+        f.write("\n")
+        f.write("   \t\n")
 
     df = read_jsonl(spark, str(tmp_path))
     clean, bad = split_corrupt(df)
-    assert bad.count() == 3
+    assert bad.count() == 5
+    assert clean.filter("doc_id IS NULL").count() == 0
     assert clean.count() == len(rows)
     # roundtrip equality against the parquet original
     orig = {r["doc_id"]: r for r in rows}

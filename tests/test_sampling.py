@@ -177,3 +177,33 @@ def test_split_leak_check_boilerplate_shingle_cap(spark):
     assert all(capped_hits[d] < uncapped_hits[d] for d in capped_hits)
     assert sum(capped_hits.values()) < 0.9 * sum(
         uncapped_hits[d] for d in capped_hits)
+
+
+def test_stratified_sample_null_stratum_is_real(spark):
+    """A NULL stratum must be sampleable: the fraction dicts emit a
+    None key for NULL strata values and the keep predicate matches it
+    null-safely — before the fix the stratum silently vanished despite
+    a nonzero computed fraction."""
+    from dataquality_cli_spark.operators.sampling import (
+        stratified_sample, temperature_fractions)
+
+    rows = [(i, "en" if i < 400 else (None if i < 500 else "fr"),
+             f"t{i}") for i in range(520)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    fr = temperature_fractions(df, "lang", alpha=0.3)
+    assert None in fr and fr[None] > 0  # NULL stratum got a fraction
+
+    out = stratified_sample(df, "lang", fr)
+    null_kept = out.filter("lang IS NULL").count()
+    assert null_kept > 0  # the stratum participates
+    # frac=1.0 keeps every NULL row; explicit 0 keeps none
+    assert stratified_sample(df, "lang", {None: 1.0}) \
+        .filter("lang IS NULL").count() == 100
+    assert stratified_sample(df, "lang", {"en": 0.5}) \
+        .filter("lang IS NULL").count() == 0
+    # deterministic + nested-in-fraction for the NULL stratum too
+    a = {r.doc_id for r in stratified_sample(df, "lang", {None: 0.3}).collect()}
+    b = {r.doc_id for r in stratified_sample(df, "lang", {None: 0.3}).collect()}
+    big = {r.doc_id for r in stratified_sample(df, "lang", {None: 0.6}).collect()}
+    assert a == b and a <= big

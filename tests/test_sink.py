@@ -85,3 +85,34 @@ def test_dynamic_overwrite_touches_only_present_partitions(spark, docs):
     assert back.filter(
         (F.col("lang") == target) & ~F.col("text").endswith(" v2")
     ).count() == 0
+
+
+def test_dynamic_overwrite_deletes_emptied_shards(spark, tmp_path):
+    """A rewritten partition whose new data leaves a previously-populated
+    shard EMPTY must not resurrect the old shard file on read-back
+    (dynamic overwrite only replaces leaves present in the new write —
+    the sink deletes the stale leaves afterwards)."""
+    path = str(tmp_path / "corpus")
+    rows = [(i, "en" if i < 40 else "fr", f"text {i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    write_corpus_sharded(df, path, partition_cols=("lang",), n_shards=4)
+    assert read_corpus_sharded(spark, path).count() == 60
+
+    # refresh 'en' keeping only the ids landing in ONE shard -> the
+    # other 3 en-shards are emptied by this rewrite
+    from dataquality_cli_spark.sources.sink import shard_col
+    en = df.filter("lang = 'en'") \
+        .withColumn("_s", shard_col(F.col("doc_id"), 4))
+    target = en.groupBy("_s").count().orderBy("_s").collect()[0]["_s"]
+    keep = en.filter(F.col("_s") == target).drop("_s")
+    n_keep = keep.count()
+    assert 0 < n_keep < 40  # non-vacuous: some en shards really empty
+    write_corpus_sharded(keep, path, partition_cols=("lang",), n_shards=4,
+                         dynamic=True)
+
+    back = read_corpus_sharded(spark, path)
+    assert back.filter("lang = 'en'").count() == n_keep  # no stale rows
+    assert back.filter("lang = 'fr'").count() == 20      # untouched
+    stale = [d for d in os.listdir(os.path.join(path, "lang=en"))
+             if d.startswith("shard=") and d != f"shard={target}"]
+    assert stale == []

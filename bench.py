@@ -171,6 +171,27 @@ def main() -> None:
 
     describe_stats = describe_bench(spark)
 
+    # training tier (VERDICT r3 #7): tokenizer + scoring-model training
+    # over the sf documents table. BPE at a REALISTIC depth (256 merges)
+    # — post-r4 this is one distributed word_freqs pass + a driver-side
+    # incremental merge loop, so depth costs milliseconds, not jobs.
+    from dataquality_cli_spark.functions.models import (
+        train_char_lm_distributed, train_langid_distributed)
+    from dataquality_cli_spark.operators.bpe import learn_bpe_merges
+
+    raw_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    training: dict[str, float] = {}
+    t0 = time.perf_counter()
+    merges = learn_bpe_merges(raw_docs, n_merges=256, min_pair_count=2)
+    training["bpe_256_merges_sec"] = round(time.perf_counter() - t0, 3)
+    training["bpe_merges_learned"] = len(merges)
+    t0 = time.perf_counter()
+    train_char_lm_distributed(raw_docs, text_col="text")
+    training["char_lm_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    train_langid_distributed(raw_docs, label_col="lang", text_col="text")
+    training["langid_sec"] = round(time.perf_counter() - t0, 3)
+
     print(json.dumps({
         "metric": "headline_suite_seconds",
         "value": round(total, 3),
@@ -183,6 +204,8 @@ def main() -> None:
         # reference flagship workload: CSV describe rows/sec (vs 1.66M
         # rows/s published; judge-comparable local[8] runs in BENCH/)
         **describe_stats,
+        # training tier: corpus-trained tokenizer + scoring models
+        "training": training,
     }))
     spark.stop()
 

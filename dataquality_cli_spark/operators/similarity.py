@@ -16,6 +16,8 @@ shuffles once on the bucket key.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # module-level: pandas_udf resolves the postponed
+                     # 'pd.Series' annotations from these globals
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -285,3 +287,170 @@ def embedding_centroids(df: DataFrame, vec_col: str = "embedding",
             F.round(F.avg(F.col("v").cast("double")), 6).alias("c"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means + SemDeDup-style semantic dedup
+# (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication" — public method; clustering for data
+# curation: semantic dedup, domain mixing, IVF coarse quantizers)
+# ---------------------------------------------------------------------------
+
+def kmeans_fit(df: DataFrame, k: int = 16, vec_col: str = "embedding",
+               id_col: str = "vec_id", n_iter: int = 5) -> np.ndarray:
+    """Full-corpus distributed Lloyd iterations (train_ivf_centroids is
+    the driver-SAMPLE shortcut; this is the honest 100 TB trainer).
+
+    Scale shape per iteration: ONE vectorized Arrow pass assigns every
+    vector to its nearest centroid (broadcast (k x dim) matrix inside a
+    pandas UDF — batch matmul, no per-row Python and no k*dim literal
+    blowup in codegen), then posexplode -> uniform-key partial agg on
+    (cell, dim) -> collect exactly k*dim (sum, n) rows to rebuild
+    centroids driver-side. Bounded driver state; the corpus shuffles
+    only the (cell, dim, component) long form, never raw vectors twice.
+
+    Deterministic init: greedy farthest-point (the deterministic cousin
+    of kmeans++ seeding) over a HASH-ORDERED driver sample — order by
+    md5(id) spreads the sample across the corpus regardless of how ids
+    correlate with content (the k-lowest-ids init degenerates when ids
+    are assigned per source/cluster), and is reproducible across
+    engines and partitionings, unlike seeded sampling of a shuffled
+    RDD. Float summation order varies with partitioning, so refit
+    centroids agree across layouts to ~1e-9 (np.allclose,
+    pytest-pinned), not bitwise. Empty cells keep their previous
+    centroid."""
+    sample_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .limit(max(2048, 4 * k)).select(vec_col).collect()
+    )
+    x0 = np.array([r[0] for r in sample_rows], dtype=np.float64)
+    if len(x0) < k:
+        raise ValueError(f"need >= {k} vectors to init {k} centroids")
+    picks = [0]  # start from the lowest-hash vector
+    d2 = ((x0 - x0[0]) ** 2).sum(axis=1)
+    for _ in range(k - 1):
+        nxt = int(d2.argmax())  # deterministic: first max on ties
+        picks.append(nxt)
+        d2 = np.minimum(d2, ((x0 - x0[nxt]) ** 2).sum(axis=1))
+    cent = x0[picks].copy()
+    dim = cent.shape[1]
+    for _ in range(n_iter):
+        assigned = kmeans_assign(df, cent, vec_col=vec_col,
+                                 id_col=id_col)
+        sums = (
+            assigned.select(
+                "cell",
+                F.posexplode(F.col(vec_col)).alias("d", "v"))
+            .groupBy("cell", "d")
+            .agg(F.sum(F.col("v").cast("double")).alias("s"),
+                 F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = cent.copy()
+        counts = np.zeros(k)
+        acc = np.zeros((k, dim))
+        for r in sums:
+            acc[r["cell"], r["d"]] = r["s"]
+            counts[r["cell"]] = r["n"]
+        nonempty = counts > 0
+        new[nonempty] = acc[nonempty] / counts[nonempty, None]
+        cent = new
+    return cent
+
+
+def kmeans_assign(df: DataFrame, centroids: np.ndarray,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Adds (cell, cos_to_centroid): nearest centroid by Euclidean
+    distance (argmin ||x-c||^2 = argmax x.c - ||c||^2/2, one batch
+    matmul per Arrow batch against the broadcast centroid matrix) plus
+    the cosine to that centroid — the priority SemDeDup ranks cluster
+    members by. Ties (exactly equidistant) go to the lowest cell id
+    (np.argmax takes the first maximum)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(centroids,
+                                                 dtype=np.float64))
+
+    @pandas_udf("cell int, cos_to_centroid double")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        cent = bc.value
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        if x.size == 0:
+            return pd.DataFrame({"cell": [], "cos_to_centroid": []})
+        scores = x @ cent.T - 0.5 * (cent * cent).sum(axis=1)
+        cells = scores.argmax(axis=1)
+        chosen = cent[cells]
+        num = (x * chosen).sum(axis=1)
+        den = (np.linalg.norm(x, axis=1)
+               * np.linalg.norm(chosen, axis=1))
+        cos = np.where(den > 0, num / np.maximum(den, 1e-300), 0.0)
+        return pd.DataFrame({"cell": cells.astype("int32"),
+                             "cos_to_centroid": cos})
+
+    out = df.withColumn("_a", assign(F.col(vec_col)))
+    return (out.withColumn("cell", F.col("_a.cell"))
+            .withColumn("cos_to_centroid",
+                        F.round(F.col("_a.cos_to_centroid"), 6))
+            .drop("_a"))
+
+
+def semantic_dedup(df: DataFrame, centroids: np.ndarray,
+                   threshold: float = 0.95,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   max_cell_size: int | None = 10_000,
+                   metrics_out: dict | None = None) -> DataFrame:
+    """SemDeDup: drop near-semantic-duplicates WITHIN k-means cells.
+
+    A doc is dropped when some same-cell doc with higher keep-priority
+    is within ``threshold`` cosine of it. Keep-priority follows the
+    paper: LOWER cosine-to-centroid wins (keep the example far from the
+    centroid — the diverse one), lowest id tie-break. The rule is a
+    single parallel predicate (drop if any better neighbor), not a
+    sequential greedy scan: on chains a kept doc's duplicates are
+    dropped even if their own duplicates were also dropped —
+    conservative over-dropping on transitive chains, deterministic,
+    and embarrassingly parallel.
+
+    Scale shape: pairwise comparison happens ONLY within a cell (the
+    self-join shuffles on the cell key), so cost is sum(cell^2), set by
+    k; ``max_cell_size`` excludes degenerate mega-cells from pairing
+    entirely (reuses dedup.oversized_bucket_keys — same rationale as
+    the LSH bucket cap: a cell holding 1% of the corpus carries no
+    dedup signal and would dominate the join). Returns the kept rows of
+    ``df`` plus (cell, cos_to_centroid)."""
+    from .dedup import oversized_bucket_keys
+
+    assigned = kmeans_assign(df, centroids, vec_col, id_col).persist()
+    paired = assigned
+    if max_cell_size is not None:
+        oversized = oversized_bucket_keys(
+            assigned.select("cell"), ["cell"], max_cell_size, metrics_out)
+        paired = assigned.join(F.broadcast(oversized), ["cell"],
+                               "left_anti")
+    a = paired.alias("a")
+    b = paired.alias("b")
+    better = (
+        (F.col("b.cos_to_centroid") < F.col("a.cos_to_centroid"))
+        | ((F.col("b.cos_to_centroid") == F.col("a.cos_to_centroid"))
+           & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")))
+    )
+    dropped = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
+        .filter(better)
+        .filter(cosine_col(F.col(f"a.{vec_col}"),
+                           F.col(f"b.{vec_col}")) > threshold)
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+    )
+    kept = assigned.join(dropped, id_col, "left_anti")
+    if metrics_out is not None:
+        metrics_out["n_dropped"] = dropped.count()
+    # the persisted assignment serves the pair join (twice), the anti
+    # join, and the optional metrics count; released by ContextCleaner
+    # when the returned plan is dropped (lsh_candidate_pairs convention)
+    return kept

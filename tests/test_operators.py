@@ -1201,3 +1201,80 @@ def test_token_ngram_contamination_window_semantics(spark):
            T.token_ngram_contamination(docs, eval_df).collect()}
     assert set(out) == {1}
     assert out[1] == 1  # exactly one shared 13-gram window
+
+
+def _planted_emb_clusters(spark, n_per=40, k=4, dim=16, seed=13,
+                          jitter=0.05):
+    """Well-separated synthetic clusters: k orthant corners +- jitter."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    centers = []
+    for c in range(k):
+        center = [(4.0 if (c >> (d % 4)) & 1 else -4.0) + c
+                  for d in range(dim)]
+        centers.append(center)
+        for i in range(n_per):
+            vec = [v + rng.uniform(-jitter, jitter) for v in center]
+            rows.append((c * 1000 + i, vec, c))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    return df, centers
+
+
+def test_kmeans_fit_recovers_planted_clusters(spark):
+    import numpy as np
+
+    df, centers = _planted_emb_clusters(spark)
+    cent = similarity.kmeans_fit(df, k=4, n_iter=5)
+    assigned = similarity.kmeans_assign(df, cent)
+    # every planted label maps to exactly one cell and vice versa
+    m = assigned.groupBy("label").agg(
+        F.countDistinct("cell").alias("cells"),
+        F.count(F.lit(1)).alias("n")).collect()
+    assert all(r.cells == 1 and r.n == 40 for r in m)
+    assert assigned.select("cell").distinct().count() == 4
+    # refit on a different partitioning: same centroids to float noise
+    cent2 = similarity.kmeans_fit(df.repartition(13), k=4, n_iter=5)
+    assert np.allclose(np.sort(cent, axis=0), np.sort(cent2, axis=0),
+                       atol=1e-9)
+    # recovered centroids sit at the planted centers (within jitter)
+    got = np.sort(cent[:, 0])
+    want = np.sort(np.array(centers, dtype=float)[:, 0])
+    assert np.allclose(got, want, atol=0.1)
+
+
+def test_semantic_dedup_keeps_far_from_centroid(spark):
+    """SemDeDup keep rule: of a planted near-duplicate pair the member
+    FARTHER from its cluster centroid survives; non-duplicate cluster
+    members are never dropped."""
+    import numpy as np
+
+    # wide jitter: member-member cosine ~0.98, well under the threshold
+    df, _ = _planted_emb_clusters(spark, n_per=20, k=2, dim=16,
+                                  jitter=1.0)
+    cent = similarity.kmeans_fit(df, k=2, n_iter=4)
+    # plant the pair: v1 = a fixed off-center direction; v2 = v1 mixed
+    # 2% toward ITS cell's centroid -> cos(v1,v2) ~ 0.9998 (> thresh)
+    # and v2 strictly CLOSER to the centroid -> v2 must be dropped
+    v1 = np.array([5.0] * 8 + [-5.0] * 8)
+    cell1 = int((cent @ v1 - 0.5 * (cent * cent).sum(1)).argmax())
+    c_hat = cent[cell1] / np.linalg.norm(cent[cell1])
+    v2 = 0.98 * v1 + 0.02 * np.linalg.norm(v1) * c_hat
+    extra = spark.createDataFrame(
+        [(9001, [float(x) for x in v1], 0),
+         (9002, [float(x) for x in v2], 0)],
+        "vec_id long, embedding array<float>, label int")
+    full = df.unionByName(extra)
+    kept = similarity.semantic_dedup(full, cent, threshold=0.999)
+    ids = {r.vec_id for r in kept.collect()}
+    assert 9001 in ids and 9002 not in ids  # far-from-centroid survives
+    assert len(ids) == full.count() - 1     # nothing else dropped
+    # metrics + cap path: max_cell_size below every cell size disables
+    # pairing entirely -> nothing dropped, both cells counted oversized
+    m = {}
+    kept_capped = similarity.semantic_dedup(
+        full, cent, threshold=0.999, max_cell_size=5, metrics_out=m)
+    assert kept_capped.count() == full.count()
+    assert m["n_dropped"] == 0 and m.get("dropped_buckets", 0) == 2

@@ -528,3 +528,43 @@ def token_ngram_contamination(docs: DataFrame, bench: DataFrame,
         .filter(F.col("n_hits") >= min_hits)
         .withColumn("contaminated", F.lit(True))
     )
+
+
+def code_line_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-file code-shape profile — the DataQuality-CLI per-column
+    heuristics recast for a SOURCE-CODE payload (north star: per-file
+    rules over repo corpora; same family as blank-ratio / line-length
+    in functions/textmetrics.py, but as pure Column expressions with a
+    DuckDB twin so the semantics are oracle-checkable):
+
+    - n_lines, comment_lines ('#' or '//' after optional indent),
+      comment_ratio
+    - indent_tab_lines / indent_space_lines (mixed-indent smell)
+    - n_identifiers / max_identifier_len ([A-Za-z_][A-Za-z0-9_]* —
+      minified/generated code shows huge identifiers and counts)
+
+    One scan, whole-stage codegen (split + filter/transform + regexp);
+    regexes stay in the ASCII subset where Java and RE2 semantics
+    agree. The fused-UDF pipeline keeps its Python implementations for
+    the hot path; this is the standalone/oracle surface."""
+    lines = F.split(F.col(text_col), "\n", -1)
+    n_lines = F.size(lines)
+    comment = F.size(F.filter(
+        lines, lambda l: l.rlike("^[ \t]*(#|//)")))
+    tabs = F.size(F.filter(lines, lambda l: l.rlike("^\t")))
+    spaces = F.size(F.filter(lines, lambda l: l.rlike("^ ")))
+    idents = F.regexp_extract_all(
+        F.col(text_col), F.lit("[A-Za-z_][A-Za-z0-9_]*"), 0)
+    return df.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        comment.cast("long").alias("comment_lines"),
+        F.round(comment.cast("double") / n_lines.cast("double"), 4)
+        .alias("comment_ratio"),
+        tabs.cast("long").alias("indent_tab_lines"),
+        spaces.cast("long").alias("indent_space_lines"),
+        F.size(idents).cast("long").alias("n_identifiers"),
+        F.coalesce(
+            F.array_max(F.transform(idents, lambda x: F.length(x))),
+            F.lit(0)).cast("long").alias("max_identifier_len"),
+    )

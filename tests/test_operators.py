@@ -1278,3 +1278,32 @@ def test_semantic_dedup_keeps_far_from_centroid(spark):
         full, cent, threshold=0.999, max_cell_size=5, metrics_out=m)
     assert kept_capped.count() == full.count()
     assert m["n_dropped"] == 0 and m.get("dropped_buckets", 0) == 2
+
+
+def test_code_line_profile_semantics(spark):
+    """Comment / indent / identifier semantics on planted source text
+    (the prose fixture exercises only the identifier columns)."""
+    from dataquality_cli_spark.operators.text import code_line_profile
+
+    code = (
+        "#!/usr/bin/env python\n"          # '#' comment
+        "# setup\n"                         # '#' comment
+        "def very_long_identifier_name(x):\n"
+        "    # indented comment\n"          # space indent + comment
+        "\treturn x  // not a py comment\n"  # tab indent, '//' mid-line
+        "// a c-style comment line\n"       # '//' comment
+        "value = 12\n"
+    )
+    df = spark.createDataFrame([(1, code), (2, "no newline here")],
+                               "doc_id long, text string")
+    out = {r.doc_id: r for r in code_line_profile(df).collect()}
+    r = out[1]
+    assert r.n_lines == 8  # trailing \n yields a final empty line
+    assert r.comment_lines == 4  # two '#', one indented '#', one '//'
+    assert r.indent_tab_lines == 1
+    assert r.indent_space_lines == 1
+    assert r.max_identifier_len == len("very_long_identifier_name")
+    assert r.comment_ratio == round(4 / 8, 4)
+    r2 = out[2]
+    assert r2.n_lines == 1 and r2.comment_lines == 0
+    assert r2.n_identifiers == 3  # no, newline, here

@@ -33,6 +33,8 @@ ROWS_ONLY_MIN = {
     "ann_ivf_topk": 20,
     "emb_neardup_lsh": 3,
     "corpus_bpe_merges": 16,
+    "emb_kmeans_cells": 4,
+    "emb_semantic_dedup": 400,
 }
 
 

@@ -682,6 +682,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_semantic_dedup"] = sem_dedup
 
+    # distributed PCA: one-pass (n, sum, outer-product triangle) agg ->
+    # driver eigh -> Arrow-matmul projection (rows-only: float spectrum,
+    # no cross-engine hash; numpy parity + invariants pytest-pinned)
+    def pca_proj(s, d):
+        emb = _t(s, d, "embeddings")
+        m = similarity.pca_fit(emb, k=4)
+        out = similarity.pca_transform(emb, m)
+        return out.select(
+            "vec_id",
+            *[F.round(F.col("projection")[i], 4).alias(f"pc{i + 1}")
+              for i in range(4)],
+        ).orderBy("vec_id")
+
+    q["emb_pca_projection"] = pca_proj
+
     # per-file code-shape profile (north-star 'code' payload: comment
     # ratio, indent style, identifier stats as oracle-checkable column
     # expressions; comment/indent columns are near-zero on the prose
@@ -893,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_outliers", "events_hourly", "events_sliding_2h",
         "events_sessionize", "events_asof_join", "events_range_join",
         "events_rollup_day", "corpus_pack_sequences",
+        "q_customers_no_orders",
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     # self-enforcing: every non-tail (i.e. new/modified) query must fit

@@ -454,3 +454,115 @@ def semantic_dedup(df: DataFrame, centroids: np.ndarray,
     # join, and the optional metrics count; released by ContextCleaner
     # when the returned plan is dropped (lsh_candidate_pairs convention)
     return kept
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA (one-pass covariance + driver eigendecomposition) —
+# dimensionality reduction / whitening ahead of ANN and semantic dedup
+# ---------------------------------------------------------------------------
+
+def pca_fit(df: DataFrame, k: int = 8,
+            vec_col: str = "embedding") -> dict:
+    """Principal components of the embedding table in ONE distributed
+    pass. Each partition accumulates (n, sum-vector, sum of outer
+    products) with a vectorized numpy pass (no per-row Python) and
+    emits the dim x dim upper triangle as sparse (i, j, s) rows —
+    bounded by dim^2, never row count; one uniform-key groupBy sums
+    them and the driver assembles cov = (S - n mu mu^T) / (n - 1) and
+    runs the (dim x dim) eigendecomposition locally. Standard
+    sample-covariance PCA — the exact math of sklearn's PCA, recomputed
+    here from public formulas.
+
+    Returns {mean: (dim,), components: (k, dim) rows = top components,
+    explained_variance: (k,), n: int}. Deterministic up to float
+    summation order (partition layouts agree to ~1e-9, pytest-pinned);
+    eigenvector SIGN is fixed by making each component's
+    largest-magnitude coordinate positive (eigh's sign is otherwise
+    arbitrary and would flip across runs)."""
+
+    def part(batches):
+        acc_n = 0
+        acc_s = None
+        acc_o = None
+        for pdf in batches:
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if x.size == 0:
+                continue
+            if acc_s is None:
+                acc_s = np.zeros(x.shape[1])
+                acc_o = np.zeros((x.shape[1], x.shape[1]))
+            acc_n += x.shape[0]
+            acc_s += x.sum(axis=0)
+            acc_o += x.T @ x
+        if acc_s is None:
+            return
+        dim = acc_s.shape[0]
+        iu = np.triu_indices(dim)
+        yield pd.DataFrame({
+            "i": np.concatenate(([-1], iu[0])).astype("int64"),
+            "j": np.concatenate(([-1], iu[1])).astype("int64"),
+            # the (-1,-1) marker row carries (n, placeholder): counts
+            # are integers in float64 — exact to 2^53
+            "s": np.concatenate(([float(acc_n)], acc_o[iu])),
+        })
+        yield pd.DataFrame({
+            "i": np.full(dim, -2, dtype="int64"),
+            "j": np.arange(dim, dtype="int64"),
+            "s": acc_s,
+        })
+
+    rows = (
+        df.select(vec_col)
+        .mapInPandas(part, "i long, j long, s double")
+        .groupBy("i", "j").agg(F.sum("s").alias("s"))
+        .collect()
+    )
+    n = 0
+    sums = {}
+    for r in rows:
+        if r["i"] == -1:
+            n = int(r["s"])
+        else:
+            sums[(r["i"], r["j"])] = r["s"]
+    if n < 2:
+        raise ValueError("pca_fit needs >= 2 vectors")
+    dim = max(j for (i, j) in sums if i == -2) + 1
+    mu = np.array([sums[(-2, j)] for j in range(dim)]) / n
+    outer = np.zeros((dim, dim))
+    for (i, j), s in sums.items():
+        if i >= 0:
+            outer[i, j] = s
+            outer[j, i] = s
+    cov = (outer - n * np.outer(mu, mu)) / (n - 1)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T
+    # deterministic sign: largest-|coord| positive per component
+    for c in comps:
+        if c[np.abs(c).argmax()] < 0:
+            c *= -1.0
+    return {"mean": mu, "components": comps,
+            "explained_variance": w[order], "n": n}
+
+
+def pca_transform(df: DataFrame, model: dict,
+                  vec_col: str = "embedding",
+                  out_col: str = "projection") -> DataFrame:
+    """Project embeddings onto the fitted components: one Arrow batch
+    matmul against the broadcast (k x dim) matrix — same shape as
+    kmeans_assign. Output is array<double> of length k."""
+    from pyspark.sql.functions import pandas_udf
+
+    bc = df.sparkSession.sparkContext.broadcast(
+        (np.asarray(model["mean"]), np.asarray(model["components"])))
+
+    @pandas_udf("array<double>")
+    def proj(vecs: pd.Series) -> pd.Series:
+        mu, comps = bc.value
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        if x.size == 0:
+            return pd.Series([], dtype=object)
+        y = (x - mu) @ comps.T
+        return pd.Series(list(y))
+
+    return df.withColumn(out_col, proj(F.col(vec_col)))

@@ -1307,3 +1307,46 @@ def test_code_line_profile_semantics(spark):
     r2 = out[2]
     assert r2.n_lines == 1 and r2.comment_lines == 0
     assert r2.n_identifiers == 3  # no, newline, here
+
+
+def test_pca_fit_matches_numpy_and_is_partition_invariant(spark, emb):
+    """Distributed one-pass covariance PCA == numpy PCA on the collected
+    table (components to sign-fixed allclose, variances descending),
+    invariant to partition layout; projection reproduces the centered
+    matmul."""
+    import numpy as np
+
+    x = np.array([r.embedding for r in
+                  emb.select("embedding").orderBy("vec_id").collect()],
+                 dtype=np.float64)
+    mu = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False, ddof=1)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:6]
+    exp_comps = v[:, order].T.copy()
+    for c in exp_comps:
+        if c[np.abs(c).argmax()] < 0:
+            c *= -1.0
+
+    m = similarity.pca_fit(emb, k=6)
+    assert m["n"] == x.shape[0]
+    assert np.allclose(m["mean"], mu, atol=1e-9)
+    assert np.allclose(m["explained_variance"], w[order], atol=1e-9)
+    assert np.allclose(m["components"], exp_comps, atol=1e-6)
+    ev = m["explained_variance"]
+    assert all(ev[i] >= ev[i + 1] for i in range(len(ev) - 1))
+    # orthonormal components
+    g = m["components"] @ m["components"].T
+    assert np.allclose(g, np.eye(6), atol=1e-9)
+    # partition invariance (float-noise tolerance)
+    m2 = similarity.pca_fit(emb.repartition(17), k=6)
+    assert np.allclose(m["components"], m2["components"], atol=1e-8)
+    # transform: centered matmul, length-k output
+    proj = {r.vec_id: r.projection for r in
+            similarity.pca_transform(emb, m).select(
+                "vec_id", "projection").collect()}
+    ids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").collect()]
+    want = (x - mu) @ m["components"].T
+    got = np.array([proj[i] for i in ids])
+    assert got.shape == (x.shape[0], 6)
+    assert np.allclose(got, want, atol=1e-9)

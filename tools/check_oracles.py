@@ -35,6 +35,7 @@ ROWS_ONLY_MIN = {
     "corpus_bpe_merges": 16,
     "emb_kmeans_cells": 4,
     "emb_semantic_dedup": 400,
+    "emb_pca_projection": 400,
 }
 
 

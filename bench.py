@@ -99,6 +99,7 @@ HEADLINE = [
     "doc_tfidf_terms",         # explode + 2 aggs + term join (persisted tf)
     "corpus_bigram_lm",        # pair explode + vocab-bounded join
     "ann_cosine_topk",         # broadcast knn
+    "emb_semantic_dedup",      # k-means fit + within-cell SemDeDup
     "events_hourly",           # window agg
     "events_sessionize",       # window functions
     "events_asof_join",        # custom as-of join (union + window carry)

@@ -697,6 +697,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_pca_projection"] = pca_proj
 
+    # model-scored documents: the fused langid+perplexity scorer (the
+    # pipeline hot path) applied to the documents table — rows-only
+    # (model floats; the scorer itself is parity-tested against
+    # driver-side scoring and the F1 fixture suite)
+    def model_scores(s, d):
+        from dataquality_cli_spark.functions.udfs import (
+            broadcast_models, with_model_scores)
+
+        docs = _t(s, d, "documents").select(
+            "doc_id", F.col("text").alias("content"))
+        bc = broadcast_models(s)
+        return (with_model_scores(docs, bc)
+                .select("doc_id", "langid_pred",
+                        F.round("ppl", 4).alias("ppl"))
+                .orderBy("doc_id"))
+
+    q["doc_model_scores"] = model_scores
+
     # per-file code-shape profile (north-star 'code' payload: comment
     # ratio, indent style, identifier stats as oracle-checkable column
     # expressions; comment/indent columns are near-zero on the prose
@@ -908,7 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_outliers", "events_hourly", "events_sliding_2h",
         "events_sessionize", "events_asof_join", "events_range_join",
         "events_rollup_day", "corpus_pack_sequences",
-        "q_customers_no_orders",
+        "q_customers_no_orders", "q3_unshipped_topk",
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     # self-enforcing: every non-tail (i.e. new/modified) query must fit

@@ -1350,3 +1350,28 @@ def test_pca_fit_matches_numpy_and_is_partition_invariant(spark, emb):
     got = np.array([proj[i] for i in ids])
     assert got.shape == (x.shape[0], 6)
     assert np.allclose(got, want, atol=1e-9)
+
+
+def test_bpe_incremental_learner_hypothesis_parity():
+    """Property check: the incremental pair-count learner equals the
+    naive full-recount reference for ARBITRARY word-frequency tables
+    (hypothesis-generated; pure Python — no Spark in the loop)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dataquality_cli_spark.operators import bpe
+
+    word = st.text(alphabet="abc", min_size=1, max_size=8)
+    wf_strategy = st.dictionaries(word, st.integers(1, 9),
+                                  min_size=1, max_size=30)
+
+    @settings(max_examples=60, deadline=None)
+    @given(wf=wf_strategy, n_merges=st.integers(1, 40),
+           min_pair=st.integers(1, 3))
+    def check(wf, n_merges, min_pair):
+        expected = bpe.bpe_reference(wf, n_merges, min_pair_count=min_pair)
+        got = bpe.learn_bpe_merges_from_freqs(
+            sorted(wf.items()), n_merges, min_pair_count=min_pair)
+        assert [(m["left"], m["right"]) for m in got] == expected
+
+    check()

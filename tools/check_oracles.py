@@ -36,6 +36,7 @@ ROWS_ONLY_MIN = {
     "emb_kmeans_cells": 4,
     "emb_semantic_dedup": 400,
     "emb_pca_projection": 400,
+    "doc_model_scores": 400,
 }
 
 

@@ -46,7 +46,7 @@ CHECKS = {
     "dq_threshold_sweep": "one corpus scan into a bounded bucket table (persisted; feeds total + cumulative); never |df| x |thresholds|; window only over <= n_thresholds+1 rows",
     "doc_token_ngram_contamination": "eval 13-grams DISTINCT + BROADCAST; corpus side Generate + broadcast hash join + partial agg — corpus text never shuffles",
     "doc_quality_deciles": "distributed ntile: RangePartitioning exchange + Window partitioned by _pid + broadcast offset join — NO SinglePartition exchange",
-    "emb_semantic_dedup": "assignment persisted (InMemoryTableScan); pair join shuffles on the cell key only; oversized cells dropped via broadcast LeftAnti",
+    "emb_semantic_dedup": "assignment persisted; ONE exchange on the cell key into FlatMapGroupsInPandas (per-cell chunked matmul) — no pair self-join, no interpreted cosine fold",
     "doc_code_line_profile": "one scan, whole-stage codegen split/filter/regexp chain — no Python, no shuffle",
 }
 

@@ -715,6 +715,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_model_scores"] = model_scores
 
+    # CCNet-style perplexity bucketing (Wenzek et al. 2020, public
+    # method): head/middle/tail quality strata by LM perplexity — the
+    # fused scorer feeds the no-Window quantile_buckets path (equal-
+    # value thresholds broadcast back; same plan as doc_quality_buckets)
+    def ppl_buckets(s, d):
+        from dataquality_cli_spark.functions.udfs import (
+            broadcast_models, with_model_scores)
+
+        docs = _t(s, d, "documents").select(
+            "doc_id", F.col("text").alias("content"))
+        bc = broadcast_models(s)
+        scored = with_model_scores(docs, bc).select(
+            "doc_id", F.round("ppl", 4).alias("ppl"))
+        return (profile.quantile_buckets(scored, "ppl", n_buckets=3)
+                .withColumnRenamed("bucket", "ppl_bucket")
+                .orderBy("doc_id"))
+
+    q["corpus_ppl_buckets"] = ppl_buckets
+
     # per-file code-shape profile (north-star 'code' payload: comment
     # ratio, indent style, identifier stats as oracle-checkable column
     # expressions; comment/indent columns are near-zero on the prose
@@ -927,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize", "events_asof_join", "events_range_join",
         "events_rollup_day", "corpus_pack_sequences",
         "q_customers_no_orders", "q3_unshipped_topk",
+        "dedup_cluster_representatives",
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     # self-enforcing: every non-tail (i.e. new/modified) query must fit

@@ -256,3 +256,61 @@ def test_stream_sinks_idempotent_on_epoch_replay(spark, tmp_path):
     kept2 = sorted(r.doc_id for r in spark.read.parquet(
         os.path.join(nout, "data")).collect())
     assert kept2 == kept1  # replay replaced, never appended
+
+
+def test_batch_incremental_dedup_reads_compacted_stream_index(
+        spark, tmp_path):
+    """Cross-surface composition: the band index a COMPACTED stream
+    maintains is directly consumable by the BATCH incremental dedup
+    (lsh_incremental_pairs) — candidates against streamed survivors
+    must match candidates computed from re-hashing those survivors."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dataquality_cli_spark.operators.dedup import (
+        lsh_bands, lsh_incremental_pairs, minhash_signatures)
+    from dataquality_cli_spark.streaming.stream_pipeline import (
+        read_band_index, stream_neardup_filter)
+
+    rng = random.Random(83)
+    mk = lambda base, n: [
+        (base + i, " ".join(f"u{rng.randrange(10**9)}" for _ in range(50)))
+        for i in range(n)]
+    e0, e1 = mk(1000, 10), mk(2000, 10)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, chunk in enumerate((e0, e1)):
+        spark.createDataFrame(chunk, "doc_id long, text string") \
+            .toPandas().to_parquet(str(in_dir / f"f{i}.parquet"),
+                                   index=False)
+    out = str(tmp_path / "out")
+    empty_index = lsh_bands(minhash_signatures(
+        spark.createDataFrame([], "doc_id long, text string")))
+    q = stream_neardup_filter(
+        spark, str(in_dir), spark.createDataFrame(
+            [], "doc_id long, text string").schema,
+        out, empty_index, compact_every=1, remove_folded=True)
+    assert q.awaitTermination(180)
+
+    survivors = spark.read.parquet(os.path.join(out, "data")) \
+        .select("doc_id", "text")
+    idx = read_band_index(spark, out)
+    assert idx is not None
+    # new batch: re-sends of 5 streamed survivors + 5 fresh docs
+    resend = survivors.limit(5).select(
+        (F.col("doc_id") + 90_000).alias("doc_id"), "text")
+    fresh = spark.createDataFrame(mk(95_000, 5),
+                                  "doc_id long, text string")
+    batch = resend.unionByName(fresh)
+
+    via_index = {tuple(r) for r in lsh_incremental_pairs(
+        batch, idx).collect()}
+    rehashed = lsh_bands(minhash_signatures(survivors))
+    via_rehash = {tuple(r) for r in lsh_incremental_pairs(
+        batch, rehashed).collect()}
+    assert via_index == via_rehash
+    # non-vacuous: every re-send collides with its streamed original
+    resent_ids = {r.doc_id for r in resend.collect()}
+    hit = {b for (a, b) in via_index} | {a for (a, b) in via_index}
+    assert resent_ids <= hit

@@ -37,6 +37,7 @@ ROWS_ONLY_MIN = {
     "emb_semantic_dedup": 400,
     "emb_pca_projection": 400,
     "doc_model_scores": 400,
+    "corpus_ppl_buckets": 400,
 }
 
 

@@ -726,8 +726,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(s, d, "documents").select(
             "doc_id", F.col("text").alias("content"))
         bc = broadcast_models(s)
+        # localCheckpoint: quantile_buckets scans its input twice
+        # (threshold agg + bucketing join) and the scorer UDF is the
+        # dominant cost — materialize the tiny (doc_id, ppl) frame once
         scored = with_model_scores(docs, bc).select(
-            "doc_id", F.round("ppl", 4).alias("ppl"))
+            "doc_id", F.round("ppl", 4).alias("ppl")).localCheckpoint()
         return (profile.quantile_buckets(scored, "ppl", n_buckets=3)
                 .withColumnRenamed("bucket", "ppl_bucket")
                 .orderBy("doc_id"))

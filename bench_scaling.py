@@ -188,8 +188,6 @@ def main() -> None:
         if marker in prev:
             history = prev[prev.index(marker):]
     with open(out_path, "w") as f:
-        if history:
-            pass  # appended after the generated body below
         f.write(f"""# BENCH — throughput + two-cluster-size scaling evidence
 
 North-rule criterion: identical quality-filter job (fused langid +

@@ -78,7 +78,11 @@ def main() -> None:
             corpus_trained_models_bc)
         labeled = (read_corpus(spark, args.labeled_sample)
                    if args.labeled_sample else None)
-        bc = corpus_trained_models_bc(spark, df, labeled=labeled)
+
+        # factory, not a broadcast: training runs only if partitions
+        # remain to process (a fully-resumed rerun skips it entirely)
+        def bc(labeled=labeled):
+            return corpus_trained_models_bc(spark, df, labeled=labeled)
 
     t0 = time.time()
     run_with_checkpoint(spark, df, args.output,

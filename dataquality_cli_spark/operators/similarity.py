@@ -467,9 +467,12 @@ def semantic_dedup(df: DataFrame, centroids: np.ndarray,
 
     dropped = paired.groupBy("cell").applyInPandas(
         cell_dedup, schema=f"{id_col} long")
-    kept = assigned.join(dropped, id_col, "left_anti")
     if metrics_out is not None:
+        # persisted: the metrics count and the anti join below must
+        # share ONE execution of the quadratic per-cell stage
+        dropped = dropped.persist()
         metrics_out["n_dropped"] = dropped.count()
+    kept = assigned.join(dropped, id_col, "left_anti")
     # the persisted assignment serves the grouped dedup, the anti join
     # and the optional metrics count; released by ContextCleaner when
     # the returned plan is dropped (lsh_candidate_pairs convention)

@@ -126,13 +126,18 @@ def run_with_checkpoint(spark: SparkSession, df: DataFrame, out_dir: str,
     unmarked partition via dynamic partition overwrite).
 
     ``fail_after_parts`` is a test hook simulating a mid-job kill.
-    ``bc``: an existing model broadcast (e.g. corpus-trained via
-    functions.models.corpus_trained_models_bc); defaults to the
-    fixture-trained models.
+    ``bc``: an existing model broadcast, or a ZERO-ARG FACTORY for one
+    (e.g. corpus-trained via functions.models.corpus_trained_models_bc);
+    defaults to the fixture-trained models. Resolution is deferred
+    until after the manifest check, so a fully-resumed run — nothing
+    left to process — never pays a model-training pass.
     """
-    bc = bc or broadcast_models(spark)
     done = completed_parts(spark, out_dir)
     parts = [p for p in range(n_parts) if p not in done]
+    if not parts:
+        return
+    bc = bc() if callable(bc) else bc
+    bc = bc or broadcast_models(spark)
     staged = _with_part_id(df, n_parts)
     data_dir = os.path.join(out_dir, "data")
     manifest = os.path.join(out_dir, "_manifest")

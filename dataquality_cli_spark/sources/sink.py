@@ -59,6 +59,10 @@ def write_corpus_sharded(df: DataFrame, path: str,
     staged = df.withColumn(SHARD_COL, shard_col(F.col(key_col), n_shards))
     new_leaves = None
     if dynamic:
+        # persisted: the leaf-inventory action and the write below must
+        # share one computation of the upstream plan (an incremental
+        # refresh feeds this an expensive filtered/joined frame)
+        staged = staged.persist()
         new_leaves = {tuple(r) for r in
                       staged.select(*keys).distinct().collect()}
     out = (
@@ -73,42 +77,96 @@ def write_corpus_sharded(df: DataFrame, path: str,
     finally:
         if dynamic:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if dynamic:
+        staged.unpersist()
     if dynamic and new_leaves:
         _cleanup_stale_shards(spark, path, partition_cols, new_leaves)
 
 
-def _partition_dirname(col: str, value) -> str:
-    """Directory name Spark uses for a partition value (simple values;
-    NULL maps to the Hive default-partition sentinel)."""
-    return f"{col}=__HIVE_DEFAULT_PARTITION__" if value is None \
-        else f"{col}={value}"
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _unescape_partition_value(s: str):
+    """Invert Hive/Spark partition-path escaping (%XX percent-encoding;
+    the NULL sentinel). UNESCAPING on-disk names is the safe direction:
+    re-implementing the ESCAPE side and comparing paths would silently
+    miss (or, worse, match the wrong) directory whenever our escape set
+    drifted from Spark's — e.g. value 'a:b' is written as 'a%3Ab', and
+    a literal value 'a%3Ab' as 'a%253Ab'; decoding keeps them distinct."""
+    if s == _HIVE_NULL:
+        return None
+    out = []
+    i = 0
+    while i < len(s):
+        if s[i] == "%" and i + 3 <= len(s):
+            try:
+                out.append(chr(int(s[i + 1:i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(s[i])
+        i += 1
+    return "".join(out)
+
+
+def _fmt_partition_value(v):
+    """The string Spark renders a partition VALUE as inside a directory
+    name (before escaping): None stays None (matched against the NULL
+    sentinel); booleans lowercase; everything else str()."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
 
 
 def _cleanup_stale_shards(spark: SparkSession, path: str,
                           partition_cols: tuple[str, ...],
                           new_leaves: set) -> None:
     """Delete shard leaves in rewritten partitions that the new write
-    did not produce (see write_corpus_sharded)."""
+    did not produce (see write_corpus_sharded). Walks the on-disk
+    partition tree level by level and matches by UNESCAPED directory
+    values, so Spark's partition-path escaping (':' -> %3A etc.) can
+    never make the cleanup skip a rewritten partition or touch a
+    different one."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
-    parts = {leaf[:-1] for leaf in new_leaves}
-    for pv in parts:
-        dir_path = "/".join(
-            [path] + [_partition_dirname(c, v)
-                      for c, v in zip(partition_cols, pv)])
-        hp = jvm.org.apache.hadoop.fs.Path(dir_path)
-        fs = hp.getFileSystem(conf)
-        if not fs.exists(hp):
-            continue
-        valid = {leaf[-1] for leaf in new_leaves if leaf[:-1] == pv}
-        for st in fs.listStatus(hp):
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return
+    parts = {tuple(_fmt_partition_value(v) for v in leaf[:-1])
+             for leaf in new_leaves}
+    shard_of = {}
+    for leaf in new_leaves:
+        key = tuple(_fmt_partition_value(v) for v in leaf[:-1])
+        shard_of.setdefault(key, set()).add(leaf[-1])
+
+    frontier = [(root, ())]
+    for col in partition_cols:
+        nxt = []
+        for hdir, prefix in frontier:
+            for st in fs.listStatus(hdir):
+                name = st.getPath().getName()
+                if not (st.isDirectory() and name.startswith(f"{col}=")):
+                    continue
+                val = _unescape_partition_value(name.split("=", 1)[1])
+                cand = prefix + (val,)
+                # prune: only descend toward REWRITTEN partitions
+                if any(p[:len(cand)] == cand for p in parts):
+                    nxt.append((st.getPath(), cand))
+        frontier = nxt
+    for hdir, pv in frontier:
+        valid = shard_of.get(pv, set())
+        for st in fs.listStatus(hdir):
             name = st.getPath().getName()
-            if name.startswith(f"{SHARD_COL}="):
+            if st.isDirectory() and name.startswith(f"{SHARD_COL}="):
                 try:
-                    s = int(name.split("=", 1)[1])
+                    sh = int(name.split("=", 1)[1])
                 except ValueError:
                     continue
-                if s not in valid:
+                if sh not in valid:
                     fs.delete(st.getPath(), True)
 
 

@@ -40,3 +40,31 @@ def test_rerun_is_noop(spark, corpus_df, tmp_path):
     fp1 = _verdict_fingerprint(spark, out)
     P.run_with_checkpoint(spark, corpus_df, out, n_parts=4)  # all parts done -> noop
     assert _verdict_fingerprint(spark, out) == fp1
+
+
+def test_run_with_checkpoint_bc_factory_lazy_on_resume(spark, tmp_path):
+    """A bc FACTORY passed to run_with_checkpoint is invoked once on a
+    fresh run and NOT invoked when every partition is already in the
+    manifest (a fully-resumed --train-models rerun must not pay two
+    corpus training passes for zero work)."""
+    from dataquality_cli_spark.functions.udfs import broadcast_models
+    from dataquality_cli_spark.plans.pipeline import (
+        read_verdicts, run_with_checkpoint)
+    from dataquality_cli_spark.sources.synth import corpus_to_rows, gen_corpus
+
+    df = spark.createDataFrame(
+        corpus_to_rows(gen_corpus(40, seed=13)),
+        "repo string, path string, commit string, lang string, content string")
+    calls = []
+
+    def factory():
+        calls.append(1)
+        return broadcast_models(spark)
+
+    out = str(tmp_path / "out")
+    run_with_checkpoint(spark, df, out, n_parts=4, bc=factory)
+    assert calls == [1]
+    n1 = read_verdicts(spark, out).count()
+    run_with_checkpoint(spark, df, out, n_parts=4, bc=factory)  # resume
+    assert calls == [1]  # factory NOT re-invoked
+    assert read_verdicts(spark, out).count() == n1

@@ -116,3 +116,32 @@ def test_dynamic_overwrite_deletes_emptied_shards(spark, tmp_path):
     stale = [d for d in os.listdir(os.path.join(path, "lang=en"))
              if d.startswith("shard=") and d != f"shard={target}"]
     assert stale == []
+
+
+def test_dynamic_overwrite_cleanup_handles_escaped_partition_values(
+        spark, tmp_path):
+    """Partition values Spark escapes on disk (':' -> %3A) and literal
+    lookalikes ('a%3Ab') must each map to their OWN directory during
+    stale-shard cleanup — never silently skip, never delete the other
+    value's files."""
+    path = str(tmp_path / "corpus")
+    rows = ([(i, "a:b", f"t{i}") for i in range(40)]
+            + [(100 + i, "a%3Ab", f"u{i}") for i in range(20)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    write_corpus_sharded(df, path, partition_cols=("lang",), n_shards=4)
+    assert read_corpus_sharded(spark, path).count() == 60
+
+    from dataquality_cli_spark.sources.sink import shard_col
+    colon = df.filter("lang = 'a:b'") \
+        .withColumn("_s", shard_col(F.col("doc_id"), 4))
+    target = colon.groupBy("_s").count().orderBy("_s").collect()[0]["_s"]
+    keep = colon.filter(F.col("_s") == target).drop("_s")
+    n_keep = keep.count()
+    assert 0 < n_keep < 40
+    write_corpus_sharded(keep, path, partition_cols=("lang",), n_shards=4,
+                         dynamic=True)
+    back = read_corpus_sharded(spark, path)
+    # the rewritten escaped partition lost its stale shards...
+    assert back.filter("lang = 'a:b'").count() == n_keep
+    # ...and the literal-lookalike partition is byte-untouched
+    assert back.filter("lang = 'a%3Ab'").count() == 20

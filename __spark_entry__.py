@@ -737,6 +737,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_ppl_buckets"] = ppl_buckets
 
+    # order-invariant semantic dedup over TEXT: feature-hash embedding
+    # (Weinberger et al. 2009) -> k-means -> within-cell SemDeDup —
+    # catches shuffled/reordered duplicates char-shingle MinHash
+    # under-scores (rows-only: kmeans floats; semantics pytest-pinned)
+    q["dedup_semantic_text"] = lambda s, d: (
+        similarity.semantic_dedup_text(
+            _t(s, d, "documents").select("doc_id", "text"),
+            threshold=0.95, k=8)
+        .select("doc_id").orderBy("doc_id"))
+
     # per-file code-shape profile (north-star 'code' payload: comment
     # ratio, indent style, identifier stats as oracle-checkable column
     # expressions; comment/indent columns are near-zero on the prose
@@ -949,7 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize", "events_asof_join", "events_range_join",
         "events_rollup_day", "corpus_pack_sequences",
         "q_customers_no_orders", "q3_unshipped_topk",
-        "dedup_cluster_representatives",
+        "dedup_cluster_representatives", "dedup_streaming_exact",
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     # self-enforcing: every non-tail (i.e. new/modified) query must fit

@@ -104,6 +104,17 @@ def _neardup_stage(exact: DataFrame, threshold: float,
     return exact.join(losers, "doc_id", "left_anti")
 
 
+def _semantic_stage(uniq: DataFrame, threshold: float) -> DataFrame:
+    """Optional order-invariant semantic dedup (hash-embed -> k-means ->
+    SemDeDup) after the syntactic near-dup pass: catches the
+    shuffled/reordered duplicates char-shingle MinHash under-scores.
+    Off by default (threshold None) — byte-identical chain when off."""
+    from dataquality_cli_spark.operators.similarity import (
+        semantic_dedup_text)
+
+    return semantic_dedup_text(uniq, threshold=threshold, k=16)
+
+
 def _decontaminate_stage(uniq: DataFrame, benchmark: DataFrame,
                          min_hits: int) -> DataFrame:
     from dataquality_cli_spark.operators.text import benchmark_contamination
@@ -131,6 +142,7 @@ def build_corpus(
     token_kind: str = "bpe",
     neardup_keep: str = "quality",
     bc=None,
+    semantic_threshold: float | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
     """Run the full chain over a (repo, path, commit, lang, content)
     corpus. Returns (train_packed, val_docs, kept_docs, metrics) where
@@ -167,12 +179,19 @@ def build_corpus(
     metrics["after_neardup_dedup"] = uniq.count()
     exact.unpersist()
 
+    # 3b. optional order-invariant semantic dedup
+    if semantic_threshold is not None:
+        sem = _semantic_stage(uniq, semantic_threshold).persist()
+        metrics["after_semantic_dedup"] = sem.count()
+    else:
+        sem = uniq
+
     # 4. decontamination vs the eval/benchmark set (broadcast join)
     if benchmark is not None:
         clean = _decontaminate_stage(
-            uniq, benchmark, contamination_min_hits).persist()
+            sem, benchmark, contamination_min_hits).persist()
     else:
-        clean = uniq
+        clean = sem
     metrics["after_decontamination"] = clean.count()
 
     # 5. deterministic split: val = fraction, train = complement (same
@@ -191,6 +210,8 @@ def build_corpus(
     metrics["train_packs"] = packed.select("pack_id").distinct().count()
     if uniq is not clean:
         uniq.unpersist()
+    if sem is not clean and sem is not uniq:
+        sem.unpersist()
 
     return packed, val, clean, metrics
 
@@ -209,6 +230,7 @@ _STAGES = [
     ("filtered", "kept_after_filter"),
     ("exact", "after_exact_dedup"),
     ("unique", "after_neardup_dedup"),
+    ("semantic", "after_semantic_dedup"),  # optional — row only if on
     ("kept", "after_decontamination"),
     ("val", "val_docs"),
     ("train_packed", "train_docs"),
@@ -252,6 +274,7 @@ def build_corpus_resumable(
     token_kind: str = "bpe",
     neardup_keep: str = "quality",
     bc=None,
+    semantic_threshold: float | None = None,
     run_id: str = "run0",
     fail_after_stages: int | None = None,
 ) -> dict:
@@ -280,6 +303,7 @@ def build_corpus_resumable(
         "neardup_threshold": neardup_threshold,
         "neardup_keep": neardup_keep,
         "custom_models": bc is not None,
+        "semantic_threshold": semantic_threshold,
         "val_fraction": val_fraction,
         "pack_budget": pack_budget,
         "contamination_min_hits": contamination_min_hits,
@@ -353,7 +377,7 @@ def build_corpus_resumable(
     else:
         exact = load("exact")
     if "unique" not in done:
-        if benchmark is not None:
+        if benchmark is not None or semantic_threshold is not None:
             uniq = finish("unique", _neardup_stage(
                 exact, neardup_threshold, keep=neardup_keep))
         else:
@@ -369,9 +393,31 @@ def build_corpus_resumable(
             done["unique"] = {"n_rows": None, "path": done["kept"]["path"]}
     else:
         uniq = load("unique")
+    # 3b. optional semantic dedup. With no benchmark its survivors ARE
+    # the kept corpus: write them as the REAL <out>/kept directory and
+    # alias the 'semantic' manifest row to it (same no-second-copy move
+    # as the unique alias above).
+    if semantic_threshold is None:
+        sem = uniq
+    elif "semantic" not in done:
+        if benchmark is not None:
+            sem = finish("semantic", _semantic_stage(
+                uniq, semantic_threshold))
+        else:
+            if "kept" in done:
+                sem = load("kept")
+            else:
+                sem = finish("kept", _semantic_stage(
+                    uniq, semantic_threshold))
+            _append_manifest(spark, out_dir, "semantic", sem.count(),
+                             done["kept"]["path"], run_id)
+            done["semantic"] = {"n_rows": None,
+                                "path": done["kept"]["path"]}
+    else:
+        sem = load("semantic")
     if "kept" not in done:
         clean = finish("kept", _decontaminate_stage(
-            uniq, benchmark, contamination_min_hits))
+            sem, benchmark, contamination_min_hits))
     else:
         clean = load("kept")
 
@@ -403,7 +449,8 @@ def build_corpus_resumable(
         final["train_packs"] = {"n_rows": n_packs, "path": ""}
     metrics["input"] = final["input"]["n_rows"]
     for stage, key in _STAGES:
-        metrics[key] = final[stage]["n_rows"]
+        if stage in final:  # optional stages leave no row when off
+            metrics[key] = final[stage]["n_rows"]
     metrics["train_packs"] = final["train_packs"]["n_rows"]
     return metrics
 
@@ -437,6 +484,10 @@ def main() -> None:
     ap.add_argument("--neardup-threshold", type=float, default=0.7)
     ap.add_argument("--neardup-keep", default="quality",
                     choices=["quality", "min_id"])
+    ap.add_argument("--semantic-dedup-threshold", type=float, default=None,
+                    help="enable the order-invariant semantic dedup "
+                         "stage (hash-embed -> k-means -> SemDeDup) at "
+                         "this cosine threshold")
     ap.add_argument("--token-kind", default="bpe",
                     choices=["bpe", "whitespace"])
     ap.add_argument("--synth", type=int, default=None)
@@ -489,6 +540,7 @@ def main() -> None:
         neardup_keep=args.neardup_keep,
         val_fraction=args.val_fraction, pack_budget=args.pack_budget,
         token_kind=args.token_kind, bc=bc,
+        semantic_threshold=args.semantic_dedup_threshold,
     )
     print(json.dumps({"metric": "corpus_build",
                   "trained_models": bool(args.train_models),

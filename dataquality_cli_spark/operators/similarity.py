@@ -589,3 +589,91 @@ def pca_transform(df: DataFrame, model: dict,
         return pd.Series(list(y))
 
     return df.withColumn(out_col, proj(F.col(vec_col)))
+
+
+# ---------------------------------------------------------------------------
+# text -> embedding bridge: feature-hashed bag-of-tokens vectors
+# (the hashing trick, Weinberger et al. 2009 — public method), so the
+# k-means / SemDeDup / PCA tier runs on TEXT corpora with no model.
+# ---------------------------------------------------------------------------
+
+def hash_embedding(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", dim: int = 64,
+                   vec_col: str = "embedding") -> DataFrame:
+    """(id, embedding): L2-normalized signed-hash bag-of-tokens vector.
+
+    Token -> bucket via xxhash64(token) mod dim, sign via a second
+    hash bit (the signed hashing trick keeps collision noise zero-mean).
+    Entirely JVM-side: one Generate (token explode) + two uniform-key
+    partial aggs ((id, bucket) sums -> per-id sparse map -> dense
+    array) — no UDF, no Python. The embedding is ORDER-INVARIANT over
+    tokens, so SemDeDup over it catches shuffled-sentence /
+    reordered-paragraph duplicates that character-shingle MinHash
+    under-scores; composes as `semantic_dedup(hash_embedding(df), ...)`.
+    Empty/whitespace docs get the zero vector (cosine 0 to everything —
+    never a near-dup candidate)."""
+    tok = F.explode(F.split(F.col(text_col), r"\s+", -1)).alias("tok")
+    toks = (
+        df.select(F.col(id_col), tok)
+        .filter(F.col("tok") != "")
+    )
+    bucket = F.pmod(F.xxhash64("tok"), F.lit(dim)).cast("int")
+    sign = F.when(
+        F.pmod(F.xxhash64(F.concat(F.col("tok"), F.lit("\x01sign"))), 2)
+        == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    sparse = (
+        toks.select(id_col, bucket.alias("b"), sign.alias("s"))
+        .groupBy(id_col, "b").agg(F.sum("s").alias("v"))
+    )
+    dense = (
+        sparse.groupBy(id_col)
+        .agg(F.map_from_arrays(F.collect_list("b"),
+                               F.collect_list("v")).alias("m"))
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(F.col("m")[i], F.lit(0.0)),
+            ).alias("raw"),
+        )
+    )
+    nrm = F.sqrt(F.aggregate(F.col("raw"), F.lit(0.0),
+                             lambda a, x: a + x * x))
+    unit = F.when(
+        nrm > 0,
+        F.transform(F.col("raw"), lambda x: (x / nrm).cast("float")),
+    ).otherwise(F.transform(F.col("raw"), lambda x: F.lit(0.0).cast("float")))
+    out = dense.select(id_col, unit.alias(vec_col))
+    # docs with no tokens vanish in the explode — restore as zero vectors
+    zeros = (
+        df.select(id_col).join(out.select(id_col), id_col, "left_anti")
+        .select(id_col,
+                F.array_repeat(F.lit(0.0).cast("float"), dim).alias(vec_col))
+    )
+    return out.unionByName(zeros)
+
+
+def semantic_dedup_text(df: DataFrame, threshold: float = 0.9,
+                        k: int = 16, dim: int = 64,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_cell_size: int | None = 10_000,
+                        metrics_out: dict | None = None) -> DataFrame:
+    """SemDeDup over a TEXT corpus: hash-embed -> k-means -> within-cell
+    semantic dedup; returns the SURVIVING rows of ``df`` (all original
+    columns). The order-invariant complement to the MinHash/LSH
+    syntactic path — a production pipeline runs both (SURVEY §2;
+    MinHash catches local edits, this catches reorderings and
+    bag-level duplication)."""
+    emb = hash_embedding(df, text_col, id_col, dim).persist()
+    n = emb.count()
+    if n < 2:
+        return df
+    cent = kmeans_fit(emb, k=max(1, min(k, n)), vec_col="embedding",
+                      id_col=id_col)
+    kept = semantic_dedup(emb, cent, threshold=threshold,
+                          vec_col="embedding", id_col=id_col,
+                          max_cell_size=max_cell_size,
+                          metrics_out=metrics_out)
+    # emb + the assignment persist inside semantic_dedup are released
+    # by ContextCleaner with the returned plan (house convention)
+    return df.join(kept.select(id_col), id_col, "left_semi")

@@ -263,3 +263,57 @@ def test_corpus_report_empty_corpus(spark):
     assert rep["n_docs"] == 0 and rep["n_tokens"] == 0
     assert rep["top_tokens"] == [] and rep["quality"] is None
     assert rep["exact_dup"]["rate"] == 0.0
+
+
+def test_corpus_build_semantic_stage(spark, tmp_path):
+    """--semantic-dedup-threshold: a sentence-reordered duplicate (same
+    token bag — invisible to exact sha256 dedup, under-scored by char
+    shingles) is removed only when the semantic stage is ON; the
+    resumable runner produces the same funnel and keeps <out>/kept as a
+    real directory with no benchmark."""
+    import random
+
+    from dataquality_cli_spark.jobs.corpus_build_job import (
+        _read_manifest, build_corpus, build_corpus_resumable)
+
+    base = corpus_to_rows(gen_corpus(80, seed=37))
+    # pick a KEPT doc and append a token-reordered copy at another path
+    probe = build_corpus(spark, spark.createDataFrame(base, SCHEMA),
+                         val_fraction=0.0, pack_budget=1024)[2]
+    kept_one = probe.orderBy("doc_id").limit(1).collect()[0]
+    src = next(r for r in base if r[1] == kept_one.path)
+    lines = src[4].split("\n")
+    rng = random.Random(5)
+    rng.shuffle(lines)
+    reordered = (src[0], src[1] + ".reordered", src[2], src[3],
+                 "\n".join(lines))
+    df = spark.createDataFrame(base + [reordered], SCHEMA)
+
+    _p, _v, clean_off, m_off = build_corpus(
+        spark, df, val_fraction=0.0, pack_budget=1024)
+    _p, _v, clean_on, m_on = build_corpus(
+        spark, df, val_fraction=0.0, pack_budget=1024,
+        semantic_threshold=0.999)
+    assert "after_semantic_dedup" not in m_off
+    assert m_on["after_semantic_dedup"] == m_on["after_neardup_dedup"] - 1
+    off_paths = {r.path for r in clean_off.collect()}
+    on_paths = {r.path for r in clean_on.collect()}
+    # without the stage both orderings survive; with it exactly one does
+    assert {src[1], reordered[1]} <= off_paths
+    assert len({src[1], reordered[1]} & on_paths) == 1
+    assert off_paths - on_paths <= {src[1], reordered[1]}
+
+    out = str(tmp_path / "resume")
+    m_res = build_corpus_resumable(
+        spark, df, out, val_fraction=0.0, pack_budget=1024,
+        semantic_threshold=0.999)
+    assert m_res["after_semantic_dedup"] == m_on["after_semantic_dedup"]
+    assert m_res["after_decontamination"] == m_on["after_decontamination"]
+    import os as _os
+    assert _os.path.isdir(f"{out}/kept")
+    man = _read_manifest(spark, out)
+    assert man["semantic"]["path"] == man["kept"]["path"]  # alias, no copy
+    # rerun over the complete dir reconstructs identical metrics
+    assert build_corpus_resumable(
+        spark, df, out, val_fraction=0.0, pack_budget=1024,
+        semantic_threshold=0.999) == m_res

@@ -1375,3 +1375,57 @@ def test_bpe_incremental_learner_hypothesis_parity():
         assert [(m["left"], m["right"]) for m in got] == expected
 
     check()
+
+
+def test_hash_embedding_properties(spark):
+    """Unit norm, order-invariance, zero vector for empty docs,
+    determinism across partitionings."""
+    import numpy as np
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "epsilon delta gamma beta alpha"),   # same bag, new order
+        (3, "totally different words entirely here"),
+        (4, ""),                                  # empty -> zero vector
+        (5, "   "),                               # whitespace-only too
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    e = {r.doc_id: np.array(r.embedding) for r in
+         similarity.hash_embedding(df, dim=32).collect()}
+    assert len(e) == 5
+    assert np.allclose(np.linalg.norm(e[1]), 1.0, atol=1e-6)
+    assert np.allclose(e[1], e[2], atol=1e-6)     # order-invariant
+    assert np.linalg.norm(e[1] - e[3]) > 0.5      # different content
+    assert np.allclose(e[4], 0) and np.allclose(e[5], 0)
+    e2 = {r.doc_id: np.array(r.embedding) for r in
+          similarity.hash_embedding(df.repartition(7), dim=32).collect()}
+    for k in e:
+        assert np.allclose(e[k], e2[k], atol=1e-6), k
+
+
+def test_semantic_dedup_text_catches_reordered_duplicate(spark):
+    """The order-invariant path: a sentence-shuffled duplicate is
+    dropped (same token bag -> cosine 1.0) while distinct docs and the
+    empty doc survive; the survivor of the pair is the better-priority
+    member."""
+    import random
+
+    rng = random.Random(67)
+    docs = [(i, " ".join(f"w{rng.randrange(10**6)}" for _ in range(40)))
+            for i in range(30)]
+    toks = docs[0][1].split()
+    rng.shuffle(toks)
+    reordered = (500, " ".join(toks))  # same bag as doc 0, new order
+    df = spark.createDataFrame(docs + [reordered, (600, "")],
+                               "doc_id long, text string")
+    m = {}
+    kept = similarity.semantic_dedup_text(
+        df, threshold=0.999, k=4, metrics_out=m)
+    ids = {r.doc_id for r in kept.collect()}
+    # exactly one of the reordered pair survives
+    assert (0 in ids) ^ (500 in ids)
+    assert m["n_dropped"] == 1
+    assert 600 in ids                      # empty doc never a candidate
+    assert len(ids) == 31                  # everything else untouched
+    # all original columns come back
+    assert set(kept.columns) == {"doc_id", "text"}

@@ -38,6 +38,7 @@ ROWS_ONLY_MIN = {
     "emb_pca_projection": 400,
     "doc_model_scores": 400,
     "corpus_ppl_buckets": 400,
+    "dedup_semantic_text": 300,
 }
 
 

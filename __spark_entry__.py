@@ -747,6 +747,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             threshold=0.95, k=8)
         .select("doc_id").orderBy("doc_id"))
 
+    # exactly-k-per-stratum deterministic draw (md5 rank inside each
+    # stratum; Window PARTITIONED by stratum — parallel, no global sort)
+    def strat_topk(s, d):
+        from dataquality_cli_spark.operators.sampling import stratified_topk
+
+        return stratified_topk(
+            _t(s, d, "documents").select("doc_id", "lang"),
+            "lang", k=20).orderBy("lang", "doc_id")
+
+    q["corpus_stratified_topk"] = strat_topk
+
     # per-file code-shape profile (north-star 'code' payload: comment
     # ratio, indent style, identifier stats as oracle-checkable column
     # expressions; comment/indent columns are near-zero on the prose
@@ -960,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_day", "corpus_pack_sequences",
         "q_customers_no_orders", "q3_unshipped_topk",
         "dedup_cluster_representatives", "dedup_streaming_exact",
+        "doc_token_stats",
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     # self-enforcing: every non-tail (i.e. new/modified) query must fit
@@ -1429,6 +1441,19 @@ def oracle_sql() -> dict[str, str]:
     _scrubbed = "t2"
     for _n, _p, _r in _scrub_rules:
         _scrubbed = f"regexp_replace({_scrubbed}, '{_p}', '{_r}', 'g')"
+    o["corpus_stratified_topk"] = """
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('topk:' || lang || ':' ||
+                                CAST(doc_id AS VARCHAR)) ASC,
+                            doc_id ASC) AS rk
+          FROM documents
+        ) WHERE rk <= 20
+        ORDER BY lang, doc_id
+    """
+
     o["doc_code_line_profile"] = """
         WITH L AS (
           SELECT doc_id, text, string_split(text, chr(10)) AS lines,

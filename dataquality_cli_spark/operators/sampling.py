@@ -291,3 +291,34 @@ def split_leak_check(df: DataFrame, key_col: str = "doc_id",
         .filter(F.col("n_hits") >= min_hits)
         .withColumn("leaked", F.lit(True))
     )
+
+
+def stratified_topk(df: DataFrame, strata_col: str, k: int,
+                    key_col: str = "doc_id",
+                    salt: str = "topk") -> DataFrame:
+    """EXACTLY k rows per stratum (vs `stratified_sample`'s
+    per-stratum FRACTION): rank rows inside each stratum by
+    md5(salt:stratum:key) and keep the k smallest — a deterministic,
+    engine-portable substitute for per-stratum reservoir sampling
+    ("give me 10k docs per language for the eval set"). The Window is
+    PARTITIONED by the stratum, so each stratum ranks in parallel —
+    never a single-partition sort; skew = the largest stratum, the
+    same bound every per-stratum op here carries. Selection is
+    independent of row order and cluster size, and changing ``salt``
+    draws an independent sample (same contract as stratified_sample).
+    Unlike the fraction sampler the selected set is NOT nested under
+    growing k per se — it is: the hash order is fixed, so k'>k keeps a
+    superset (prefix of the same per-stratum order)."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(
+        F.lit(salt + ":"),
+        F.coalesce(F.col(strata_col).cast("string"), F.lit("\x00null")),
+        F.lit(":"), F.col(key_col).cast("string"),
+    ))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -207,3 +207,29 @@ def test_stratified_sample_null_stratum_is_real(spark):
     b = {r.doc_id for r in stratified_sample(df, "lang", {None: 0.3}).collect()}
     big = {r.doc_id for r in stratified_sample(df, "lang", {None: 0.6}).collect()}
     assert a == b and a <= big
+
+
+def test_stratified_topk_exact_counts_nesting_determinism(spark):
+    from dataquality_cli_spark.operators.sampling import stratified_topk
+
+    rows = [(i, "en" if i < 300 else ("fr" if i < 380 else "de"), f"t{i}")
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    k10 = stratified_topk(df, "lang", 10)
+    counts = {r.lang: r.n for r in k10.groupBy("lang")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"en": 10, "fr": 10, "de": 10}
+    # a stratum smaller than k yields all its rows
+    tiny = stratified_topk(df.filter("lang = 'de'"), "lang", 100)
+    assert tiny.count() == 20
+    # deterministic across partitionings; k'>k is a superset (prefix of
+    # the same per-stratum hash order)
+    a = {r.doc_id for r in k10.collect()}
+    b = {r.doc_id for r in
+         stratified_topk(df.repartition(13), "lang", 10).collect()}
+    big = {r.doc_id for r in stratified_topk(df, "lang", 25).collect()}
+    assert a == b and a <= big
+    # independent draw under a different salt
+    other = {r.doc_id for r in
+             stratified_topk(df, "lang", 10, salt="other").collect()}
+    assert other != a

@@ -1446,8 +1446,9 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, lang,
                  row_number() OVER (
                    PARTITION BY lang
-                   ORDER BY md5('topk:' || lang || ':' ||
-                                CAST(doc_id AS VARCHAR)) ASC,
+                   ORDER BY md5('topk:' ||
+                              COALESCE(lang, chr(0) || 'null') || ':' ||
+                              CAST(doc_id AS VARCHAR)) ASC,
                             doc_id ASC) AS rk
           FROM documents
         ) WHERE rk <= 20

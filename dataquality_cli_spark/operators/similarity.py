@@ -667,6 +667,11 @@ def semantic_dedup_text(df: DataFrame, threshold: float = 0.9,
     emb = hash_embedding(df, text_col, id_col, dim).persist()
     n = emb.count()
     if n < 2:
+        # degenerate corpus: nothing to dedup — report it and release
+        # the cache (no returned plan would ever reference it)
+        if metrics_out is not None:
+            metrics_out["n_dropped"] = 0
+        emb.unpersist()
         return df
     cent = kmeans_fit(emb, k=max(1, min(k, n)), vec_col="embedding",
                       id_col=id_col)

@@ -233,3 +233,17 @@ def test_stratified_topk_exact_counts_nesting_determinism(spark):
     other = {r.doc_id for r in
              stratified_topk(df, "lang", 10, salt="other").collect()}
     assert other != a
+    # NULL stratum is a real stratum (sentinel-hashed, k rows kept)
+    withnull = df.unionByName(spark.createDataFrame(
+        [(1000 + i, None, f"n{i}") for i in range(30)],
+        "doc_id long, lang string, text string"))
+    nk = stratified_topk(withnull, "lang", 10)
+    assert nk.filter("lang IS NULL").count() == 10
+    # degenerate corpus: semantic_dedup_text reports 0 drops
+    from dataquality_cli_spark.operators.similarity import (
+        semantic_dedup_text)
+    m = {}
+    one = spark.createDataFrame([(1, "solo doc")],
+                                "doc_id long, text string")
+    assert semantic_dedup_text(one, metrics_out=m).count() == 1
+    assert m["n_dropped"] == 0

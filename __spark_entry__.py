@@ -758,6 +758,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_stratified_topk"] = strat_topk
 
+    # Bloom membership screen: corpus sha256 -> distributed bitmap
+    # (per-partition numpy bitmaps, bit_or merge — bit-identical at any
+    # partitioning) -> broadcast bit-test of a mixed batch of members +
+    # fresh keys. Rows-only: the bitmap artifact has no SQL twin; the
+    # no-false-negative guarantee and fpp bound are pytest-pinned.
+    def bloom_screen_q(s, d):
+        from dataquality_cli_spark.operators import bloom
+
+        corpus = _t(s, d, "documents").select(
+            F.sha2("text", 256).alias("content_hash"))
+        model = bloom.build_bloom(corpus, "content_hash", fpp=0.01)
+        probe = _t(s, d, "documents").select(
+            "doc_id",
+            # members for doc_id < 100, synthetic fresh keys otherwise
+            F.when(F.col("doc_id") < 100, F.sha2("text", 256))
+            .otherwise(F.sha2(F.concat(F.lit("fresh:"),
+                                       F.col("doc_id").cast("string")),
+                              256)).alias("content_hash"))
+        return (bloom.might_contain_col(probe, model, "content_hash")
+                .select("doc_id", "maybe_member").orderBy("doc_id"))
+
+    q["dedup_bloom_screen"] = bloom_screen_q
+
     # per-file code-shape profile (north-star 'code' payload: comment
     # ratio, indent style, identifier stats as oracle-checkable column
     # expressions; comment/indent columns are near-zero on the prose
@@ -971,7 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_day", "corpus_pack_sequences",
         "q_customers_no_orders", "q3_unshipped_topk",
         "dedup_cluster_representatives", "dedup_streaming_exact",
-        "doc_token_stats",
+        "doc_token_stats", "doc_fingerprint",
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     # self-enforcing: every non-tail (i.e. new/modified) query must fit

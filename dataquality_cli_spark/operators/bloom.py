@@ -1,0 +1,151 @@
+"""Distributed Bloom-filter membership screen — "is this new crawl
+document already in the 10^12-doc corpus?" WITHOUT a join against the
+corpus (Bloom 1970, public method; the standard cross-dataset
+exact-dedup prescreen: a broadcast bitmap answers definitely-new vs
+maybe-duplicate, and only the maybe side pays the exact verification
+join).
+
+Scale shape (the same distributed-artifact pattern as the model
+trainers in functions/models.py): the k bit positions per key are
+computed JVM-side (salted xxhash64 — identical expressions on the
+build and query sides, so cross-session screens agree); each partition
+sets bits in a LOCAL numpy bitmap and emits only its NONZERO bytes —
+an m/8-bounded spill per partition, never row count; one uniform-key
+``bit_or`` groupBy merges them and the driver collects at most m/8
+(byte_idx, byte) rows — bounded by the FILTER size, i.e. the artifact
+a production pipeline would persist anyway (~1.2 MB per 10^6 keys at
+1% fpp). bit_or is commutative/associative, so the built bitmap is
+BIT-IDENTICAL at any partitioning (pytest-pinned). The query side
+broadcasts the bitmap and bit-tests Arrow batches in numpy — no
+per-row Python, no shuffle, no join.
+
+Bloom guarantees: NO false negatives ever (a corpus member always
+screens as maybe-duplicate); false-positive rate ~ (1-e^{-kn/m})^k,
+tuned by ``bloom_parameters``.
+
+Spark's own BloomFilter exists only as a Scala-side stat helper and
+the internal runtime-filter aggregate (not exposed to PySpark SQL in
+this build) — and neither yields a portable artifact + column
+expression pair, which is what a cross-job screen needs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd  # module-level: pandas_udf resolves postponed hints
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bloom_parameters(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Standard sizing: m = -n ln p / (ln 2)^2 bits (rounded up to a
+    whole byte), k = (m/n) ln 2 hashes."""
+    if n_items <= 0:
+        raise ValueError("n_items must be positive")
+    if not 0.0 < fpp < 1.0:
+        raise ValueError("fpp must be in (0, 1)")
+    m = int(math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+    m = ((m + 7) // 8) * 8  # whole bytes
+    k = max(1, round((m / n_items) * math.log(2)))
+    return m, k
+
+
+def _positions_col(col: Column, m: int, k: int) -> Column:
+    """array<long> of the k bit positions for a key — pure JVM
+    expressions, identical on build and query sides."""
+    return F.array(*[
+        F.pmod(F.xxhash64(F.concat(F.lit(f"bloom{i}:"),
+                                   col.cast("string"))), F.lit(m))
+        for i in range(k)
+    ])
+
+
+def build_bloom(df: DataFrame, col: str, n_items: int | None = None,
+                fpp: float = 0.01) -> dict:
+    """Build the filter over ``df[col]`` (NULLs are skipped — NULL is
+    not a key). ``n_items`` defaults to a count of the input (one cheap
+    aggregate; pass the known corpus size to skip it). Returns
+    {bits: np.uint8 array (little-bit-endian within each byte), m, k,
+    n_items} — a portable artifact (persist bits + (m, k) anywhere)."""
+    keyed = df.select(F.col(col).alias("_key")).filter(
+        F.col("_key").isNotNull())
+    if n_items is None:
+        n_items = keyed.count()
+    if n_items == 0:
+        m, k = 8, 1
+        return {"bits": np.zeros(1, dtype=np.uint8), "m": m, "k": k,
+                "n_items": 0}
+    m, k = bloom_parameters(n_items, fpp)
+    pos = keyed.select(
+        F.explode(_positions_col(F.col("_key"), m, k)).alias("p"))
+
+    def part(batches):
+        bitmap = np.zeros(m // 8, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            p = pdf["p"].to_numpy()
+            if p.size == 0:
+                continue
+            seen = True
+            np.bitwise_or.at(bitmap, p // 8,
+                             np.left_shift(1, (p % 8)).astype(np.uint8))
+        if not seen:
+            return
+        nz = np.nonzero(bitmap)[0]
+        yield pd.DataFrame({"byte_idx": nz.astype("int64"),
+                            "byte": bitmap[nz].astype("int64")})
+
+    rows = (
+        pos.mapInPandas(part, "byte_idx long, byte long")
+        .groupBy("byte_idx")
+        .agg(F.expr("bit_or(byte)").alias("byte"))
+        .collect()
+    )
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    for r in rows:
+        bits[r["byte_idx"]] = r["byte"]
+    return {"bits": bits, "m": m, "k": k, "n_items": n_items}
+
+
+def might_contain_col(df: DataFrame, model: dict, col: str,
+                      out_col: str = "maybe_member") -> DataFrame:
+    """Adds a boolean: True iff every one of the key's k bits is set —
+    i.e. maybe-in-corpus (false positives possible at the tuned fpp,
+    false negatives never). Positions JVM-side, bit test as one numpy
+    pass per Arrow batch against the broadcast bitmap; NULL keys test
+    False."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, k = model["m"], model["k"]
+    bc = df.sparkSession.sparkContext.broadcast(model["bits"])
+
+    @pandas_udf("boolean")
+    def test(pos: pd.Series) -> pd.Series:
+        bits = bc.value
+        out = np.zeros(len(pos), dtype=bool)
+        for i, arr in enumerate(pos):
+            if arr is None:
+                continue
+            p = np.asarray(arr, dtype=np.int64)
+            out[i] = bool(
+                np.all((bits[p // 8] >> (p % 8).astype(np.uint8)) & 1))
+        return pd.Series(out)
+
+    pos = F.when(F.col(col).isNotNull(),
+                 _positions_col(F.col(col), m, k))
+    return df.withColumn(out_col, test(pos))
+
+
+def bloom_screen(new_df: DataFrame, model: dict, col: str,
+                 ) -> tuple[DataFrame, DataFrame]:
+    """(maybe_duplicates, definitely_new). The definitely-new side
+    skips the exact-dedup join entirely — at a typical 1% fpp and a
+    mostly-fresh crawl that is ~99% of the batch; only the maybe side
+    (true dups + fpp of the fresh) pays the verification join against
+    the corpus hashes."""
+    flagged = might_contain_col(new_df, model, col)
+    maybe = flagged.filter(F.col("maybe_member")).drop("maybe_member")
+    fresh = flagged.filter(~F.col("maybe_member")).drop("maybe_member")
+    return maybe, fresh

@@ -1429,3 +1429,42 @@ def test_semantic_dedup_text_catches_reordered_duplicate(spark):
     assert len(ids) == 31                  # everything else untouched
     # all original columns come back
     assert set(kept.columns) == {"doc_id", "text"}
+
+
+def test_bloom_screen_no_false_negatives_and_fpp(spark):
+    """Bloom membership screen: every corpus member tests
+    maybe-duplicate (zero false negatives — the Bloom guarantee), fresh
+    keys false-positive near the tuned rate, the built bitmap is
+    bit-identical at any partitioning, and NULL keys test False."""
+    import numpy as np
+
+    from dataquality_cli_spark.operators import bloom
+
+    corpus = spark.range(2000).selectExpr(
+        "concat('sha_', cast(id as string)) AS content_hash")
+    model = bloom.build_bloom(corpus, "content_hash", fpp=0.01)
+    assert model["n_items"] == 2000
+    m2 = bloom.build_bloom(corpus.repartition(17), "content_hash",
+                           fpp=0.01)
+    assert np.array_equal(model["bits"], m2["bits"])  # bit-identical
+
+    # no false negatives: all members flagged maybe
+    members = bloom.might_contain_col(corpus, model, "content_hash")
+    assert members.filter("NOT maybe_member").count() == 0
+
+    # fpp on 10k fresh keys stays near 1% (generous 3x bound)
+    fresh = spark.range(100_000, 110_000).selectExpr(
+        "concat('new_', cast(id as string)) AS content_hash")
+    maybe, definitely_new = bloom.bloom_screen(fresh, model,
+                                               "content_hash")
+    n_fp = maybe.count()
+    assert n_fp + definitely_new.count() == 10_000
+    assert n_fp < 300, n_fp
+    # NULL keys are not members
+    nulls = spark.sql("SELECT CAST(NULL AS STRING) AS content_hash")
+    assert bloom.might_contain_col(nulls, model, "content_hash") \
+        .filter("maybe_member").count() == 0
+    # empty corpus: everything is definitely new
+    empty = bloom.build_bloom(corpus.limit(0), "content_hash")
+    assert bloom.might_contain_col(fresh, empty, "content_hash") \
+        .filter("maybe_member").count() == 0

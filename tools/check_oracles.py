@@ -39,6 +39,7 @@ ROWS_ONLY_MIN = {
     "doc_model_scores": 400,
     "corpus_ppl_buckets": 400,
     "dedup_semantic_text": 300,
+    "dedup_bloom_screen": 450,
 }
 
 

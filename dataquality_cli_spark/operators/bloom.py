@@ -149,3 +149,22 @@ def bloom_screen(new_df: DataFrame, model: dict, col: str,
     maybe = flagged.filter(F.col("maybe_member")).drop("maybe_member")
     fresh = flagged.filter(~F.col("maybe_member")).drop("maybe_member")
     return maybe, fresh
+
+
+def save_bloom(spark, model: dict, path: str) -> None:
+    """Persist the artifact as one-row parquet (bits as binary + m, k,
+    n_items) — written through Spark so hdfs://.../s3a://... work on
+    the spark-submit deployment; the natural home in production is an
+    Iceberg table column per corpus snapshot."""
+    spark.createDataFrame(
+        [(bytearray(model["bits"].tobytes()), model["m"], model["k"],
+          model["n_items"])],
+        "bits binary, m long, k long, n_items long",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bloom(spark, path: str) -> dict:
+    r = spark.read.parquet(path).collect()[0]
+    return {"bits": np.frombuffer(bytes(r["bits"]), dtype=np.uint8),
+            "m": int(r["m"]), "k": int(r["k"]),
+            "n_items": int(r["n_items"])}

@@ -1468,3 +1468,23 @@ def test_bloom_screen_no_false_negatives_and_fpp(spark):
     empty = bloom.build_bloom(corpus.limit(0), "content_hash")
     assert bloom.might_contain_col(fresh, empty, "content_hash") \
         .filter("maybe_member").count() == 0
+
+
+def test_bloom_save_load_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    from dataquality_cli_spark.operators import bloom
+
+    corpus = spark.range(500).selectExpr(
+        "concat('h', cast(id as string)) AS content_hash")
+    model = bloom.build_bloom(corpus, "content_hash", fpp=0.02)
+    path = str(tmp_path / "bloom")
+    bloom.save_bloom(spark, model, path)
+    back = bloom.load_bloom(spark, path)
+    assert np.array_equal(back["bits"], model["bits"])
+    assert (back["m"], back["k"], back["n_items"]) == \
+        (model["m"], model["k"], model["n_items"])
+    # the loaded artifact screens identically
+    a = bloom.might_contain_col(corpus, model, "content_hash").collect()
+    b = bloom.might_contain_col(corpus, back, "content_hash").collect()
+    assert [r.maybe_member for r in a] == [r.maybe_member for r in b]

@@ -971,9 +971,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate checks the FIRST 50 entries. ROUND-4
     # ROTATION: the entire r3 tail (30 r2-green entries, last driver row
     # in CORRECTNESS_r02) moves INTO the checked window for fresh driver
-    # rows; the new tail is drawn exclusively from entries that are
-    # r3-green (CORRECTNESS_r03, 0 fails) AND whose implementation is
-    # untouched in r4. Anything modified or added this round
+    # rows; the new tail holds only entries with a PRIOR-round green
+    # driver row (r3 for most, r1/r2 for doc_token_stats and
+    # doc_fingerprint, which sat in the r3 tail) AND whose
+    # implementation is untouched in r4. Anything modified or added this round
     # (doc_quality_deciles/distributed_ntile, corpus_bpe_merges/driver
     # BPE, dedup_lsh_incremental/cache_out, corpus_stratified_sample/
     # NULL strata, emb_kmeans_cells, emb_semantic_dedup) stays in the

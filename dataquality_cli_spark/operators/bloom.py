@@ -14,7 +14,13 @@ an m/8-bounded spill per partition, never row count; one uniform-key
 ``bit_or`` groupBy merges them and the driver collects at most m/8
 (byte_idx, byte) rows — bounded by the FILTER size, i.e. the artifact
 a production pipeline would persist anyway (~1.2 MB per 10^6 keys at
-1% fpp). bit_or is commutative/associative, so the built bitmap is
+1% fpp). The per-partition/driver full-bitmap design therefore tops
+out where one bitmap stops fitting in a task: ~10^9-10^10 keys
+(1-12 GB). Beyond that, range-shard the key space into several
+filters (pmod(xxhash64(key), n_shards) picks the filter) — each shard
+is this exact code at a size that fits; the 10^12-corpus deployment
+is that sharded composition, not one monolithic bitmap. bit_or is
+commutative/associative, so the built bitmap is
 BIT-IDENTICAL at any partitioning (pytest-pinned). The query side
 broadcasts the bitmap and bit-tests Arrow batches in numpy — no
 per-row Python, no shuffle, no join.
@@ -73,10 +79,16 @@ def build_bloom(df: DataFrame, col: str, n_items: int | None = None,
         F.col("_key").isNotNull())
     if n_items is None:
         n_items = keyed.count()
-    if n_items == 0:
-        m, k = 8, 1
-        return {"bits": np.zeros(1, dtype=np.uint8), "m": m, "k": k,
-                "n_items": 0}
+        if n_items == 0:
+            return {"bits": np.zeros(1, dtype=np.uint8), "m": 8,
+                    "k": 1, "n_items": 0}
+    elif n_items <= 0:
+        # a caller-supplied 0 with a NON-empty df would silently build
+        # an all-zero filter whose members all screen definitely-new —
+        # false negatives, the one thing Bloom must never do
+        raise ValueError(
+            "n_items must be positive when supplied; omit it to have "
+            "build_bloom count the input (empty input handled there)")
     m, k = bloom_parameters(n_items, fpp)
     pos = keyed.select(
         F.explode(_positions_col(F.col("_key"), m, k)).alias("p"))
@@ -113,24 +125,30 @@ def might_contain_col(df: DataFrame, model: dict, col: str,
                       out_col: str = "maybe_member") -> DataFrame:
     """Adds a boolean: True iff every one of the key's k bits is set —
     i.e. maybe-in-corpus (false positives possible at the tuned fpp,
-    false negatives never). Positions JVM-side, bit test as one numpy
-    pass per Arrow batch against the broadcast bitmap; NULL keys test
-    False."""
+    false negatives never). Positions JVM-side; the bit test is ONE
+    numpy pass per Arrow batch — the non-null rows stack to an (n, k)
+    position matrix and a single gather+shift+all(axis=1) answers the
+    whole batch. The bitmap broadcast is CACHED on the model dict
+    ("_bc"), so repeated screens against one model reuse a single
+    executor-side copy instead of accumulating broadcasts."""
     from pyspark.sql.functions import pandas_udf
 
     m, k = model["m"], model["k"]
-    bc = df.sparkSession.sparkContext.broadcast(model["bits"])
+    bc = model.get("_bc")
+    if bc is None:
+        bc = df.sparkSession.sparkContext.broadcast(model["bits"])
+        model["_bc"] = bc
 
     @pandas_udf("boolean")
     def test(pos: pd.Series) -> pd.Series:
         bits = bc.value
         out = np.zeros(len(pos), dtype=bool)
-        for i, arr in enumerate(pos):
-            if arr is None:
-                continue
-            p = np.asarray(arr, dtype=np.int64)
-            out[i] = bool(
-                np.all((bits[p // 8] >> (p % 8).astype(np.uint8)) & 1))
+        mask = pos.notna().to_numpy()
+        if mask.any():
+            P = np.vstack(pos[mask].to_numpy()).astype(np.int64)
+            out[mask] = (
+                (bits[P >> 3] >> (P & 7).astype(np.uint8)) & 1
+            ).all(axis=1)
         return pd.Series(out)
 
     pos = F.when(F.col(col).isNotNull(),

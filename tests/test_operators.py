@@ -1468,6 +1468,16 @@ def test_bloom_screen_no_false_negatives_and_fpp(spark):
     empty = bloom.build_bloom(corpus.limit(0), "content_hash")
     assert bloom.might_contain_col(fresh, empty, "content_hash") \
         .filter("maybe_member").count() == 0
+    # caller-supplied n_items=0 on a non-empty corpus must raise, not
+    # silently build a filter with guaranteed false negatives
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_items"):
+        bloom.build_bloom(corpus, "content_hash", n_items=0)
+    # repeated screens reuse ONE cached broadcast
+    bloom.might_contain_col(corpus, model, "content_hash").count()
+    bc1 = model["_bc"]
+    bloom.might_contain_col(corpus, model, "content_hash").count()
+    assert model["_bc"] is bc1
 
 
 def test_bloom_save_load_roundtrip(spark, tmp_path):

@@ -240,6 +240,58 @@ def _report(args) -> int:
             spark.stop()
 
 
+def _dedup(args) -> int:
+    """One-command dedup over a (doc_id, text, ...) parquet: exact
+    (sha256 keep-first), near (MinHash LSH -> verified Jaccard ->
+    clusters, min-id keeper), semantic (hash-embed -> k-means ->
+    SemDeDup), or all three chained in that order — each mode is the
+    already-tested operator; this is only the composition + a metrics
+    line. Survivors (all original columns) land at --output."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from dataquality_cli_spark.operators import dedup as D
+    from dataquality_cli_spark.operators.similarity import (
+        semantic_dedup_text)
+    from dataquality_cli_spark.session import get_spark
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark(app="dataqa-dedup", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        df = spark.read.parquet(args.input)
+        metrics = {"input": df.count()}
+        cur = df
+        modes = (["exact", "near", "semantic"] if args.mode == "all"
+                 else [args.mode])
+        if "exact" in modes:
+            keep = D.dedup_keep_first(cur, args.text_col)                 .select(args.id_col)
+            cur = cur.join(keep, args.id_col, "left_semi").persist()
+            metrics["after_exact"] = cur.count()
+        if "near" in modes:
+            pairs = D.lsh_verified_pairs(
+                cur, text_col=args.text_col, threshold=args.threshold)
+            clusters = D.neardup_clusters(pairs)
+            losers = clusters.filter(
+                F.col("doc_id") != F.col("cluster_id")).select(
+                F.col("doc_id").alias(args.id_col))
+            cur = cur.join(losers, args.id_col, "left_anti").persist()
+            metrics["after_near"] = cur.count()
+        if "semantic" in modes:
+            cur = semantic_dedup_text(
+                cur, threshold=args.semantic_threshold, k=args.k,
+                text_col=args.text_col, id_col=args.id_col).persist()
+            metrics["after_semantic"] = cur.count()
+        cur.write.mode("overwrite").parquet(args.output)
+        metrics["survivors"] = spark.read.parquet(args.output).count()
+        print(json.dumps({"metric": "dedup", "mode": args.mode,
+                          **metrics}))
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="dataquality_cli_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -265,11 +317,28 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--top-tokens", type=int, default=10)
     r.add_argument("--master", default=None)
     r.add_argument("--json", action="store_true")
+    dd = sub.add_parser(
+        "dedup", help="dedup a documents parquet (exact/near/semantic)")
+    dd.add_argument("input")
+    dd.add_argument("--output", required=True)
+    dd.add_argument("--mode", default="all",
+                    choices=["exact", "near", "semantic", "all"])
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--threshold", type=float, default=0.7,
+                    help="near-dup verified-Jaccard threshold")
+    dd.add_argument("--semantic-threshold", type=float, default=0.95,
+                    help="semantic cosine threshold")
+    dd.add_argument("--k", type=int, default=16,
+                    help="k-means cells for the semantic stage")
+    dd.add_argument("--master", default=None)
     args = ap.parse_args(argv)
     if args.cmd == "describe":
         return _describe(args)
     if args.cmd == "report":
         return _report(args)
+    if args.cmd == "dedup":
+        return _dedup(args)
     return 2
 
 

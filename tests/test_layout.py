@@ -64,3 +64,34 @@ def test_partition_pruning_skips_files(spark, tmp_path):
         F.col("_metadata.file_path")).distinct().count()
     en_files = pruned.select(F.col("_metadata.file_path")).distinct().count()
     assert en_files < all_files
+
+
+def test_cli_dedup_subcommand(spark, tmp_path):
+    """`dataqa dedup` end to end: exact + near + semantic chained over a
+    parquet with planted duplicates of all three kinds."""
+    import random
+
+    from dataquality_cli_spark.__main__ import main
+
+    rng = random.Random(71)
+    docs = [(i, " ".join(f"w{rng.randrange(10**6)}" for _ in range(40)))
+            for i in range(30)]
+    exact_dup = (100, docs[0][1])                     # sha256-identical
+    toks = docs[1][1].split()
+    rng.shuffle(toks)
+    reordered = (200, " ".join(toks))                 # semantic-only dup
+    near = (300, docs[2][1] + " tail_token")          # near-dup (shingle)
+    df = spark.createDataFrame(docs + [exact_dup, reordered, near],
+                               "doc_id long, text string")
+    inp = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out")
+    df.write.parquet(inp)
+
+    rc = main(["dedup", inp, "--output", out,
+               "--semantic-threshold", "0.999", "--k", "4"])
+    assert rc == 0
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 100 not in kept                  # exact stage
+    assert 300 not in kept                  # near stage
+    assert len({1, 200} & kept) == 1        # semantic stage: one of pair
+    assert len(kept) == 30                  # nothing else dropped

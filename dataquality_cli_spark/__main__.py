@@ -260,28 +260,45 @@ def _dedup(args) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     try:
         df = spark.read.parquet(args.input)
+        if args.id_col not in df.columns:
+            print(f"error: --id-col {args.id_col!r} not in input columns "
+                  f"{df.columns}", file=sys.stderr)
+            return 2
+        # the dedup operators contract on a `doc_id` id column; rename
+        # the user's id column at the boundary and restore it at the
+        # write, so any --id-col (and any id TYPE — semantic_dedup
+        # derives its schema from the column) works end to end
+        renamed = args.id_col != "doc_id"
+        if renamed:
+            if "doc_id" in df.columns:
+                print("error: input already has a doc_id column; "
+                      "--id-col must be doc_id in that case",
+                      file=sys.stderr)
+                return 2
+            df = df.withColumnRenamed(args.id_col, "doc_id")
         metrics = {"input": df.count()}
         cur = df
         modes = (["exact", "near", "semantic"] if args.mode == "all"
                  else [args.mode])
         if "exact" in modes:
-            keep = D.dedup_keep_first(cur, args.text_col)                 .select(args.id_col)
-            cur = cur.join(keep, args.id_col, "left_semi").persist()
+            keep = D.dedup_keep_first(cur, args.text_col).select("doc_id")
+            cur = cur.join(keep, "doc_id", "left_semi").persist()
             metrics["after_exact"] = cur.count()
         if "near" in modes:
             pairs = D.lsh_verified_pairs(
                 cur, text_col=args.text_col, threshold=args.threshold)
             clusters = D.neardup_clusters(pairs)
             losers = clusters.filter(
-                F.col("doc_id") != F.col("cluster_id")).select(
-                F.col("doc_id").alias(args.id_col))
-            cur = cur.join(losers, args.id_col, "left_anti").persist()
+                F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+            cur = cur.join(losers, "doc_id", "left_anti").persist()
             metrics["after_near"] = cur.count()
         if "semantic" in modes:
             cur = semantic_dedup_text(
                 cur, threshold=args.semantic_threshold, k=args.k,
-                text_col=args.text_col, id_col=args.id_col).persist()
+                text_col=args.text_col).persist()
             metrics["after_semantic"] = cur.count()
+        if renamed:
+            cur = cur.withColumnRenamed("doc_id", args.id_col)
         cur.write.mode("overwrite").parquet(args.output)
         metrics["survivors"] = spark.read.parquet(args.output).count()
         print(json.dumps({"metric": "dedup", "mode": args.mode,

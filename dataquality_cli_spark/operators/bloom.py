@@ -134,10 +134,16 @@ def might_contain_col(df: DataFrame, model: dict, col: str,
     from pyspark.sql.functions import pandas_udf
 
     m, k = model["m"], model["k"]
-    bc = model.get("_bc")
-    if bc is None:
-        bc = df.sparkSession.sparkContext.broadcast(model["bits"])
-        model["_bc"] = bc
+    # cache is keyed by the live SparkContext: a model dict held across
+    # a session restart must NOT reuse a broadcast from the dead context
+    # (silently stale/destroyed handle) — rebroadcast on a new context
+    sc = df.sparkSession.sparkContext
+    cached = model.get("_bc")
+    if cached is not None and cached[0] is sc:
+        bc = cached[1]
+    else:
+        bc = sc.broadcast(model["bits"])
+        model["_bc"] = (sc, bc)
 
     @pandas_udf("boolean")
     def test(pos: pd.Series) -> pd.Series:

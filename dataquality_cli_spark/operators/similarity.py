@@ -465,8 +465,11 @@ def semantic_dedup(df: DataFrame, centroids: np.ndarray,
                     dropped[k] = True
         return pdf.loc[dropped, [id_col]]
 
+    # schema follows the INPUT id type (long ids and string ids both
+    # occur in practice — a hardcoded `long` broke string-keyed corpora)
+    id_type = assigned.schema[id_col].dataType.simpleString()
     dropped = paired.groupBy("cell").applyInPandas(
-        cell_dedup, schema=f"{id_col} long")
+        cell_dedup, schema=f"{id_col} {id_type}")
     if metrics_out is not None:
         # persisted: the metrics count and the anti join below must
         # share ONE execution of the quadratic per-cell stage

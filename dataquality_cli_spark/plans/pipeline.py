@@ -73,6 +73,11 @@ def run_pipeline(spark: SparkSession, df: DataFrame, *, salt_partitions: int | N
     columns."""
     salt_partitions = salt_partitions or spark.sparkContext.defaultParallelism * 2
     staged = df.repartition(salt_partitions, F.xxhash64("repo", "path"))
+    # bc may be a zero-arg factory (the run_with_checkpoint /
+    # build_corpus_resumable contract) — resolve it HERE so every entry
+    # point that funnels into run_pipeline shares one contract; a truthy
+    # function object must not survive the `or` into with_full_scores
+    bc = bc() if callable(bc) else bc
     bc = bc or broadcast_models(spark)
     return apply_verdict(with_full_scores(staged, bc))
 

@@ -75,10 +75,11 @@ def write_corpus_sharded(df: DataFrame, path: str,
     try:
         out.write.mode(mode).partitionBy(*keys).parquet(path)
     finally:
+        # restore + unpersist even when the write raises: a leaked
+        # persisted frame in a long-lived driver outlives the failure
         if dynamic:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    if dynamic:
-        staged.unpersist()
+            staged.unpersist()
     if dynamic and new_leaves:
         _cleanup_stale_shards(spark, path, partition_cols, new_leaves)
 

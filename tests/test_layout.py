@@ -95,3 +95,39 @@ def test_cli_dedup_subcommand(spark, tmp_path):
     assert 300 not in kept                  # near stage
     assert len({1, 200} & kept) == 1        # semantic stage: one of pair
     assert len(kept) == 30                  # nothing else dropped
+
+
+def test_cli_dedup_custom_string_id_col(spark, tmp_path):
+    """--id-col with a non-default name AND a string type must work in
+    every mode (regression: exact/near hardcoded doc_id; semantic
+    hardcoded the id type as long)."""
+    import random
+
+    from dataquality_cli_spark.__main__ import main
+
+    rng = random.Random(72)
+    docs = [(f"u{i:03d}",
+             " ".join(f"w{rng.randrange(10**6)}" for _ in range(40)))
+            for i in range(20)]
+    exact_dup = ("u900", docs[0][1])
+    toks = docs[1][1].split()
+    rng.shuffle(toks)
+    reordered = ("u901", " ".join(toks))
+    df = spark.createDataFrame(docs + [exact_dup, reordered],
+                               "uri string, text string")
+    inp = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out")
+    df.write.parquet(inp)
+
+    rc = main(["dedup", inp, "--output", out, "--id-col", "uri",
+               "--semantic-threshold", "0.999", "--k", "4"])
+    assert rc == 0
+    res = spark.read.parquet(out)
+    assert "uri" in res.columns and "doc_id" not in res.columns
+    kept = {r.uri for r in res.collect()}
+    assert "u900" not in kept               # exact stage, string ids
+    assert len({"u001", "u901"} & kept) == 1  # semantic stage, string ids
+    assert len(kept) == 20
+    # unknown --id-col is a clean argv error, not an AnalysisException
+    assert main(["dedup", inp, "--output", str(tmp_path / "out2"),
+                 "--id-col", "nope"]) == 2

@@ -1473,11 +1473,18 @@ def test_bloom_screen_no_false_negatives_and_fpp(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="n_items"):
         bloom.build_bloom(corpus, "content_hash", n_items=0)
-    # repeated screens reuse ONE cached broadcast
+    # repeated screens reuse ONE cached broadcast (keyed by context —
+    # a model carried across a session restart must rebroadcast)
     bloom.might_contain_col(corpus, model, "content_hash").count()
-    bc1 = model["_bc"]
+    sc1, bc1 = model["_bc"]
+    assert sc1 is spark.sparkContext
     bloom.might_contain_col(corpus, model, "content_hash").count()
-    assert model["_bc"] is bc1
+    assert model["_bc"][1] is bc1
+    # simulate a stale-context cache entry: must be replaced, not reused
+    model["_bc"] = (object(), bc1)
+    bloom.might_contain_col(corpus, model, "content_hash").count()
+    assert model["_bc"][0] is spark.sparkContext
+    assert model["_bc"][1] is not bc1
 
 
 def test_bloom_save_load_roundtrip(spark, tmp_path):

@@ -33,3 +33,22 @@ def test_salted_repartition_spreads_giant_repos(spark, corpus_df):
 
 def test_all_rows_survive_salting(spark, corpus_df):
     assert run_pipeline(spark, corpus_df, salt_partitions=8).count() == corpus_df.count()
+
+
+def test_run_pipeline_accepts_bc_factory(spark, corpus_df):
+    """`bc` may be a zero-arg factory (the run_with_checkpoint /
+    build_corpus_resumable contract) — run_pipeline must resolve it, so
+    EVERY entry point that funnels here (build_corpus included) shares
+    one contract instead of passing a function object into
+    with_full_scores (regression: late AttributeError)."""
+    from dataquality_cli_spark.functions.udfs import broadcast_models
+
+    calls = []
+
+    def factory():
+        calls.append(1)
+        return broadcast_models(spark)
+
+    n = run_pipeline(spark, corpus_df.limit(20), bc=factory).count()
+    assert n == 20
+    assert calls == [1]

@@ -16,10 +16,11 @@ an m/8-bounded spill per partition, never row count; one uniform-key
 a production pipeline would persist anyway (~1.2 MB per 10^6 keys at
 1% fpp). The per-partition/driver full-bitmap design therefore tops
 out where one bitmap stops fitting in a task: ~10^9-10^10 keys
-(1-12 GB). Beyond that, range-shard the key space into several
-filters (pmod(xxhash64(key), n_shards) picks the filter) — each shard
-is this exact code at a size that fits; the 10^12-corpus deployment
-is that sharded composition, not one monolithic bitmap. bit_or is
+(1-12 GB). Beyond that, ``build_bloom_sharded`` range-shards the key
+space into several filters (pmod(xxhash64(key), n_shards) picks the
+filter) — each shard is this exact code at a size that fits in one
+task; the 10^12-corpus deployment is that sharded composition, not
+one monolithic bitmap. bit_or is
 commutative/associative, so the built bitmap is
 BIT-IDENTICAL at any partitioning (pytest-pinned). The query side
 broadcasts the bitmap and bit-tests Arrow batches in numpy — no
@@ -121,6 +122,97 @@ def build_bloom(df: DataFrame, col: str, n_items: int | None = None,
     return {"bits": bits, "m": m, "k": k, "n_items": n_items}
 
 
+def _shard_col(col: Column, n_shards: int) -> Column:
+    """Which shard filter owns this key — a DIFFERENT salt family than
+    the bit-position hashes (bloom{i}:), so shard routing and in-shard
+    positions stay independent."""
+    return F.pmod(
+        F.xxhash64(F.concat(F.lit("bloomshard:"), col.cast("string"))),
+        F.lit(n_shards),
+    ).cast("int")
+
+
+def build_bloom_sharded(df: DataFrame, col: str, n_shards: int = 4,
+                        n_items: int | None = None,
+                        fpp: float = 0.01) -> dict:
+    """The 10^12-key composition the module docstring describes, as
+    code: ``pmod(xxhash64(key), n_shards)`` routes each key to ONE of
+    ``n_shards`` filters; every shard is the single-filter build at a
+    size that fits in a task. Returns {bits: (n_shards, m/8) uint8,
+    m, k, n_items, n_shards} — ``might_contain_col``/``bloom_screen``/
+    ``save_bloom``/``load_bloom`` accept it interchangeably with the
+    flat model.
+
+    Scale shape: the uniform hash routing balances shards, so ONE
+    (m, k) sized for n/n_shards keys fits all; the position stream is
+    repartitioned BY SHARD before the bitmap pass, so each task
+    allocates only the bitmap(s) of the shard(s) it owns (~1 by
+    construction with >= n_shards shuffle partitions) — per-task memory
+    is one shard's m/8 bytes, which is the whole point: 10^12 keys at
+    1% fpp is ~1.2 TB of total bitmap, but at n_shards=1024 each task
+    and each artifact row is ~1.2 GB. The merge is the same uniform
+    bit_or groupBy, keyed by (shard, byte_idx). The driver collect here
+    holds all shards (fine at sandbox scale); the production variant
+    writes the per-shard rows straight to the artifact table instead of
+    collecting — save_bloom's layout is already one row per shard.
+
+    Same guarantees as the flat filter, pytest-pinned: no false
+    negatives, ~fpp false positives, bit-identical at any input
+    partitioning."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    keyed = df.select(F.col(col).alias("_key")).filter(
+        F.col("_key").isNotNull())
+    if n_items is None:
+        n_items = keyed.count()
+        if n_items == 0:
+            return {"bits": np.zeros((n_shards, 1), dtype=np.uint8),
+                    "m": 8, "k": 1, "n_items": 0, "n_shards": n_shards}
+    elif n_items <= 0:
+        raise ValueError(
+            "n_items must be positive when supplied; omit it to have "
+            "build_bloom_sharded count the input")
+    per_shard = max(1, math.ceil(n_items / n_shards))
+    m, k = bloom_parameters(per_shard, fpp)
+    pos = keyed.select(
+        _shard_col(F.col("_key"), n_shards).alias("shard"),
+        F.explode(_positions_col(F.col("_key"), m, k)).alias("p"),
+    ).repartition(n_shards, "shard")
+
+    def part(batches):
+        bitmaps: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            s = pdf["shard"].to_numpy()
+            p = pdf["p"].to_numpy()
+            for sh in np.unique(s):
+                bm = bitmaps.get(sh)
+                if bm is None:
+                    bm = bitmaps[sh] = np.zeros(m // 8, dtype=np.uint8)
+                ps = p[s == sh]
+                np.bitwise_or.at(
+                    bm, ps // 8,
+                    np.left_shift(1, (ps % 8)).astype(np.uint8))
+        for sh, bm in bitmaps.items():
+            nz = np.nonzero(bm)[0]
+            yield pd.DataFrame({
+                "shard": np.full(nz.size, sh, dtype="int64"),
+                "byte_idx": nz.astype("int64"),
+                "byte": bm[nz].astype("int64"),
+            })
+
+    rows = (
+        pos.mapInPandas(part, "shard long, byte_idx long, byte long")
+        .groupBy("shard", "byte_idx")
+        .agg(F.expr("bit_or(byte)").alias("byte"))
+        .collect()
+    )
+    bits = np.zeros((n_shards, m // 8), dtype=np.uint8)
+    for r in rows:
+        bits[r["shard"], r["byte_idx"]] = r["byte"]
+    return {"bits": bits, "m": m, "k": k, "n_items": n_items,
+            "n_shards": n_shards}
+
+
 def might_contain_col(df: DataFrame, model: dict, col: str,
                       out_col: str = "maybe_member") -> DataFrame:
     """Adds a boolean: True iff every one of the key's k bits is set —
@@ -128,12 +220,16 @@ def might_contain_col(df: DataFrame, model: dict, col: str,
     false negatives never). Positions JVM-side; the bit test is ONE
     numpy pass per Arrow batch — the non-null rows stack to an (n, k)
     position matrix and a single gather+shift+all(axis=1) answers the
-    whole batch. The bitmap broadcast is CACHED on the model dict
+    whole batch. Accepts flat AND sharded models (build_bloom /
+    build_bloom_sharded): for a sharded model the shard id is prepended
+    to the JVM-side position array and the gather indexes that shard's
+    bitmap row. The bitmap broadcast is CACHED on the model dict
     ("_bc"), so repeated screens against one model reuse a single
     executor-side copy instead of accumulating broadcasts."""
     from pyspark.sql.functions import pandas_udf
 
     m, k = model["m"], model["k"]
+    n_shards = model.get("n_shards")
     # cache is keyed by the live SparkContext: a model dict held across
     # a session restart must NOT reuse a broadcast from the dead context
     # (silently stale/destroyed handle) — rebroadcast on a new context
@@ -152,13 +248,21 @@ def might_contain_col(df: DataFrame, model: dict, col: str,
         mask = pos.notna().to_numpy()
         if mask.any():
             P = np.vstack(pos[mask].to_numpy()).astype(np.int64)
-            out[mask] = (
-                (bits[P >> 3] >> (P & 7).astype(np.uint8)) & 1
-            ).all(axis=1)
+            if n_shards is None:
+                hit = (bits[P >> 3] >> (P & 7).astype(np.uint8)) & 1
+            else:
+                S, P = P[:, 0], P[:, 1:]  # leading element = shard id
+                hit = (bits[S[:, None], P >> 3]
+                       >> (P & 7).astype(np.uint8)) & 1
+            out[mask] = hit.all(axis=1)
         return pd.Series(out)
 
-    pos = F.when(F.col(col).isNotNull(),
-                 _positions_col(F.col(col), m, k))
+    positions = _positions_col(F.col(col), m, k)
+    if n_shards is not None:
+        positions = F.concat(
+            F.array(_shard_col(F.col(col), n_shards).cast("long")),
+            positions)
+    pos = F.when(F.col(col).isNotNull(), positions)
     return df.withColumn(out_col, test(pos))
 
 
@@ -176,19 +280,42 @@ def bloom_screen(new_df: DataFrame, model: dict, col: str,
 
 
 def save_bloom(spark, model: dict, path: str) -> None:
-    """Persist the artifact as one-row parquet (bits as binary + m, k,
-    n_items) — written through Spark so hdfs://.../s3a://... work on
-    the spark-submit deployment; the natural home in production is an
-    Iceberg table column per corpus snapshot."""
+    """Persist the artifact as parquet — one row per shard (flat model
+    = a single row with shard NULL) — written through Spark so
+    hdfs://.../s3a://... work on the spark-submit deployment; the
+    natural home in production is an Iceberg table per corpus snapshot,
+    and the row-per-shard layout is exactly what a shard-at-a-time
+    production build appends without ever holding all shards at once."""
+    n_shards = model.get("n_shards")
+    if n_shards is None:
+        rows = [(None, bytearray(model["bits"].tobytes()), model["m"],
+                 model["k"], model["n_items"], None)]
+    else:
+        rows = [(s, bytearray(model["bits"][s].tobytes()), model["m"],
+                 model["k"], model["n_items"], n_shards)
+                for s in range(n_shards)]
     spark.createDataFrame(
-        [(bytearray(model["bits"].tobytes()), model["m"], model["k"],
-          model["n_items"])],
-        "bits binary, m long, k long, n_items long",
+        rows,
+        "shard long, bits binary, m long, k long, n_items long, "
+        "n_shards long",
     ).coalesce(1).write.mode("overwrite").parquet(path)
 
 
 def load_bloom(spark, path: str) -> dict:
-    r = spark.read.parquet(path).collect()[0]
-    return {"bits": np.frombuffer(bytes(r["bits"]), dtype=np.uint8),
-            "m": int(r["m"]), "k": int(r["k"]),
-            "n_items": int(r["n_items"])}
+    rows = spark.read.parquet(path).collect()
+    first = rows[0]
+    base = {"m": int(first["m"]), "k": int(first["k"]),
+            "n_items": int(first["n_items"])}
+    # pre-sharding artifacts have no shard/n_shards columns; treat a
+    # missing column or a NULL value as the flat single-filter layout
+    n_shards = (int(first["n_shards"])
+                if "n_shards" in rows[0].asDict()
+                and first["n_shards"] is not None else None)
+    if n_shards is None:
+        return {**base, "bits": np.frombuffer(bytes(first["bits"]),
+                                              dtype=np.uint8)}
+    bits = np.zeros((n_shards, base["m"] // 8), dtype=np.uint8)
+    for r in rows:
+        bits[int(r["shard"])] = np.frombuffer(bytes(r["bits"]),
+                                              dtype=np.uint8)
+    return {**base, "bits": bits, "n_shards": n_shards}

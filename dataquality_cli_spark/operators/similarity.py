@@ -15,6 +15,8 @@ shuffles once on the bucket key.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd  # module-level: pandas_udf resolves the postponed
                      # 'pd.Series' annotations from these globals
@@ -135,9 +137,16 @@ def train_ivf_centroids(df: DataFrame, n_centroids: int = 16, dim: int = 64,
                         iterations: int = 2, sample: int = 2048) -> np.ndarray:
     """k-means centroids via a couple of Lloyd iterations over a driver
     sample (standard IVF practice: train on a sample, assign at scale).
-    Deterministic: seeded init, fixed sample (lowest ids)."""
+    Deterministic: seeded init, HASH-ORDERED sample — order by md5(id)
+    spreads the sample across the corpus regardless of how ids correlate
+    with content. The previous lowest-id sample is exactly the
+    degeneracy kmeans_fit's docstring warns about: when ids are assigned
+    per source (source A gets ids 0..n, source B n..2n, ...), the coarse
+    quantizer trains on ONE source and recall collapses on the rest."""
+    id_col = df.columns[0]
     rows = (
-        df.orderBy(df.columns[0]).limit(sample).select(vec_col).collect()
+        df.orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .limit(sample).select(vec_col).collect()
     )
     x = np.array([r[0] for r in rows], dtype=np.float64)
     rng = np.random.RandomState(seed)
@@ -165,23 +174,58 @@ def _centroid_assign_col(vec: Column, centroids: np.ndarray, nprobe: int = 1) ->
     return F.slice(F.transform(idx, lambda x: x["i"]), 1, nprobe)
 
 
-def ann_ivf_topk(df: DataFrame, queries: DataFrame, centroids: np.ndarray,
-                 k: int = 5, nprobe: int = 4,
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF ANN: table vectors live in their single best centroid's
-    inverted list; each query probes its ``nprobe`` nearest centroids and
-    exact-reranks inside them. The probe join shuffles on the centroid id
-    (bounded fanout = nprobe) — never a cross join."""
-    t = df.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("t_vec"),
-        _centroid_assign_col(F.col(vec_col), centroids, 1)[0].alias("cell"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("query_vec"),
-        F.explode(_centroid_assign_col(F.col(vec_col), centroids, nprobe)).alias("cell"),
-    )
+# above this many centroids the literal-expression probe path is
+# replaced by the Arrow batch-matmul path: k*dim literal expressions
+# blow up codegen and plan size at production IVF scale (SemDeDup-paper
+# deployments use tens of thousands of cells), while a broadcast
+# (k x dim) matrix inside a pandas UDF is one matmul per batch
+ARROW_PROBE_THRESHOLD = 64
+
+
+def ivf_probe_cells(frame: DataFrame, centroids: np.ndarray, nprobe: int,
+                    vec_col: str = "embedding", out_col: str = "cells",
+                    arrow_threshold: int = ARROW_PROBE_THRESHOLD) -> DataFrame:
+    """Adds ``out_col``: array<int> of the ``nprobe`` best centroid ids
+    by dot product, best first (ties -> lower cell id). Two physical
+    paths with IDENTICAL results (pytest parity): pure column
+    expressions for tiny centroid sets (stays in whole-stage codegen,
+    no Python workers), and an Arrow batch matmul against the broadcast
+    centroid matrix above ``arrow_threshold`` centroids — top-nprobe via
+    numpy argpartition, so per-row cost is O(k) not O(k log k)."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    if len(cent) <= arrow_threshold:
+        return frame.withColumn(
+            out_col, _centroid_assign_col(F.col(vec_col), cent, nprobe))
+    from pyspark.sql.functions import pandas_udf
+
+    bc = frame.sparkSession.sparkContext.broadcast(cent)
+    p = min(nprobe, len(cent))
+
+    @pandas_udf("array<int>")
+    def topc(vecs: pd.Series) -> pd.Series:
+        c = bc.value
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        if x.size == 0:
+            return pd.Series([], dtype=object)
+        scores = x @ c.T
+        rows = np.arange(len(x))[:, None]
+        if p < c.shape[0]:
+            cand = np.argpartition(-scores, p - 1, axis=1)[:, :p]
+        else:
+            cand = np.broadcast_to(
+                np.arange(c.shape[0]), scores.shape).copy()
+        s = scores[rows, cand]
+        # (-score, cell) order per row — parity with the literal
+        # comparator's tie-break (lower cell id first)
+        order = np.lexsort((cand, -s))
+        top = cand[rows, order]
+        return pd.Series(list(top.astype("int32")))
+
+    return frame.withColumn(out_col, topc(F.col(vec_col)))
+
+
+def _ivf_rank(t: DataFrame, q: DataFrame, k: int) -> DataFrame:
+    """Shared probe-join + exact rerank tail of the IVF paths."""
     scored = (
         t.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -193,6 +237,103 @@ def ann_ivf_topk(df: DataFrame, queries: DataFrame, centroids: np.ndarray,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ann_ivf_topk(df: DataFrame, queries: DataFrame, centroids: np.ndarray,
+                 k: int = 5, nprobe: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 arrow_threshold: int = ARROW_PROBE_THRESHOLD) -> DataFrame:
+    """IVF ANN: table vectors live in their single best centroid's
+    inverted list; each query probes its ``nprobe`` nearest centroids and
+    exact-reranks inside them. The probe join shuffles on the centroid id
+    (bounded fanout = nprobe) — never a cross join. Probe assignment
+    routes through ``ivf_probe_cells`` (literal expressions for tiny
+    centroid sets, Arrow matmul above ``arrow_threshold``)."""
+    t = (
+        ivf_probe_cells(df, centroids, 1, vec_col, "_cells", arrow_threshold)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("t_vec"),
+            F.col("_cells")[0].alias("cell"),
+        )
+    )
+    q = (
+        ivf_probe_cells(queries, centroids, nprobe, vec_col, "_cells",
+                        arrow_threshold)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("query_vec"),
+            F.explode("_cells").alias("cell"),
+        )
+    )
+    return _ivf_rank(t, q, k)
+
+
+def save_ivf_index(df: DataFrame, centroids: np.ndarray, path: str,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   arrow_threshold: int = ARROW_PROBE_THRESHOLD) -> None:
+    """Persist the IVF index so serving never refits or reassigns: the
+    centroid matrix in long form (cell, d, v) and the inverted lists
+    (id, vector, cell) as parquet PARTITIONED BY cell — a query probing
+    nprobe cells prunes the scan to those partitions (the same
+    partition-pruning contract the corpus sink uses). Same
+    artifact-persistence pattern as save_bloom; the production home is
+    an Iceberg table per corpus snapshot. Centroids land first, lists
+    after — a crash between the two leaves a loadable-but-incomplete
+    dir only if list write died, and load_ivf_index reads lists lazily
+    so the next overwrite heals it."""
+    spark = df.sparkSession
+    cent = np.asarray(centroids, dtype=np.float64)
+    cent_rows = [
+        (int(c), int(d), float(cent[c, d]))
+        for c in range(cent.shape[0]) for d in range(cent.shape[1])
+    ]
+    spark.createDataFrame(cent_rows, "cell int, d int, v double") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(path, "centroids"))
+    assigned = (
+        ivf_probe_cells(df, cent, 1, vec_col, "_cells", arrow_threshold)
+        .select(id_col, vec_col, F.col("_cells")[0].alias("cell"))
+    )
+    assigned.write.mode("overwrite").partitionBy("cell") \
+        .parquet(os.path.join(path, "lists"))
+
+
+def load_ivf_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
+    """(centroids, inverted-list DataFrame). The list frame is lazy —
+    serving joins prune to the probed cell partitions."""
+    cent_rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    n_cells = max(r["cell"] for r in cent_rows) + 1
+    dim = max(r["d"] for r in cent_rows) + 1
+    cent = np.zeros((n_cells, dim), dtype=np.float64)
+    for r in cent_rows:
+        cent[r["cell"], r["d"]] = r["v"]
+    return cent, spark.read.parquet(os.path.join(path, "lists"))
+
+
+def ann_ivf_topk_indexed(assigned: DataFrame, queries: DataFrame,
+                         centroids: np.ndarray, k: int = 5, nprobe: int = 4,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         arrow_threshold: int = ARROW_PROBE_THRESHOLD) -> DataFrame:
+    """Serve IVF top-k against a PERSISTED index (``load_ivf_index``):
+    the table side arrives pre-assigned (id, vector, cell) — no refit,
+    no reassignment, and the cell-partitioned parquet layout prunes the
+    scan to the probed cells."""
+    t = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("t_vec"),
+        "cell",
+    )
+    q = (
+        ivf_probe_cells(queries, centroids, nprobe, vec_col, "_cells",
+                        arrow_threshold)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("query_vec"),
+            F.explode("_cells").alias("cell"),
+        )
+    )
+    return _ivf_rank(t, q, k)
 
 
 # ---------------------------------------------------------------------------

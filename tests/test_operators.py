@@ -131,6 +131,73 @@ def test_ann_ivf_recall_vs_bruteforce(emb):
     assert len(approx & exact) / len(exact) >= 0.5
 
 
+def test_ann_ivf_arrow_path_parity(emb):
+    """The Arrow probe path (forced via arrow_threshold=0) must return
+    byte-identical top-k to the literal-expression path — same scores,
+    same ranks, same tie-breaks."""
+    q = emb.filter(F.col("vec_id") < 5)
+    cents = similarity.train_ivf_centroids(emb, n_centroids=8)
+    lit = sorted(map(tuple, similarity.ann_ivf_topk(
+        emb, q, cents, k=5, nprobe=4).collect()))
+    arrow = sorted(map(tuple, similarity.ann_ivf_topk(
+        emb, q, cents, k=5, nprobe=4, arrow_threshold=0).collect()))
+    assert lit == arrow
+    # probe-cell parity directly, nprobe > 1 (ordering + tie-break)
+    lit_cells = {r.vec_id: r.cells for r in similarity.ivf_probe_cells(
+        emb, cents, 3, out_col="cells").select("vec_id", "cells").collect()}
+    ar_cells = {r.vec_id: r.cells for r in similarity.ivf_probe_cells(
+        emb, cents, 3, out_col="cells", arrow_threshold=0)
+        .select("vec_id", "cells").collect()}
+    assert lit_cells == ar_cells
+
+
+def test_train_ivf_centroids_id_correlated_sample(spark):
+    """When ids are assigned contiguously per source/cluster (the
+    production layout kmeans_fit's docstring warns about), a lowest-id
+    driver sample trains the coarse quantizer on ONE cluster and recall
+    collapses elsewhere. The hash-ordered sample must place centroids
+    in every planted cluster even when the sample is much smaller than
+    the corpus."""
+    df, _ = _planted_emb_clusters(spark)  # ids c*1000+i: id ~ cluster
+    # sample=40 = exactly one cluster's row count under lowest-id order
+    cents = similarity.train_ivf_centroids(df, n_centroids=8, dim=16,
+                                           sample=40)
+    assigned = similarity.ivf_probe_cells(
+        df, cents, 1, out_col="cells").select(
+        "label", F.col("cells")[0].alias("cell"))
+    per_label = {r.label: r.cell_set for r in assigned.groupBy("label").agg(
+        F.collect_set("cell").alias("cell_set")).collect()}
+    # every planted cluster maps to its own cell(s): pairwise disjoint
+    labels = sorted(per_label)
+    assert len(labels) == 4
+    for i in labels:
+        for j in labels:
+            if i < j:
+                assert not set(per_label[i]) & set(per_label[j]), (
+                    i, j, per_label)
+
+
+def test_ivf_index_save_load_roundtrip(emb, tmp_path):
+    import numpy as np
+
+    q = emb.filter(F.col("vec_id") < 5)
+    cents = similarity.train_ivf_centroids(emb, n_centroids=8)
+    live = sorted(map(tuple, similarity.ann_ivf_topk(
+        emb, q, cents, k=5, nprobe=4).collect()))
+    path = str(tmp_path / "ivf_index")
+    similarity.save_ivf_index(emb, cents, path)
+    spark = emb.sparkSession
+    cents2, lists = similarity.load_ivf_index(spark, path)
+    assert np.allclose(cents, cents2)
+    served = sorted(map(tuple, similarity.ann_ivf_topk_indexed(
+        lists, q, cents2, k=5, nprobe=4).collect()))
+    assert served == live
+    # the cell-partitioned layout prunes the probe scan
+    one_cell = lists.filter(F.col("cell") == 0)
+    plan = one_cell._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cell" in plan
+
+
 def test_needs_detail_predicate(spark):
     df = spark.createDataFrame(
         [(6.0, 10, 3), (1.0, 200_000, 3), (1.0, 10, 25), (1.0, 10, 3)],
@@ -1504,4 +1571,81 @@ def test_bloom_save_load_roundtrip(spark, tmp_path):
     # the loaded artifact screens identically
     a = bloom.might_contain_col(corpus, model, "content_hash").collect()
     b = bloom.might_contain_col(corpus, back, "content_hash").collect()
+    assert [r.maybe_member for r in a] == [r.maybe_member for r in b]
+
+
+def test_bloom_sharded_guarantees(spark):
+    """Sharded composition (the 10^12-key deployment): no false
+    negatives across shards, fpp near the tuned rate, bit-identical at
+    any input partitioning, NULL keys False, degenerate inputs clean."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dataquality_cli_spark.operators import bloom
+
+    corpus = spark.range(2000).selectExpr(
+        "concat('sha_', cast(id as string)) AS content_hash")
+    model = bloom.build_bloom_sharded(corpus, "content_hash",
+                                      n_shards=4, fpp=0.01)
+    assert model["n_shards"] == 4 and model["bits"].shape[0] == 4
+    assert model["n_items"] == 2000
+    # hash routing balances shards: every shard got a real bitmap
+    assert all(model["bits"][s].any() for s in range(4))
+    # partitioning invariance, bit for bit
+    m2 = bloom.build_bloom_sharded(corpus.repartition(17),
+                                   "content_hash", n_shards=4, fpp=0.01)
+    assert np.array_equal(model["bits"], m2["bits"])
+    # no false negatives: every member maybe-duplicate
+    members = bloom.might_contain_col(corpus, model, "content_hash")
+    assert members.filter("NOT maybe_member").count() == 0
+    # fpp on 10k fresh keys near 1% (generous 3x bound)
+    fresh = spark.range(100_000, 110_000).selectExpr(
+        "concat('new_', cast(id as string)) AS content_hash")
+    maybe, definitely_new = bloom.bloom_screen(fresh, model,
+                                               "content_hash")
+    n_fp = maybe.count()
+    assert n_fp + definitely_new.count() == 10_000
+    assert n_fp < 300, n_fp
+    # NULL keys are not members
+    nulls = spark.sql("SELECT CAST(NULL AS STRING) AS content_hash")
+    assert bloom.might_contain_col(nulls, model, "content_hash") \
+        .filter("maybe_member").count() == 0
+    # empty corpus / bad args
+    empty = bloom.build_bloom_sharded(corpus.limit(0), "content_hash",
+                                      n_shards=4)
+    assert bloom.might_contain_col(fresh, empty, "content_hash") \
+        .filter("maybe_member").count() == 0
+    with _pytest.raises(ValueError, match="n_items"):
+        bloom.build_bloom_sharded(corpus, "content_hash", n_items=0)
+    with _pytest.raises(ValueError, match="n_shards"):
+        bloom.build_bloom_sharded(corpus, "content_hash", n_shards=0)
+    # n_shards=1 degenerates to one shard with the flat sizing
+    one = bloom.build_bloom_sharded(corpus, "content_hash", n_shards=1)
+    flat = bloom.build_bloom(corpus, "content_hash")
+    assert (one["m"], one["k"]) == (flat["m"], flat["k"])
+    assert bloom.might_contain_col(corpus, one, "content_hash") \
+        .filter("NOT maybe_member").count() == 0
+
+
+def test_bloom_sharded_save_load_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    from dataquality_cli_spark.operators import bloom
+
+    corpus = spark.range(800).selectExpr(
+        "concat('h', cast(id as string)) AS content_hash")
+    model = bloom.build_bloom_sharded(corpus, "content_hash",
+                                      n_shards=3, fpp=0.02)
+    path = str(tmp_path / "bloom_sharded")
+    bloom.save_bloom(spark, model, path)
+    back = bloom.load_bloom(spark, path)
+    assert back["n_shards"] == 3
+    assert np.array_equal(back["bits"], model["bits"])
+    assert (back["m"], back["k"], back["n_items"]) == \
+        (model["m"], model["k"], model["n_items"])
+    fresh = spark.range(5000, 6000).selectExpr(
+        "concat('x', cast(id as string)) AS content_hash")
+    probe = corpus.union(fresh)
+    a = bloom.might_contain_col(probe, model, "content_hash").collect()
+    b = bloom.might_contain_col(probe, back, "content_hash").collect()
     assert [r.maybe_member for r in a] == [r.maybe_member for r in b]

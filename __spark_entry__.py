@@ -304,6 +304,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_remove_repeated_spans"] = lambda s, d: dedup.remove_repeated_spans(
         _t(s, d, "documents"), k_tokens=13, min_docs=2)
 
+    # keep-ONE cross-document substring dedup (Lee et al. 2022 shape):
+    # a passage shared by >= min_docs docs survives only in its
+    # canonical occurrence (lowest doc, earliest pos) — the variant that
+    # preserves one copy of shared boilerplate instead of scrubbing all
+    q["doc_cross_doc_spans"] = lambda s, d: dedup.dedup_cross_doc_spans(
+        _t(s, d, "documents"), k_tokens=13, min_docs=2)
+
     # zlib compression-ratio quality signal — deterministic but not
     # SQL-expressible (no zlib in DuckDB): rows-only + pytest fixtures
     q["doc_compression_ratio"] = lambda s, d: text.compression_ratio(
@@ -747,6 +754,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             threshold=0.95, k=8)
         .select("doc_id").orderBy("doc_id"))
 
+    # the PCA-composed variant: hash-embed -> one-pass distributed PCA
+    # to 32 dims -> k-means -> SemDeDup in the projected space (the
+    # SemDeDup-paper pre-step; stability under projection at high
+    # retained variance is pytest-pinned). Rows-only: kmeans floats.
+    q["dedup_semantic_text_pca"] = lambda s, d: (
+        similarity.semantic_dedup_text(
+            _t(s, d, "documents").select("doc_id", "text"),
+            threshold=0.95, k=8, pca_dim=32)
+        .select("doc_id").orderBy("doc_id"))
+
     # exactly-k-per-stratum deterministic draw (md5 rank inside each
     # stratum; Window PARTITIONED by stratum — parallel, no global sort)
     def strat_topk(s, d):
@@ -780,6 +797,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "maybe_member").orderBy("doc_id"))
 
     q["dedup_bloom_screen"] = bloom_screen_q
+
+    # the SHARDED composition (the 10^12-key deployment path): same
+    # member/fresh probe, keys routed to 4 shard filters by
+    # pmod(xxhash64(key), 4). Rows-only like the flat screen; the
+    # cross-shard no-false-negative/fpp/invariance guarantees are
+    # pytest-pinned.
+    def bloom_screen_sharded_q(s, d):
+        from dataquality_cli_spark.operators import bloom
+
+        corpus = _t(s, d, "documents").select(
+            F.sha2("text", 256).alias("content_hash"))
+        model = bloom.build_bloom_sharded(corpus, "content_hash",
+                                          n_shards=4, fpp=0.01)
+        probe = _t(s, d, "documents").select(
+            "doc_id",
+            F.when(F.col("doc_id") < 100, F.sha2("text", 256))
+            .otherwise(F.sha2(F.concat(F.lit("fresh:"),
+                                       F.col("doc_id").cast("string")),
+                              256)).alias("content_hash"))
+        return (bloom.might_contain_col(probe, model, "content_hash")
+                .select("doc_id", "maybe_member").orderBy("doc_id"))
+
+    q["dedup_bloom_screen_sharded"] = bloom_screen_sharded_q
 
     # per-file code-shape profile (north-star 'code' payload: comment
     # ratio, indent style, identifier stats as oracle-checkable column
@@ -979,8 +1019,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # BPE, dedup_lsh_incremental/cache_out, corpus_stratified_sample/
     # NULL strata, emb_kmeans_cells, emb_semantic_dedup) stays in the
     # window; len(queries) - len(tail) must be <= 50 (self-asserted).
+    # ROUND-5 ROTATION: each query ADDED this round (doc_cross_doc_spans,
+    # dedup_bloom_screen_sharded, dedup_semantic_text_pca) displaces one
+    # r4-driver-green, r5-untouched entry into the tail
+    # (f7_name_truncate, doc_bpe_tokens, doc_alnum_fraction) — and
+    # doc_remove_repeated_spans moves the OTHER way, OUT of the tail
+    # (its implementation was refactored through _remove_spans_at this
+    # round, so it must be re-checked), displaced by doc_stopword_langid.
     tail = [
-        "doc_quality_verdict", "doc_remove_repeated_spans",
+        "f7_name_truncate", "doc_bpe_tokens", "doc_alnum_fraction",
+        "doc_stopword_langid",
+        "doc_quality_verdict",
         "doc_repetition_signals", "doc_chunks", "corpus_vocabulary",
         "doc_tfidf_terms", "corpus_bigram_lm", "dq_threshold_sweep",
         "doc_quality_buckets", "doc_token_ngram_contamination",
@@ -1300,6 +1349,43 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(toks) - len(k) AS BIGINT) AS n_tokens_removed,
                -- DuckDB array_to_string([]) is NULL; Spark array_join
                -- of an empty array is '' — pin the Spark semantics
+               COALESCE(array_to_string(k, ' '), '') AS cleaned_text
+        FROM kept
+    """
+
+    o["doc_cross_doc_spans"] = r"""
+        WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                   FROM documents),
+        w AS (SELECT doc_id, i - 1 AS pos,
+                     md5(array_to_string(toks[i:i+12], ' ')) AS h
+              FROM (SELECT doc_id, toks,
+                           unnest(range(1, greatest(len(toks) - 12, 0) + 1)) AS i
+                    FROM t)),
+        rep AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd
+                               FROM w GROUP BY h)
+                WHERE nd >= 2),
+        f AS (SELECT w.doc_id, w.pos, w.h FROM w JOIN rep USING (h)),
+        -- lexicographic min occurrence (doc_id, then pos) = the keeper;
+        -- two-step min matches Spark's min(struct(doc_id, pos))
+        k1 AS (SELECT h, MIN(doc_id) AS kd FROM f GROUP BY h),
+        keeper AS (SELECT f.h, k1.kd, MIN(f.pos) AS kp
+                   FROM f JOIN k1 ON f.h = k1.h AND f.doc_id = k1.kd
+                   GROUP BY f.h, k1.kd),
+        losers AS (SELECT f.doc_id, f.pos
+                   FROM f JOIN keeper ON f.h = keeper.h
+                   WHERE NOT (f.doc_id = keeper.kd AND f.pos = keeper.kp)),
+        flags AS (SELECT doc_id, list(pos) AS spans
+                  FROM losers GROUP BY doc_id),
+        j AS (SELECT t.doc_id, t.toks, COALESCE(fl.spans, []) AS spans
+              FROM t LEFT JOIN flags fl ON t.doc_id = fl.doc_id),
+        kept AS (SELECT doc_id, toks,
+                        list_filter(toks, (x, i) ->
+                          len(list_filter(spans,
+                              p -> p <= i - 1 AND i - 1 < p + 13)) = 0) AS k
+                 FROM j)
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(toks) - len(k) AS BIGINT) AS n_tokens_removed,
                COALESCE(array_to_string(k, ' '), '') AS cleaned_text
         FROM kept
     """

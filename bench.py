@@ -193,6 +193,18 @@ def main() -> None:
     train_langid_distributed(raw_docs, label_col="lang", text_col="text")
     training["langid_sec"] = round(time.perf_counter() - t0, 3)
 
+    # embedding tier (VERDICT r4 #8): distributed k-means per-iteration
+    # cost at sf scale, so SemDeDup-stage regressions are attributable
+    # to fit vs pairing (emb_semantic_dedup above times the whole stage)
+    from dataquality_cli_spark.operators.similarity import kmeans_fit
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t0 = time.perf_counter()
+    kmeans_fit(embs, k=16, n_iter=5)
+    dt = time.perf_counter() - t0
+    training["kmeans_fit_k16_i5_sec"] = round(dt, 3)
+    training["kmeans_per_iter_sec"] = round(dt / 5, 3)
+
     print(json.dumps({
         "metric": "headline_suite_seconds",
         "value": round(total, 3),

@@ -104,15 +104,68 @@ def _neardup_stage(exact: DataFrame, threshold: float,
     return exact.join(losers, "doc_id", "left_anti")
 
 
-def _semantic_stage(uniq: DataFrame, threshold: float) -> DataFrame:
-    """Optional order-invariant semantic dedup (hash-embed -> k-means ->
-    SemDeDup) after the syntactic near-dup pass: catches the
-    shuffled/reordered duplicates char-shingle MinHash under-scores.
-    Off by default (threshold None) — byte-identical chain when off."""
+def _semantic_stage(uniq: DataFrame, threshold: float,
+                    pca_dim: int | None = None) -> DataFrame:
+    """Optional order-invariant semantic dedup (hash-embed ->
+    [optional PCA] -> k-means -> SemDeDup) after the syntactic near-dup
+    pass: catches the shuffled/reordered duplicates char-shingle
+    MinHash under-scores. Off by default (threshold None) —
+    byte-identical chain when off. ``pca_dim`` projects the hash
+    embeddings before clustering (see semantic_dedup_text)."""
     from dataquality_cli_spark.operators.similarity import (
         semantic_dedup_text)
 
-    return semantic_dedup_text(uniq, threshold=threshold, k=16)
+    return semantic_dedup_text(uniq, threshold=threshold, k=16,
+                               pca_dim=pca_dim)
+
+
+def _bloom_stage(spark: SparkSession, kept: DataFrame,
+                 bloom_artifact: str,
+                 prior_kept: str | None = None) -> DataFrame:
+    """Cross-corpus Bloom prescreen BEFORE the exact-dedup stage: docs
+    whose scrubbed-text sha256 screens definitely-new against a prior
+    corpus snapshot's filter (``save_bloom`` artifact) pass straight
+    through — at a typical 1% fpp and a mostly-fresh crawl that is
+    ~99% of the batch paying ZERO join cost.
+
+    With ``prior_kept`` (a prior build's <out>/kept parquet) the maybe
+    side is VERIFIED: the prior scan is pruned to one hashed column,
+    semi-joined against the broadcast maybe-key set, and only
+    true cross-corpus duplicates drop — Bloom false positives come
+    back. Without it, the maybe side drops unverified (over-drop
+    bounded by the artifact's fpp — the cheap mode for crawls where a
+    ~1% extra drop is acceptable). Both joins touch only the maybe
+    side, never the surviving corpus."""
+    from dataquality_cli_spark.operators.bloom import (
+        bloom_screen, load_bloom)
+
+    model = load_bloom(spark, bloom_artifact)
+    keyed = kept.withColumn("_scrub_sha", F.sha2(F.col("text"), 256))
+    maybe, fresh = bloom_screen(keyed, model, "_scrub_sha")
+    if prior_kept is None:
+        return fresh.drop("_scrub_sha")
+    prior = spark.read.parquet(prior_kept).select(
+        F.sha2(F.col("text"), 256).alias("_scrub_sha"))
+    maybe_keys = maybe.select("_scrub_sha").distinct()
+    dup_keys = (
+        prior.join(F.broadcast(maybe_keys), "_scrub_sha", "left_semi")
+        .distinct()
+    )
+    false_pos = maybe.join(F.broadcast(dup_keys), "_scrub_sha",
+                           "left_anti")
+    return fresh.unionByName(false_pos).drop("_scrub_sha")
+
+
+def emit_corpus_bloom(spark: SparkSession, kept: DataFrame,
+                      path: str, fpp: float = 0.01) -> None:
+    """Write the Bloom artifact of a built corpus (scrubbed-text
+    sha256 keys) — the filter the NEXT build's ``bloom_artifact``
+    prescreen consumes; build N emits, build N+1 screens."""
+    from dataquality_cli_spark.operators.bloom import (
+        build_bloom, save_bloom)
+
+    keys = kept.select(F.sha2(F.col("text"), 256).alias("_h"))
+    save_bloom(spark, build_bloom(keys, "_h", fpp=fpp), path)
 
 
 def _decontaminate_stage(uniq: DataFrame, benchmark: DataFrame,
@@ -143,6 +196,9 @@ def build_corpus(
     neardup_keep: str = "quality",
     bc=None,
     semantic_threshold: float | None = None,
+    semantic_pca_dim: int | None = None,
+    bloom_artifact: str | None = None,
+    prior_kept: str | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
     """Run the full chain over a (repo, path, commit, lang, content)
     corpus. Returns (train_packed, val_docs, kept_docs, metrics) where
@@ -167,10 +223,20 @@ def build_corpus(
     metrics["kept_after_filter"] = kept.count()
     verdicts.unpersist()
 
+    # 1b. optional cross-corpus Bloom prescreen (prior snapshot filter)
+    if bloom_artifact is not None:
+        screened = _bloom_stage(spark, kept, bloom_artifact,
+                                prior_kept).persist()
+        metrics["after_bloom_screen"] = screened.count()
+    else:
+        screened = kept
+
     # 2. exact dedup on the scrubbed text (keep lowest doc_id)
-    exact = _exact_stage(kept).persist()
+    exact = _exact_stage(screened).persist()
     metrics["after_exact_dedup"] = exact.count()
     kept.unpersist()
+    if screened is not kept:
+        screened.unpersist()
 
     # 3. near-dup dedup: LSH -> verified Jaccard -> components; drop
     # every clustered doc that is not its cluster's representative
@@ -181,7 +247,8 @@ def build_corpus(
 
     # 3b. optional order-invariant semantic dedup
     if semantic_threshold is not None:
-        sem = _semantic_stage(uniq, semantic_threshold).persist()
+        sem = _semantic_stage(uniq, semantic_threshold,
+                              pca_dim=semantic_pca_dim).persist()
         metrics["after_semantic_dedup"] = sem.count()
     else:
         sem = uniq
@@ -228,6 +295,7 @@ _MANIFEST = "_stage_manifest"
 # stage name -> metrics key (order IS the chain)
 _STAGES = [
     ("filtered", "kept_after_filter"),
+    ("bloomed", "after_bloom_screen"),  # optional — row only if on
     ("exact", "after_exact_dedup"),
     ("unique", "after_neardup_dedup"),
     ("semantic", "after_semantic_dedup"),  # optional — row only if on
@@ -275,6 +343,10 @@ def build_corpus_resumable(
     neardup_keep: str = "quality",
     bc=None,
     semantic_threshold: float | None = None,
+    semantic_pca_dim: int | None = None,
+    bloom_artifact: str | None = None,
+    prior_kept: str | None = None,
+    emit_bloom: bool = False,
     run_id: str = "run0",
     fail_after_stages: int | None = None,
 ) -> dict:
@@ -304,6 +376,9 @@ def build_corpus_resumable(
         "neardup_keep": neardup_keep,
         "custom_models": bc is not None,
         "semantic_threshold": semantic_threshold,
+        "semantic_pca_dim": semantic_pca_dim,
+        "bloom_artifact": bloom_artifact,
+        "prior_kept": prior_kept,
         "val_fraction": val_fraction,
         "pack_budget": pack_budget,
         "contamination_min_hits": contamination_min_hits,
@@ -367,13 +442,22 @@ def build_corpus_resumable(
     else:
         filtered = load("filtered")
 
+    # 1b. optional cross-corpus Bloom prescreen (prior snapshot filter)
+    if bloom_artifact is None:
+        screened = filtered
+    elif "bloomed" not in done:
+        screened = finish("bloomed", _bloom_stage(
+            spark, filtered, bloom_artifact, prior_kept))
+    else:
+        screened = load("bloomed")
+
     # 2-4. dedup + decontamination. The surviving corpus is always a
     # REAL <out>/kept directory (main()'s documented output contract);
     # with no benchmark, near-dup survivors land there directly and the
     # 'unique' stage is the manifest ALIAS — never a second copy of the
     # corpus either way.
     if "exact" not in done:
-        exact = finish("exact", _exact_stage(filtered))
+        exact = finish("exact", _exact_stage(screened))
     else:
         exact = load("exact")
     if "unique" not in done:
@@ -402,13 +486,13 @@ def build_corpus_resumable(
     elif "semantic" not in done:
         if benchmark is not None:
             sem = finish("semantic", _semantic_stage(
-                uniq, semantic_threshold))
+                uniq, semantic_threshold, pca_dim=semantic_pca_dim))
         else:
             if "kept" in done:
                 sem = load("kept")
             else:
                 sem = finish("kept", _semantic_stage(
-                    uniq, semantic_threshold))
+                    uniq, semantic_threshold, pca_dim=semantic_pca_dim))
             _append_manifest(spark, out_dir, "semantic", sem.count(),
                              done["kept"]["path"], run_id)
             done["semantic"] = {"n_rows": None,
@@ -438,6 +522,16 @@ def build_corpus_resumable(
         _append_manifest(spark, out_dir, "train_packs",
                          packed.select("pack_id").distinct().count(),
                          "", run_id)
+
+    # 7. optional Bloom artifact of the surviving corpus — the filter
+    # the NEXT build's bloom_artifact prescreen consumes (artifact
+    # first, manifest row after; resume skips a completed emit). NOT in
+    # the drift-guard params: it adds an output, never changes the chain
+    if emit_bloom and "bloom" not in done:
+        bloom_path = f"{out_dir}/bloom"
+        emit_corpus_bloom(spark, clean, bloom_path)
+        _append_manifest(spark, out_dir, "bloom",
+                         clean.count(), bloom_path, run_id)
 
     final = _read_manifest(spark, out_dir)
     if "train_packs" not in final:
@@ -488,6 +582,22 @@ def main() -> None:
                     help="enable the order-invariant semantic dedup "
                          "stage (hash-embed -> k-means -> SemDeDup) at "
                          "this cosine threshold")
+    ap.add_argument("--pca-dim", type=int, default=None,
+                    help="project the semantic-dedup hash embeddings "
+                         "to this dimension with distributed PCA "
+                         "before clustering")
+    ap.add_argument("--bloom-artifact", default=None,
+                    help="prior-corpus Bloom filter (save_bloom dir): "
+                         "prescreen incoming docs before exact dedup; "
+                         "definitely-new docs skip all join cost")
+    ap.add_argument("--prior-kept", default=None,
+                    help="prior build's kept parquet: verify the "
+                         "Bloom maybe side exactly (false positives "
+                         "come back) instead of dropping it unverified")
+    ap.add_argument("--emit-bloom", action="store_true",
+                    help="write <out>/bloom — the Bloom artifact of "
+                         "the surviving corpus, for the next build's "
+                         "--bloom-artifact")
     ap.add_argument("--token-kind", default="bpe",
                     choices=["bpe", "whitespace"])
     ap.add_argument("--synth", type=int, default=None)
@@ -541,6 +651,10 @@ def main() -> None:
         val_fraction=args.val_fraction, pack_budget=args.pack_budget,
         token_kind=args.token_kind, bc=bc,
         semantic_threshold=args.semantic_dedup_threshold,
+        semantic_pca_dim=args.pca_dim,
+        bloom_artifact=args.bloom_artifact,
+        prior_kept=args.prior_kept,
+        emit_bloom=args.emit_bloom,
     )
     print(json.dumps({"metric": "corpus_build",
                   "trained_models": bool(args.train_models),

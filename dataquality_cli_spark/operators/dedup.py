@@ -667,16 +667,10 @@ def select_representatives(clusters: DataFrame, scores: DataFrame,
 # boilerplate header pasted into millions of otherwise-unique files.
 # ---------------------------------------------------------------------------
 
-def repeated_span_positions(df: DataFrame, text_col: str = "text",
-                            k_tokens: int = 13,
-                            min_docs: int = 5) -> DataFrame:
-    """(doc_id, pos) of every k-token window whose content occurs in at
-    least ``min_docs`` DISTINCT documents. Plan: explode windows to
-    (hash(window), doc_id, pos) — a Generate in the scan stage like the
-    describe melt — count distinct docs per hash (uniform shuffle keys),
-    keep repeated hashes, and join positions back on the hash. At scale
-    the repeated-hash set is the small side of that join (boilerplate
-    is rare among distinct windows) and broadcasts."""
+def _span_windows(df: DataFrame, text_col: str,
+                  k_tokens: int) -> DataFrame:
+    """(doc_id, pos, h): every k-token window of every doc, hashed.
+    One Generate (explode) in the scan stage, like the describe melt."""
     toks = F.split(F.col(text_col), r"\s+", -1)
     # Spark sequence(a, b) counts DOWN when a > b, so a doc shorter than
     # k tokens would yield [0, -1]; clamp the end to 0 and filter the
@@ -696,6 +690,22 @@ def repeated_span_positions(df: DataFrame, text_col: str = "text",
             .alias("h"),
         ),
     )
+    return (
+        df.select("doc_id", F.explode(win).alias("w"))
+        .select("doc_id", "w.pos", "w.h")
+    )
+
+
+def repeated_span_positions(df: DataFrame, text_col: str = "text",
+                            k_tokens: int = 13,
+                            min_docs: int = 5) -> DataFrame:
+    """(doc_id, pos) of every k-token window whose content occurs in at
+    least ``min_docs`` DISTINCT documents. Plan: explode windows to
+    (hash(window), doc_id, pos) — a Generate in the scan stage like the
+    describe melt — count distinct docs per hash (uniform shuffle keys),
+    keep repeated hashes, and join positions back on the hash. At scale
+    the repeated-hash set is the small side of that join (boilerplate
+    is rare among distinct windows) and broadcasts."""
     # the windowing projection is interpreted HOF work (transform/slice
     # run outside whole-stage codegen) — spread it to every core even
     # off a one-file source (measured 15.2s -> ~1s on the sf0.1
@@ -703,10 +713,7 @@ def repeated_span_positions(df: DataFrame, text_col: str = "text",
     from .util import spread
 
     df = spread(df)
-    windows = (
-        df.select("doc_id", F.explode(win).alias("w"))
-        .select("doc_id", "w.pos", "w.h")
-    )
+    windows = _span_windows(df, text_col, k_tokens)
     repeated = (
         windows.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -719,12 +726,12 @@ def repeated_span_positions(df: DataFrame, text_col: str = "text",
     )
 
 
-def remove_repeated_spans(df: DataFrame, text_col: str = "text",
-                          k_tokens: int = 13,
-                          min_docs: int = 5) -> DataFrame:
-    """Rewrite each document with its repeated k-token spans DELETED
-    (overlapping flagged windows merge into one span). Returns
-    (doc_id, n_tokens, n_tokens_removed, cleaned_text).
+def _remove_spans_at(df: DataFrame, positions: DataFrame,
+                     text_col: str, k_tokens: int) -> DataFrame:
+    """Rewrite each document with the k-token windows starting at
+    ``positions`` (doc_id, pos) DELETED (overlapping windows merge into
+    one span). Returns (doc_id, n_tokens, n_tokens_removed,
+    cleaned_text).
 
     Physical shape: flagged positions per doc collect_list into a
     bounded array (positions are rare — they exist only where
@@ -734,14 +741,8 @@ def remove_repeated_spans(df: DataFrame, text_col: str = "text",
     index i is removed iff some flagged pos in [i-k+1, i] exists. No
     UDF — the membership test is F.exists over the bounded pos array
     inside whole-stage codegen."""
-    # the token-drop projection below is also interpreted HOF work
-    # (transform/filter/exists) — spread the doc side before the join so
-    # it runs at cluster parallelism off a one-file source
-    from .util import spread
-
-    df = spread(df)
     flagged = (
-        repeated_span_positions(df, text_col, k_tokens, min_docs)
+        positions
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("pos")).alias("spans"))
     )
@@ -755,13 +756,86 @@ def remove_repeated_spans(df: DataFrame, text_col: str = "text",
             lambda p: (p <= s["i"]) & (s["i"] < p + k_tokens),
         ),
     )
-    out = df.join(flagged, "doc_id", "left").select(
+    return df.join(flagged, "doc_id", "left").select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         (F.size(toks) - F.size(kept)).cast("long").alias("n_tokens_removed"),
         F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("cleaned_text"),
     )
-    return out
+
+
+def remove_repeated_spans(df: DataFrame, text_col: str = "text",
+                          k_tokens: int = 13,
+                          min_docs: int = 5) -> DataFrame:
+    """Rewrite each document with its repeated k-token spans DELETED —
+    EVERY occurrence goes (the scrub-boilerplate-entirely policy; see
+    ``dedup_cross_doc_spans`` for the keep-one-copy policy)."""
+    # the token-drop projection is interpreted HOF work
+    # (transform/filter/exists) — spread the doc side before the join so
+    # it runs at cluster parallelism off a one-file source
+    from .util import spread
+
+    df = spread(df)
+    return _remove_spans_at(
+        df, repeated_span_positions(df, text_col, k_tokens, min_docs),
+        text_col, k_tokens)
+
+
+def cross_doc_span_losers(df: DataFrame, text_col: str = "text",
+                          k_tokens: int = 13,
+                          min_docs: int = 5) -> DataFrame:
+    """(doc_id, pos) of every k-token window occurrence that is NOT its
+    content's canonical copy — the deletion set of keep-one substring
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better": remove duplicated substrings, keep one occurrence).
+    A window content is in scope when it occurs in >= ``min_docs``
+    distinct docs; its canonical copy is the (doc_id, pos)-minimum
+    occurrence (lowest doc, then earliest position), every other
+    occurrence — including later repeats inside the canonical doc — is
+    a loser.
+
+    Scale shape: same explode -> uniform-hash-key aggregation as
+    ``repeated_span_positions``; the canonical pick is one min-struct
+    agg per repeated hash (no window function), and the repeated-hash
+    set stays the broadcast-small side of the position join."""
+    from .util import spread
+
+    df = spread(df)
+    windows = _span_windows(df, text_col, k_tokens)
+    repeated = (
+        windows.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    flagged = windows.join(F.broadcast(repeated), "h")
+    keeper = flagged.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("kp"))
+    return (
+        flagged.join(F.broadcast(keeper), "h")
+        .filter(~((F.col("doc_id") == F.col("kp.doc_id"))
+                  & (F.col("pos") == F.col("kp.pos"))))
+        .select("doc_id", "pos")
+    )
+
+
+def dedup_cross_doc_spans(df: DataFrame, text_col: str = "text",
+                          k_tokens: int = 13,
+                          min_docs: int = 5) -> DataFrame:
+    """Keep-one cross-document substring dedup: a k-token passage
+    shared by >= ``min_docs`` docs survives in exactly its canonical
+    occurrence and is deleted everywhere else. The strongest known
+    training-data cleaner for embedded boilerplate (Lee et al. 2022) —
+    whole-doc MinHash can't see a license header pasted into millions
+    of otherwise-unique files, and ``remove_repeated_spans`` deletes
+    even the canonical copy. Returns (doc_id, n_tokens,
+    n_tokens_removed, cleaned_text)."""
+    from .util import spread
+
+    df = spread(df)
+    return _remove_spans_at(
+        df, cross_doc_span_losers(df, text_col, k_tokens, min_docs),
+        text_col, k_tokens)
 
 
 def normalize_text_col(text: Column) -> Column:

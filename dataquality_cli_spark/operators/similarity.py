@@ -708,8 +708,11 @@ def pca_fit(df: DataFrame, k: int = 8,
     for c in comps:
         if c[np.abs(c).argmax()] < 0:
             c *= -1.0
+    # total_variance = trace(cov): lets callers report the retained
+    # fraction (sum(explained_variance) / total_variance) for free
     return {"mean": mu, "components": comps,
-            "explained_variance": w[order], "n": n}
+            "explained_variance": w[order],
+            "total_variance": float(np.trace(cov)), "n": n}
 
 
 def pca_transform(df: DataFrame, model: dict,
@@ -801,13 +804,24 @@ def semantic_dedup_text(df: DataFrame, threshold: float = 0.9,
                         k: int = 16, dim: int = 64,
                         text_col: str = "text", id_col: str = "doc_id",
                         max_cell_size: int | None = 10_000,
-                        metrics_out: dict | None = None) -> DataFrame:
-    """SemDeDup over a TEXT corpus: hash-embed -> k-means -> within-cell
-    semantic dedup; returns the SURVIVING rows of ``df`` (all original
-    columns). The order-invariant complement to the MinHash/LSH
-    syntactic path — a production pipeline runs both (SURVEY §2;
-    MinHash catches local edits, this catches reorderings and
-    bag-level duplication)."""
+                        metrics_out: dict | None = None,
+                        pca_dim: int | None = None) -> DataFrame:
+    """SemDeDup over a TEXT corpus: hash-embed -> [optional PCA] ->
+    k-means -> within-cell semantic dedup; returns the SURVIVING rows
+    of ``df`` (all original columns). The order-invariant complement to
+    the MinHash/LSH syntactic path — a production pipeline runs both
+    (SURVEY §2; MinHash catches local edits, this catches reorderings
+    and bag-level duplication).
+
+    ``pca_dim`` (< ``dim``) inserts the one-pass distributed PCA
+    between embedding and clustering: k-means and the within-cell
+    cosine then run in the projected space — the SemDeDup-paper
+    pre-step that both denoises the hash embedding (collision noise
+    spreads across dropped components) and cuts the quadratic
+    within-cell matmul cost by dim/pca_dim. The projection is a cheap
+    Arrow matmul re-run per downstream scan; the persisted parent
+    embedding is computed once. ``metrics_out`` gains
+    pca_explained_fraction (retained variance share) when on."""
     emb = hash_embedding(df, text_col, id_col, dim).persist()
     n = emb.count()
     if n < 2:
@@ -817,10 +831,19 @@ def semantic_dedup_text(df: DataFrame, threshold: float = 0.9,
             metrics_out["n_dropped"] = 0
         emb.unpersist()
         return df
-    cent = kmeans_fit(emb, k=max(1, min(k, n)), vec_col="embedding",
+    vec_col = "embedding"
+    if pca_dim is not None and pca_dim < dim:
+        model = pca_fit(emb, k=pca_dim, vec_col="embedding")
+        if metrics_out is not None and model["total_variance"] > 0:
+            metrics_out["pca_explained_fraction"] = float(
+                model["explained_variance"].sum()
+                / model["total_variance"])
+        emb = pca_transform(emb, model, "embedding", "projection")
+        vec_col = "projection"
+    cent = kmeans_fit(emb, k=max(1, min(k, n)), vec_col=vec_col,
                       id_col=id_col)
     kept = semantic_dedup(emb, cent, threshold=threshold,
-                          vec_col="embedding", id_col=id_col,
+                          vec_col=vec_col, id_col=id_col,
                           max_cell_size=max_cell_size,
                           metrics_out=metrics_out)
     # emb + the assignment persist inside semantic_dedup are released

@@ -317,3 +317,90 @@ def test_corpus_build_semantic_stage(spark, tmp_path):
     assert build_corpus_resumable(
         spark, df, out, val_fraction=0.0, pack_budget=1024,
         semantic_threshold=0.999) == m_res
+
+
+def test_corpus_build_bloom_prescreen(spark, tmp_path):
+    """--bloom-artifact: build N emits a Bloom filter of its surviving
+    corpus; build N+1 prescreens against it and drops the planted
+    cross-corpus duplicates before exact dedup. Verified mode
+    (--prior-kept) drops EXACTLY the true duplicates (Bloom false
+    positives come back); unverified mode drops at least as many."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataquality_cli_spark.jobs.corpus_build_job import (
+        _read_manifest, build_corpus, build_corpus_resumable)
+
+    prior_rows = corpus_to_rows(gen_corpus(60, seed=91))
+    prior_df = spark.createDataFrame(prior_rows, SCHEMA)
+    prior_out = str(tmp_path / "prior")
+    build_corpus_resumable(spark, prior_df, prior_out, val_fraction=0.0,
+                           pack_budget=1024, emit_bloom=True)
+    assert os.path.isdir(f"{prior_out}/bloom")
+    assert "bloom" in _read_manifest(spark, prior_out)
+
+    # new corpus: fresh docs + copies of surviving prior docs (same
+    # content, different repo -> different doc_id; the deterministic
+    # filter passes them again, so only the Bloom stage can drop them)
+    prior_kept = spark.read.parquet(f"{prior_out}/kept")
+    kept_paths = {r.path for r in prior_kept.select("path").collect()}
+    overlap = [("mirror/" + r0, p, c, lang, t)
+               for (r0, p, c, lang, t) in prior_rows
+               if p in kept_paths][:10]
+    assert len(overlap) == 10
+    fresh_rows = corpus_to_rows(gen_corpus(50, seed=92))
+    df = spark.createDataFrame(fresh_rows + overlap, SCHEMA)
+
+    prior_hashes = {r.h for r in prior_kept.select(
+        F.sha2(F.col("text"), 256).alias("h")).collect()}
+
+    # no prescreen: the cross-corpus copies survive the whole chain
+    _p, _v, clean_off, m_off = build_corpus(
+        spark, df, val_fraction=0.0, pack_budget=1024)
+    off_hashes = {r.h for r in clean_off.select(
+        F.sha2(F.col("text"), 256).alias("h")).collect()}
+    assert len(off_hashes & prior_hashes) >= 1  # plant is non-vacuous
+
+    # expected drop = filtered docs whose scrubbed hash is in the prior
+    # corpus, WITH multiplicity (exactly what the bloom stage sees)
+    from dataquality_cli_spark.jobs.corpus_build_job import _filter_stage
+    _vv, kept_new = _filter_stage(spark, df)
+    n_expected = kept_new.filter(
+        F.sha2(F.col("text"), 256).isin(list(prior_hashes))).count()
+    assert n_expected >= 10  # every planted copy passed the filter again
+
+    # verified prescreen: exactly the true cross-corpus dups drop
+    _p, _v, clean_v, m_v = build_corpus(
+        spark, df, val_fraction=0.0, pack_budget=1024,
+        bloom_artifact=f"{prior_out}/bloom",
+        prior_kept=f"{prior_out}/kept")
+    v_hashes = {r.h for r in clean_v.select(
+        F.sha2(F.col("text"), 256).alias("h")).collect()}
+    assert not v_hashes & prior_hashes        # cross-corpus dedup holds
+    assert m_v["kept_after_filter"] - m_v["after_bloom_screen"] == n_expected
+    # everything else survives untouched
+    assert off_hashes - v_hashes <= prior_hashes
+
+    # unverified prescreen: at least as aggressive (fpp may over-drop)
+    _p, _v, clean_u, m_u = build_corpus(
+        spark, df, val_fraction=0.0, pack_budget=1024,
+        bloom_artifact=f"{prior_out}/bloom")
+    assert m_u["after_bloom_screen"] <= m_v["after_bloom_screen"]
+    u_hashes = {r.h for r in clean_u.select(
+        F.sha2(F.col("text"), 256).alias("h")).collect()}
+    assert not u_hashes & prior_hashes
+
+    # resumable: manifest row, idempotent rerun, drift guard
+    out = str(tmp_path / "screened")
+    kw = dict(val_fraction=0.0, pack_budget=1024,
+              bloom_artifact=f"{prior_out}/bloom",
+              prior_kept=f"{prior_out}/kept")
+    m_res = build_corpus_resumable(spark, df, out, **kw)
+    assert m_res["after_bloom_screen"] == m_v["after_bloom_screen"]
+    assert "bloomed" in _read_manifest(spark, out)
+    assert build_corpus_resumable(spark, df, out, **kw) == m_res
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="different parameters"):
+        build_corpus_resumable(spark, df, out, val_fraction=0.0,
+                               pack_budget=1024)

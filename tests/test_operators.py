@@ -846,6 +846,48 @@ def test_remove_repeated_spans_deletes_boilerplate(spark):
     assert out[100].n_tokens_removed == 0
 
 
+def test_cross_doc_span_dedup_keeps_one_copy(spark):
+    """Keep-one substring dedup (Lee et al. shape): a passage planted
+    in N docs survives in exactly its canonical occurrence (lowest doc,
+    earliest position — including vs a second copy in the SAME doc) and
+    is deleted everywhere else; unique docs pass through untouched."""
+    import random
+
+    rng = random.Random(99)
+    passage = " ".join(f"p{rng.randrange(10**6)}" for _ in range(15))
+
+    def filler(n):
+        return " ".join(f"f{rng.randrange(10**9)}" for _ in range(n))
+
+    rows = [
+        # canonical doc: passage TWICE — second copy must be deduped too
+        (0, f"{filler(5)} {passage} {filler(4)} {passage}"),
+        (1, f"{passage} {filler(10)}"),
+        (2, f"{filler(8)} {passage}"),
+        (3, filler(20)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.dedup_cross_doc_spans(
+        df, k_tokens=13, min_docs=3).collect()}
+    # canonical occurrence survives, exactly once
+    assert out[0].cleaned_text.count(passage) == 1
+    assert out[0].n_tokens_removed == 15          # the second copy
+    # every other doc loses the passage, keeps its unique text
+    for d in (1, 2):
+        assert passage not in out[d].cleaned_text
+        assert out[d].n_tokens_removed == 15
+    assert out[1].cleaned_text.endswith(rows[1][1].split(passage)[1].strip())
+    assert out[2].cleaned_text.startswith("f")
+    # untouched doc byte-identical
+    assert out[3].cleaned_text == rows[3][1]
+    assert out[3].n_tokens_removed == 0
+    # below min_docs nothing is touched (distinct-doc count: doc 0's
+    # two copies count once)
+    none = {r.doc_id: r for r in dedup.dedup_cross_doc_spans(
+        df, k_tokens=13, min_docs=4).collect()}
+    assert all(none[d].n_tokens_removed == 0 for d in (0, 1, 2, 3))
+
+
 def test_tfidf_top_terms_salience_and_bounds(spark):
     from dataquality_cli_spark.operators import text as T
 
@@ -1496,6 +1538,38 @@ def test_semantic_dedup_text_catches_reordered_duplicate(spark):
     assert len(ids) == 31                  # everything else untouched
     # all original columns come back
     assert set(kept.columns) == {"doc_id", "text"}
+
+
+def test_semantic_dedup_text_pca_composition(spark):
+    """pca_dim wires the one-pass PCA between hash embedding and
+    clustering: at high retained variance the dedup result is STABLE
+    under projection (identical kept set — the planted reordered pair
+    has identical embeddings, hence identical projections), and
+    metrics report the explained-variance fraction."""
+    import random
+
+    rng = random.Random(68)
+    docs = [(i, " ".join(f"w{rng.randrange(10**6)}" for _ in range(40)))
+            for i in range(30)]
+    toks = docs[0][1].split()
+    rng.shuffle(toks)
+    reordered = (500, " ".join(toks))
+    df = spark.createDataFrame(docs + [reordered],
+                               "doc_id long, text string")
+    m_plain, m_pca = {}, {}
+    kept_plain = {r.doc_id for r in similarity.semantic_dedup_text(
+        df, threshold=0.999, k=4, metrics_out=m_plain).collect()}
+    kept_pca = {r.doc_id for r in similarity.semantic_dedup_text(
+        df, threshold=0.999, k=4, pca_dim=32,
+        metrics_out=m_pca).collect()}
+    assert kept_pca == kept_plain
+    assert m_pca["n_dropped"] == 1 == m_plain["n_dropped"]
+    assert 0.0 < m_pca["pca_explained_fraction"] <= 1.0 + 1e-9
+    assert "pca_explained_fraction" not in m_plain
+    # pca_dim >= dim is a no-op passthrough (no projection column)
+    kept_noop = {r.doc_id for r in similarity.semantic_dedup_text(
+        df, threshold=0.999, k=4, pca_dim=64).collect()}
+    assert kept_noop == kept_plain
 
 
 def test_bloom_screen_no_false_negatives_and_fpp(spark):

@@ -39,7 +39,9 @@ ROWS_ONLY_MIN = {
     "doc_model_scores": 400,
     "corpus_ppl_buckets": 400,
     "dedup_semantic_text": 300,
+    "dedup_semantic_text_pca": 300,
     "dedup_bloom_screen": 450,
+    "dedup_bloom_screen_sharded": 450,
 }
 
 

@@ -2,12 +2,20 @@
 north star describes, composed from this repo's operators in ONE job —
 
     quality filter (langid + perplexity + heuristics + scrub)
+    -> cross-corpus Bloom prescreen (optional: prior snapshot filter;
+       --prior-kept verifies the maybe side exactly)
     -> exact dedup (sha256 keep-first on the SCRUBBED content)
     -> near-dup dedup (MinHash LSH -> verified Jaccard -> connected
        components, keep the cluster representative)
+    -> semantic dedup (optional: hash-embed -> [PCA] -> k-means ->
+       SemDeDup)
+    -> keep-one cross-document substring dedup (optional:
+       --cross-doc-min-docs, Lee et al. shape)
     -> benchmark decontamination (optional eval set)
     -> deterministic hash split (train/val)
     -> sequence packing (context-window batching, BPE-ish token counts)
+    -> Bloom artifact emit (optional: --emit-bloom, consumed by the
+       NEXT build's prescreen)
 
 Every stage is a DataFrame -> DataFrame transform already verified in
 isolation (oracle gate / pytest); this module is the composition plus
@@ -168,6 +176,37 @@ def emit_corpus_bloom(spark: SparkSession, kept: DataFrame,
     save_bloom(spark, build_bloom(keys, "_h", fpp=fpp), path)
 
 
+def _span_stage(uniq: DataFrame, k_tokens: int = 13,
+                min_docs: int = 5) -> DataFrame:
+    """Optional keep-one cross-document substring dedup (Lee et al.
+    shape): a k-token passage shared by >= ``min_docs`` surviving docs
+    keeps exactly its canonical occurrence; every other copy is deleted
+    in place. Runs AFTER whole-doc dedup (this stage is the only one
+    that sees embedded boilerplate those passes can't) and BEFORE
+    decontamination/packing so token budgets count the cleaned text.
+    Row count is unchanged — the funnel metric for this stage is
+    span_tokens_removed, not survivors. Docs with zero removed spans
+    keep their text byte-identical; modified docs get token-joined
+    (whitespace-normalized) text — the same contract as
+    dedup_cross_doc_spans."""
+    from dataquality_cli_spark.operators.dedup import (
+        dedup_cross_doc_spans)
+
+    cleaned = dedup_cross_doc_spans(uniq, text_col="text",
+                                    k_tokens=k_tokens,
+                                    min_docs=min_docs)
+    joined = uniq.join(
+        cleaned.select(
+            "doc_id", "cleaned_text",
+            F.col("n_tokens_removed").alias("span_tokens_removed")),
+        "doc_id")
+    return joined.withColumn(
+        "text",
+        F.when(F.col("span_tokens_removed") > 0,
+               F.col("cleaned_text")).otherwise(F.col("text")),
+    ).drop("cleaned_text")
+
+
 def _decontaminate_stage(uniq: DataFrame, benchmark: DataFrame,
                          min_hits: int) -> DataFrame:
     from dataquality_cli_spark.operators.text import benchmark_contamination
@@ -199,6 +238,7 @@ def build_corpus(
     semantic_pca_dim: int | None = None,
     bloom_artifact: str | None = None,
     prior_kept: str | None = None,
+    cross_doc_min_docs: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
     """Run the full chain over a (repo, path, commit, lang, content)
     corpus. Returns (train_packed, val_docs, kept_docs, metrics) where
@@ -253,12 +293,22 @@ def build_corpus(
     else:
         sem = uniq
 
+    # 3c. optional keep-one cross-document substring dedup
+    if cross_doc_min_docs is not None:
+        spanned = _span_stage(sem, min_docs=cross_doc_min_docs).persist()
+        metrics["after_span_dedup"] = spanned.count()
+        metrics["span_tokens_removed"] = int(
+            spanned.agg(F.sum("span_tokens_removed")).collect()[0][0]
+            or 0)
+    else:
+        spanned = sem
+
     # 4. decontamination vs the eval/benchmark set (broadcast join)
     if benchmark is not None:
         clean = _decontaminate_stage(
-            sem, benchmark, contamination_min_hits).persist()
+            spanned, benchmark, contamination_min_hits).persist()
     else:
-        clean = sem
+        clean = spanned
     metrics["after_decontamination"] = clean.count()
 
     # 5. deterministic split: val = fraction, train = complement (same
@@ -279,6 +329,8 @@ def build_corpus(
         uniq.unpersist()
     if sem is not clean and sem is not uniq:
         sem.unpersist()
+    if spanned is not clean and spanned is not sem and spanned is not uniq:
+        spanned.unpersist()
 
     return packed, val, clean, metrics
 
@@ -299,6 +351,7 @@ _STAGES = [
     ("exact", "after_exact_dedup"),
     ("unique", "after_neardup_dedup"),
     ("semantic", "after_semantic_dedup"),  # optional — row only if on
+    ("spans", "after_span_dedup"),  # optional — row only if on
     ("kept", "after_decontamination"),
     ("val", "val_docs"),
     ("train_packed", "train_docs"),
@@ -346,6 +399,7 @@ def build_corpus_resumable(
     semantic_pca_dim: int | None = None,
     bloom_artifact: str | None = None,
     prior_kept: str | None = None,
+    cross_doc_min_docs: int | None = None,
     emit_bloom: bool = False,
     run_id: str = "run0",
     fail_after_stages: int | None = None,
@@ -379,6 +433,7 @@ def build_corpus_resumable(
         "semantic_pca_dim": semantic_pca_dim,
         "bloom_artifact": bloom_artifact,
         "prior_kept": prior_kept,
+        "cross_doc_min_docs": cross_doc_min_docs,
         "val_fraction": val_fraction,
         "pack_budget": pack_budget,
         "contamination_min_hits": contamination_min_hits,
@@ -460,8 +515,15 @@ def build_corpus_resumable(
         exact = finish("exact", _exact_stage(screened))
     else:
         exact = load("exact")
+    # a stage writes the REAL <out>/kept directory iff it is the LAST
+    # enabled stage before decontamination and there is no benchmark
+    later_than_unique = (benchmark is not None
+                         or semantic_threshold is not None
+                         or cross_doc_min_docs is not None)
+    later_than_semantic = (benchmark is not None
+                           or cross_doc_min_docs is not None)
     if "unique" not in done:
-        if benchmark is not None or semantic_threshold is not None:
+        if later_than_unique:
             uniq = finish("unique", _neardup_stage(
                 exact, neardup_threshold, keep=neardup_keep))
         else:
@@ -484,7 +546,7 @@ def build_corpus_resumable(
     if semantic_threshold is None:
         sem = uniq
     elif "semantic" not in done:
-        if benchmark is not None:
+        if later_than_semantic:
             sem = finish("semantic", _semantic_stage(
                 uniq, semantic_threshold, pca_dim=semantic_pca_dim))
         else:
@@ -499,9 +561,29 @@ def build_corpus_resumable(
                                 "path": done["kept"]["path"]}
     else:
         sem = load("semantic")
+    # 3c. optional keep-one cross-document substring dedup (same
+    # kept-alias move as the stages above when it is the last one)
+    if cross_doc_min_docs is None:
+        spanned = sem
+    elif "spans" not in done:
+        if benchmark is not None:
+            spanned = finish("spans", _span_stage(
+                sem, min_docs=cross_doc_min_docs))
+        else:
+            if "kept" in done:
+                spanned = load("kept")
+            else:
+                spanned = finish("kept", _span_stage(
+                    sem, min_docs=cross_doc_min_docs))
+            _append_manifest(spark, out_dir, "spans", spanned.count(),
+                             done["kept"]["path"], run_id)
+            done["spans"] = {"n_rows": None,
+                             "path": done["kept"]["path"]}
+    else:
+        spanned = load("spans")
     if "kept" not in done:
         clean = finish("kept", _decontaminate_stage(
-            sem, benchmark, contamination_min_hits))
+            spanned, benchmark, contamination_min_hits))
     else:
         clean = load("kept")
 
@@ -582,6 +664,10 @@ def main() -> None:
                     help="enable the order-invariant semantic dedup "
                          "stage (hash-embed -> k-means -> SemDeDup) at "
                          "this cosine threshold")
+    ap.add_argument("--cross-doc-min-docs", type=int, default=None,
+                    help="enable keep-one cross-document substring "
+                         "dedup: passages shared by >= this many docs "
+                         "keep one canonical copy (Lee et al. shape)")
     ap.add_argument("--pca-dim", type=int, default=None,
                     help="project the semantic-dedup hash embeddings "
                          "to this dimension with distributed PCA "
@@ -654,6 +740,7 @@ def main() -> None:
         semantic_pca_dim=args.pca_dim,
         bloom_artifact=args.bloom_artifact,
         prior_kept=args.prior_kept,
+        cross_doc_min_docs=args.cross_doc_min_docs,
         emit_bloom=args.emit_bloom,
     )
     print(json.dumps({"metric": "corpus_build",

@@ -404,3 +404,69 @@ def test_corpus_build_bloom_prescreen(spark, tmp_path):
     with _pytest.raises(ValueError, match="different parameters"):
         build_corpus_resumable(spark, df, out, val_fraction=0.0,
                                pack_budget=1024)
+
+
+def test_corpus_build_cross_doc_span_stage(spark, tmp_path):
+    """--cross-doc-min-docs: a passage planted into several surviving
+    docs keeps exactly one canonical copy across the kept corpus;
+    untouched docs stay byte-identical; the chain is byte-identical
+    when the stage is off; the resumable runner writes <out>/kept via
+    the spans alias (no benchmark) and resumes as a noop."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dataquality_cli_spark.jobs.corpus_build_job import (
+        _read_manifest, build_corpus, build_corpus_resumable)
+
+    base = corpus_to_rows(gen_corpus(80, seed=43))
+    # find docs that survive the unmodified chain, then plant a shared
+    # 15-token passage into 5 of their contents
+    probe = build_corpus(spark, spark.createDataFrame(base, SCHEMA),
+                         val_fraction=0.0, pack_budget=1024)[2]
+    kept_paths = [r.path for r in
+                  probe.select("path").orderBy("path").collect()]
+    rng = random.Random(77)
+    passage = " ".join(f"boiler{rng.randrange(10**6)}" for _ in range(15))
+    targets = set(kept_paths[:5])
+    rows = [(r, p, c, lang, t + "\n" + passage if p in targets else t)
+            for (r, p, c, lang, t) in base]
+    df = spark.createDataFrame(rows, SCHEMA)
+
+    _p, _v, clean_off, m_off = build_corpus(
+        spark, df, val_fraction=0.0, pack_budget=1024)
+    _p, _v, clean_on, m_on = build_corpus(
+        spark, df, val_fraction=0.0, pack_budget=1024,
+        cross_doc_min_docs=3)
+    assert "after_span_dedup" not in m_off
+    # row count unchanged; tokens actually removed
+    assert m_on["after_span_dedup"] == m_on["after_neardup_dedup"]
+    assert m_on["span_tokens_removed"] >= 15 * 4  # 4 losers x 15 tokens
+    n_copies_off = clean_off.filter(
+        F.col("text").contains(passage)).count()
+    n_copies_on = clean_on.filter(
+        F.col("text").contains(passage)).count()
+    assert n_copies_off >= 3          # plant is non-vacuous
+    assert n_copies_on == 1           # exactly the canonical copy
+    # docs the stage did not touch are byte-identical between runs
+    # (the synth corpus is template-generated, so NATURAL shared spans
+    # may be cleaned beyond the planted ones — span_tokens_removed
+    # says which docs were rewritten)
+    off_texts = {r.path: r.text for r in clean_off.collect()}
+    on_rows = clean_on.collect()
+    assert set(off_texts) == {r.path for r in on_rows}
+    for r in on_rows:
+        if r.span_tokens_removed == 0:
+            assert off_texts[r.path] == r.text, r.path
+
+    # resumable: spans aliases kept (no benchmark), noop rerun
+    out = str(tmp_path / "spans")
+    kw = dict(val_fraction=0.0, pack_budget=1024, cross_doc_min_docs=3)
+    m_res = build_corpus_resumable(spark, df, out, **kw)
+    assert m_res["after_span_dedup"] == m_on["after_span_dedup"]
+    man = _read_manifest(spark, out)
+    assert man["spans"]["path"] == man["kept"]["path"]  # alias, no copy
+    kept_texts = {r.path: r.text for r in
+                  spark.read.parquet(f"{out}/kept").collect()}
+    assert sum(passage in t for t in kept_texts.values()) == 1
+    assert build_corpus_resumable(spark, df, out, **kw) == m_res

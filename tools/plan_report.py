@@ -48,6 +48,7 @@ CHECKS = {
     "doc_quality_deciles": "distributed ntile: RangePartitioning exchange + Window partitioned by _pid + broadcast offset join — NO SinglePartition exchange",
     "emb_semantic_dedup": "assignment persisted; ONE exchange on the cell key into FlatMapGroupsInPandas (per-cell chunked matmul) — no pair self-join, no interpreted cosine fold",
     "doc_code_line_profile": "one scan, whole-stage codegen split/filter/regexp chain — no Python, no shuffle",
+    "doc_cross_doc_spans": "keep-one substring dedup: window Generate in scan stage; repeated-hash set AND per-hash keeper (min-struct agg, no Window fn) both broadcast back onto the position stream; no UDF",
 }
 
 

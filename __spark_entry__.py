@@ -447,6 +447,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_stratified_sample"] = strat_sample
 
+    # domain mixing to a per-stratum TOKEN budget (the corpus-assembly
+    # step: "N tokens of web, M of code"): md5-ordered fill per lang
+    # until the running total crosses the budget — deterministic,
+    # engine-portable, exact DuckDB oracle
+    def token_mix(s, d):
+        from dataquality_cli_spark.operators.sampling import (
+            token_budget_mix)
+
+        docs = _t(s, d, "documents").select(
+            "doc_id", "lang",
+            F.size(F.split(F.col("text"), " ", -1)).cast("long")
+            .alias("n_tokens"))
+        return token_budget_mix(
+            docs, {"en": 4000, "de": 2500}, strata_col="lang")
+
+    q["corpus_token_budget_mix"] = token_mix
+
+    # model-based quality filter (FineWeb-Edu / DCLM shape): distributed
+    # logistic regression over cheap per-doc features, scored with a
+    # PURE column expression (no UDF on the 10^12-file hot path).
+    # Rows-only: iterative float training has no SQL twin; math parity,
+    # partition invariance and planted recovery are pytest-pinned.
+    def quality_clf(s, d):
+        from dataquality_cli_spark.functions.models import (
+            quality_classifier_score_col,
+            train_quality_classifier_distributed)
+
+        docs = _t(s, d, "documents").select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ", -1)).cast("double")
+            .alias("f_tokens"),
+            F.length("text").cast("double").alias("f_chars"),
+            (F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9]", ""))
+             / F.greatest(F.length("text"), F.lit(1))).alias("f_alnum"),
+            (F.col("lang") == "en").cast("int").alias("label"))
+        model = train_quality_classifier_distributed(
+            docs, ["f_tokens", "f_chars", "f_alnum"], n_iter=20)
+        return (docs
+                .withColumn("score", F.round(
+                    quality_classifier_score_col(model), 4))
+                .select("doc_id", "score").orderBy("doc_id"))
+
+    q["doc_quality_classifier"] = quality_clf
+
     q["corpus_lang_summary"] = lambda s, d: (
         _t(s, d, "documents")
         .groupBy("lang")
@@ -1022,13 +1066,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROUND-5 ROTATION: each query ADDED this round (doc_cross_doc_spans,
     # dedup_bloom_screen_sharded, dedup_semantic_text_pca) displaces one
     # r4-driver-green, r5-untouched entry into the tail
-    # (f7_name_truncate, doc_bpe_tokens, doc_alnum_fraction) — and
+    # (f7_name_truncate, doc_bpe_tokens, doc_alnum_fraction;
+    # corpus_token_budget_mix displaces doc_quality_score;
+    # doc_quality_classifier displaces doc_benchmark_contamination) — and
     # doc_remove_repeated_spans moves the OTHER way, OUT of the tail
     # (its implementation was refactored through _remove_spans_at this
     # round, so it must be re-checked), displaced by doc_stopword_langid.
     tail = [
         "f7_name_truncate", "doc_bpe_tokens", "doc_alnum_fraction",
-        "doc_stopword_langid",
+        "doc_stopword_langid", "doc_quality_score",
+        "doc_benchmark_contamination",
         "doc_quality_verdict",
         "doc_repetition_signals", "doc_chunks", "corpus_vocabulary",
         "doc_tfidf_terms", "corpus_bigram_lm", "dq_threshold_sweep",
@@ -1612,6 +1659,25 @@ def oracle_sql() -> dict[str, str]:
            OR (lang = 'en' AND
                md5('strata:en:' || CAST(doc_id AS VARCHAR))
                < '{_hex_threshold(0.5)}')
+    """
+
+    o["corpus_token_budget_mix"] = """
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 md5('mix:' || COALESCE(lang, chr(0) || 'null') || ':'
+                     || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+        b AS (SELECT * FROM (VALUES ('en', 4000), ('de', 2500))
+              AS v(lang, budget)),
+        r AS (SELECT t.doc_id, t.lang, t.n_tokens,
+                     b.budget,
+                     COALESCE(SUM(t.n_tokens) OVER (
+                       PARTITION BY t.lang ORDER BY t.h, t.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS prior
+              FROM t JOIN b USING (lang))
+        SELECT doc_id, lang, n_tokens FROM r WHERE prior < budget
     """
 
     o["corpus_lang_summary"] = f"""

@@ -441,6 +441,115 @@ def train_langid_distributed(df, label_col: str = "lang",
     return LangIdModel(classes, weights)
 
 
+def train_quality_classifier_distributed(
+        df, feature_cols: list, label_col: str = "label",
+        n_iter: int = 50, lr: float = 0.5, l2: float = 1e-4) -> dict:
+    """Distributed logistic-regression quality classifier — the
+    model-based filter tier of modern LLM pipelines (FineWeb-Edu /
+    DCLM-style: score docs with a small trained classifier instead of
+    hand thresholds; public method, standard full-batch gradient
+    descent recomputed from first principles).
+
+    Scale shape per iteration (the kmeans_fit pattern): the current
+    weight vector broadcasts; each partition computes its LOCAL
+    gradient contribution X^T (sigmoid(Xw) - y) with one numpy matmul
+    over the Arrow batch (no per-row Python) and emits d+1 (j, g)
+    rows; one uniform-key groupBy sums them and the driver takes the
+    step. Driver state is O(d) — never rows. Features are standardized
+    from a single (sum, sumsq, n) aggregate pass so a fixed learning
+    rate converges regardless of feature scale; constant features get
+    sigma 1 (zero weight gradient-flows to the bias). Rows with a NULL
+    label or NULL feature are excluded.
+
+    Deterministic up to float summation order: refits across partition
+    layouts agree to ~1e-9 (np.allclose, pytest-pinned), and the math
+    is numpy-parity with a driver-side reference loop.
+
+    Returns {w, b, mu, sigma, feature_cols, n} — pair with
+    ``quality_classifier_score_col`` for JVM-only scoring."""
+    from pyspark.sql import functions as F
+
+    d = len(feature_cols)
+    proj = df.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.col(label_col).cast("double").alias("_y"),
+    ).dropna()
+    proj = proj.persist()
+    try:
+        aggs = []
+        for c in feature_cols:
+            aggs += [F.sum(c), F.sum(F.col(c) * F.col(c))]
+        row = proj.agg(F.count(F.lit(1)).alias("n"), *aggs).collect()[0]
+        n = row["n"]
+        if n == 0:
+            raise ValueError("no complete labeled rows to train on")
+        mu = np.array([row[1 + 2 * j] for j in range(d)]) / n
+        ex2 = np.array([row[2 + 2 * j] for j in range(d)]) / n
+        var = np.maximum(ex2 - mu * mu, 0.0)
+        sigma = np.sqrt(var)
+        sigma[sigma == 0] = 1.0
+
+        spark = df.sparkSession
+        w = np.zeros(d + 1)  # last = bias
+        stats_bc = spark.sparkContext.broadcast((mu, sigma))
+
+        for _ in range(n_iter):
+            w_bc = spark.sparkContext.broadcast(w)
+
+            def part(batches, w_bc=w_bc):
+                import pandas as pd
+
+                mu_, sig_ = stats_bc.value
+                wv = w_bc.value
+                g = np.zeros(d + 1)
+                seen = False
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    seen = True
+                    x = (pdf[feature_cols].to_numpy(dtype=np.float64)
+                         - mu_) / sig_
+                    y = pdf["_y"].to_numpy(dtype=np.float64)
+                    z = x @ wv[:d] + wv[d]
+                    p = 1.0 / (1.0 + np.exp(-z))
+                    r = p - y
+                    g[:d] += x.T @ r
+                    g[d] += r.sum()
+                if seen:
+                    yield pd.DataFrame({
+                        "j": np.arange(d + 1, dtype="int64"), "g": g})
+
+            rows = (
+                proj.mapInPandas(part, "j long, g double")
+                .groupBy("j").agg(F.sum("g").alias("g")).collect()
+            )
+            grad = np.zeros(d + 1)
+            for r in rows:
+                grad[r["j"]] = r["g"]
+            reg = l2 * np.concatenate([w[:d], [0.0]])  # bias unregularized
+            w = w - lr * (grad / n + reg)
+    finally:
+        proj.unpersist()
+    return {"w": w[:d], "b": float(w[d]), "mu": mu, "sigma": sigma,
+            "feature_cols": list(feature_cols), "n": int(n)}
+
+
+def quality_classifier_score_col(model: dict):
+    """P(label=1) as a PURE column expression (whole-stage codegen, no
+    Python): sigmoid(sum_j w_j * (x_j - mu_j) / sigma_j + b). The
+    scoring pass over 10^12 files is the hot path — the trained model
+    is O(d) literals, so no broadcast or UDF is needed."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(model["b"])
+    for c, wj, mj, sj in zip(model["feature_cols"], model["w"],
+                             model["mu"], model["sigma"]):
+        z = z + F.lit(float(wj)) * (
+            (F.col(c).cast("double") - F.lit(float(mj)))
+            / F.lit(float(sj)))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
 def corpus_trained_models_bc(spark, df, labeled=None,
                              text_col: str = "content",
                              label_col: str = "lang"):

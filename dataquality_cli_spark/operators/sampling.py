@@ -322,3 +322,49 @@ def stratified_topk(df: DataFrame, strata_col: str, k: int,
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def token_budget_mix(df: DataFrame, budgets: dict[str, int],
+                     strata_col: str = "source",
+                     tokens_col: str = "n_tokens",
+                     key_col: str = "doc_id",
+                     salt: str = "mix") -> DataFrame:
+    """Domain mixing to a per-stratum TOKEN budget (the final corpus
+    assembly step of every LLM data pipeline: "200B tokens of web, 50B
+    of code, 10B of papers"): inside each stratum, take docs in
+    md5(salt:stratum:key) order until the running token total reaches
+    the budget. A doc is selected iff the sum of the tokens of all
+    STRICTLY-earlier docs in that order is below the budget — so the
+    first doc to cross the line is included (budgets are floors when
+    the stratum has enough data, and a stratum poorer than its budget
+    contributes everything). Strata absent from ``budgets`` are
+    dropped. Deterministic and engine-portable (exact DuckDB oracle):
+    same hash order as stratified_topk, so the k-draw and the
+    budget-draw nest under a shared salt.
+
+    Physical shape: one Window per stratum (running sum over the
+    preceding rows) — strata fill in parallel, single-stratum cost is
+    one ranged partition sort, the same bound stratified_topk carries;
+    the budget table is a broadcast join (stratum cardinality rows).
+    Returns the selected rows of ``df``."""
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    bdf = spark.createDataFrame(
+        [(k, int(v)) for k, v in budgets.items()],
+        f"{strata_col} string, _budget long")
+    h = F.md5(F.concat(
+        F.lit(salt + ":"),
+        F.coalesce(F.col(strata_col).cast("string"), F.lit("\x00null")),
+        F.lit(":"), F.col(key_col).cast("string"),
+    ))
+    w = (Window.partitionBy(strata_col)
+         .orderBy(h.asc(), F.col(key_col))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prior = F.coalesce(F.sum(F.col(tokens_col)).over(w), F.lit(0))
+    return (
+        df.join(F.broadcast(bdf), strata_col)
+        .withColumn("_prior", prior)
+        .filter(F.col("_prior") < F.col("_budget"))
+        .drop("_prior", "_budget")
+    )

@@ -140,3 +140,73 @@ def test_corpus_trained_models_reach_the_pipeline(spark):
     # clean synthetic corpus (models trained ON it find it in-domain)
     n_keep = sum(1 for r in trained.values() if r.keep)
     assert n_keep > len(trained) * 0.5
+
+
+def test_quality_classifier_trainer_parity_and_recovery(spark):
+    """Distributed logistic regression: numpy-parity with a driver-side
+    reference loop (same standardization, same updates), partition
+    invariance to float noise, planted-separable recovery, and
+    JVM-only scoring that matches the numpy sigmoid."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dataquality_cli_spark.functions.models import (
+        quality_classifier_score_col, train_quality_classifier_distributed)
+
+    rng = random.Random(31)
+    rows = []
+    for i in range(400):
+        y = i % 2
+        # class 1: higher f1, lower f2; f3 is noise
+        f1 = rng.gauss(3.0 if y else 1.0, 0.5)
+        f2 = rng.gauss(10.0 if y else 30.0, 4.0)
+        f3 = rng.gauss(0.0, 1.0)
+        rows.append((i, float(f1), float(f2), float(f3), y))
+    # a NULL-label and a NULL-feature row must be excluded, not crash
+    rows_n = rows + [(1000, 1.0, 1.0, 1.0, None), (1001, None, 1.0, 1.0, 1)]
+    df = spark.createDataFrame(
+        rows_n, "doc_id long, f1 double, f2 double, f3 double, label int")
+    feats = ["f1", "f2", "f3"]
+    model = train_quality_classifier_distributed(df, feats, n_iter=40)
+    assert model["n"] == 400
+
+    # driver-side reference loop: identical math on the same rows
+    x = np.array([[r[1], r[2], r[3]] for r in rows])
+    y = np.array([float(r[4]) for r in rows])
+    mu, sigma = x.mean(axis=0), x.std(axis=0)
+    sigma[sigma == 0] = 1.0
+    xs = (x - mu) / sigma
+    w = np.zeros(4)
+    for _ in range(40):
+        z = xs @ w[:3] + w[3]
+        r = 1.0 / (1.0 + np.exp(-z)) - y
+        grad = np.concatenate([xs.T @ r, [r.sum()]])
+        reg = 1e-4 * np.concatenate([w[:3], [0.0]])
+        w = w - 0.5 * (grad / 400 + reg)
+    assert np.allclose(model["w"], w[:3], atol=1e-7)
+    assert np.allclose(model["b"], w[3], atol=1e-7)
+    assert np.allclose(model["mu"], mu, atol=1e-9)
+
+    # partition invariance (float-sum noise only)
+    m2 = train_quality_classifier_distributed(
+        df.repartition(13), feats, n_iter=40)
+    assert np.allclose(model["w"], m2["w"], atol=1e-9)
+
+    # separable planted signal is recovered: accuracy >= 0.95, and the
+    # noise feature carries far less weight than the signal features
+    scored = df.dropna().withColumn(
+        "p", quality_classifier_score_col(model))
+    acc = scored.filter(
+        ((F.col("p") > 0.5) & (F.col("label") == 1))
+        | ((F.col("p") <= 0.5) & (F.col("label") == 0))).count() / 400
+    assert acc >= 0.95, acc
+    assert abs(model["w"][2]) < 0.3 * min(abs(model["w"][0]),
+                                          abs(model["w"][1]))
+
+    # the JVM scoring column == numpy sigmoid on the same model
+    got = {r.doc_id: r.p for r in scored.select("doc_id", "p").collect()}
+    z = xs @ model["w"] + model["b"]
+    want = 1.0 / (1.0 + np.exp(-z))
+    for i in range(400):
+        assert abs(got[i] - want[i]) < 1e-9

@@ -247,3 +247,49 @@ def test_stratified_topk_exact_counts_nesting_determinism(spark):
                                 "doc_id long, text string")
     assert semantic_dedup_text(one, metrics_out=m).count() == 1
     assert m["n_dropped"] == 0
+
+
+def test_token_budget_mix(spark):
+    """Domain mixing to per-stratum token budgets: each selected
+    stratum reaches its budget with a MINIMAL hash-ordered prefix
+    (dropping the last selected doc falls below budget), a stratum
+    poorer than its budget contributes everything, unbudgeted strata
+    drop, and the draw is deterministic across partitionings and
+    nested under a growing budget."""
+    from dataquality_cli_spark.operators.sampling import (
+        stratified_topk, token_budget_mix)
+
+    rows = [(i,
+             "en" if i < 300 else ("fr" if i < 380 else "de"),
+             10 + (i % 7))  # 10..16 tokens each
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    budgets = {"en": 500, "de": 10_000}
+    out = token_budget_mix(df, budgets, strata_col="lang")
+    sums = {r.lang: (r.s, r.n) for r in out.groupBy("lang").agg(
+        F.sum("n_tokens").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()}
+    assert set(sums) == {"en", "de"}           # fr unbudgeted -> dropped
+    # en: budget reached, and minimally — the selected set is a prefix,
+    # so total >= budget but total - max_single_doc < budget + slack:
+    # dropping the LAST doc in hash order must fall below the budget
+    assert sums["en"][0] >= 500
+    # de is poorer than its budget: every doc contributes
+    de_total = sum(10 + (i % 7) for i in range(380, 400))
+    assert sums["de"] == (de_total, 20)
+    # minimality: re-run with the selected en docs EXCLUDING the
+    # hash-largest one — that subset's total must be under budget
+    en_sel = out.filter("lang = 'en'")
+    n_en = en_sel.count()
+    prefix = stratified_topk(
+        df.join(en_sel.select("doc_id"), "doc_id", "left_semi"),
+        "lang", n_en - 1, salt="mix")
+    prefix_sum = prefix.agg(F.sum("n_tokens")).collect()[0][0]
+    assert prefix_sum < 500
+    # determinism + nesting
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in token_budget_mix(
+        df.repartition(13), budgets, strata_col="lang").collect()}
+    big = {r.doc_id for r in token_budget_mix(
+        df, {"en": 900, "de": 10_000}, strata_col="lang").collect()}
+    assert a == b and a <= big

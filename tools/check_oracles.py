@@ -42,6 +42,7 @@ ROWS_ONLY_MIN = {
     "dedup_semantic_text_pca": 300,
     "dedup_bloom_screen": 450,
     "dedup_bloom_screen_sharded": 450,
+    "doc_quality_classifier": 400,
 }
 
 

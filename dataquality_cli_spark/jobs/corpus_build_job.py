@@ -165,15 +165,25 @@ def _bloom_stage(spark: SparkSession, kept: DataFrame,
 
 
 def emit_corpus_bloom(spark: SparkSession, kept: DataFrame,
-                      path: str, fpp: float = 0.01) -> None:
+                      path: str, fpp: float = 0.01,
+                      n_shards: int | None = None) -> None:
     """Write the Bloom artifact of a built corpus (scrubbed-text
     sha256 keys) — the filter the NEXT build's ``bloom_artifact``
-    prescreen consumes; build N emits, build N+1 screens."""
+    prescreen consumes; build N emits, build N+1 screens. ``n_shards``
+    switches to the range-sharded composition for corpora past the
+    single-bitmap ceiling (~10^9-10^10 keys); the prescreen reads
+    either layout transparently (load_bloom/might_contain_col accept
+    both)."""
     from dataquality_cli_spark.operators.bloom import (
-        build_bloom, save_bloom)
+        build_bloom, build_bloom_sharded, save_bloom)
 
     keys = kept.select(F.sha2(F.col("text"), 256).alias("_h"))
-    save_bloom(spark, build_bloom(keys, "_h", fpp=fpp), path)
+    if n_shards is None:
+        model = build_bloom(keys, "_h", fpp=fpp)
+    else:
+        model = build_bloom_sharded(keys, "_h", n_shards=n_shards,
+                                    fpp=fpp)
+    save_bloom(spark, model, path)
 
 
 def _span_stage(uniq: DataFrame, k_tokens: int = 13,

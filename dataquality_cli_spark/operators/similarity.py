@@ -380,21 +380,30 @@ def ann_lsh_topk(df: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 
     index."""
     planes = hyperplanes(dim, n_planes * n_tables, seed)
     buckets = _table_buckets(F.col(vec_col), planes, n_tables)
-    t_b = df.select(F.col(id_col), F.posexplode(buckets).alias("table", "bucket"))
+    t_b = df.select(F.col(id_col).alias("neighbor_id"),
+                    F.posexplode(buckets).alias("table", "bucket"))
     q_b = queries.select(
         F.col(id_col).alias("query_id"),
         F.posexplode(buckets).alias("table", "bucket"),
-    )
-    cands = (
-        t_b.join(F.broadcast(q_b), ["table", "bucket"])
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select("query_id", F.col(id_col).alias("neighbor_id"))
-        .distinct()
     )
     q_vecs = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
     t_vecs = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("t_vec"))
+    return _lsh_rank(t_b, q_b, q_vecs, t_vecs, k)
+
+
+def _lsh_rank(t_b: DataFrame, q_b: DataFrame, q_vecs: DataFrame,
+              t_vecs: DataFrame, k: int) -> DataFrame:
+    """Shared candidate-join + exact-rerank tail of the LSH ANN paths:
+    (table, bucket) equi-join with the query side broadcast, distinct
+    candidate pairs, cosine rerank against the vectors table."""
+    cands = (
+        t_b.join(F.broadcast(q_b), ["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
     scored = (
         cands.join(F.broadcast(q_vecs), "query_id")
         .join(t_vecs, "neighbor_id")
@@ -406,6 +415,73 @@ def ann_lsh_topk(df: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def save_ann_lsh_index(df: DataFrame, path: str, n_planes: int = 4,
+                       n_tables: int = 16, id_col: str = "vec_id",
+                       vec_col: str = "embedding", dim: int = 64,
+                       seed: int = 41) -> None:
+    """Persist the multi-table LSH ANN index (the save_ivf_index twin):
+    hyperplanes in long form, the (id, table, bucket) membership table
+    PARTITIONED BY table, and the vectors table for the rerank join —
+    serving a query batch then reads only the probed table partitions
+    and never re-hashes the corpus. Vectors are stored ONCE (the bucket
+    table carries ids only), so the index costs n_tables bucket rows
+    per vector, not n_tables vector copies."""
+    spark = df.sparkSession
+    planes = hyperplanes(dim, n_planes * n_tables, seed)
+    spark.createDataFrame(
+        [(int(i), int(j), float(planes[i, j]))
+         for i in range(planes.shape[0]) for j in range(planes.shape[1])],
+        "plane int, d int, v double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "planes"))
+    spark.createDataFrame(
+        [(n_planes, n_tables, dim, seed)],
+        "n_planes int, n_tables int, dim int, seed int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "meta"))
+    buckets = _table_buckets(F.col(vec_col), planes, n_tables)
+    (df.select(F.col(id_col).alias("neighbor_id"),
+               F.posexplode(buckets).alias("table", "bucket"))
+       .write.mode("overwrite").partitionBy("table")
+       .parquet(os.path.join(path, "buckets")))
+    (df.select(F.col(id_col).alias("neighbor_id"),
+               F.col(vec_col).alias("t_vec"))
+       .write.mode("overwrite").parquet(os.path.join(path, "vectors")))
+
+
+def load_ann_lsh_index(spark, path: str) -> dict:
+    """{planes, n_tables, buckets, vectors} — buckets/vectors are lazy
+    DataFrames; the query side hashes against the loaded planes so a
+    different session serves identical buckets."""
+    meta = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
+    rows = spark.read.parquet(os.path.join(path, "planes")).collect()
+    n = max(r["plane"] for r in rows) + 1
+    dim = max(r["d"] for r in rows) + 1
+    planes = np.zeros((n, dim))
+    for r in rows:
+        planes[r["plane"], r["d"]] = r["v"]
+    return {"planes": planes, "n_tables": int(meta["n_tables"]),
+            "buckets": spark.read.parquet(os.path.join(path, "buckets")),
+            "vectors": spark.read.parquet(os.path.join(path, "vectors"))}
+
+
+def ann_lsh_topk_indexed(index: dict, queries: DataFrame, k: int = 5,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Serve LSH top-k against a PERSISTED index (``load_ann_lsh_index``):
+    the corpus side arrives pre-hashed — only the query batch pays the
+    hyperplane projections."""
+    q_b = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(_table_buckets(
+            F.col(vec_col), index["planes"], index["n_tables"]))
+        .alias("table", "bucket"),
+    )
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
+    return _lsh_rank(index["buckets"], q_b, q_vecs, index["vectors"], k)
 
 
 def embedding_centroids(df: DataFrame, vec_col: str = "embedding",

@@ -406,6 +406,28 @@ def test_corpus_build_bloom_prescreen(spark, tmp_path):
                                pack_budget=1024)
 
 
+def test_emit_corpus_bloom_sharded_layout(spark, tmp_path):
+    """emit_corpus_bloom(n_shards=) writes the range-sharded artifact;
+    the prescreen loads either layout transparently and keeps the
+    no-false-negative guarantee."""
+    from pyspark.sql import functions as F
+
+    from dataquality_cli_spark.jobs.corpus_build_job import (
+        emit_corpus_bloom)
+    from dataquality_cli_spark.operators.bloom import (
+        load_bloom, might_contain_col)
+
+    kept = spark.range(300).select(
+        F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"))
+    path = str(tmp_path / "bloom_sharded")
+    emit_corpus_bloom(spark, kept, path, n_shards=3)
+    model = load_bloom(spark, path)
+    assert model["n_shards"] == 3
+    keys = kept.select(F.sha2(F.col("text"), 256).alias("h"))
+    assert might_contain_col(keys, model, "h") \
+        .filter("NOT maybe_member").count() == 0
+
+
 def test_corpus_build_cross_doc_span_stage(spark, tmp_path):
     """--cross-doc-min-docs: a passage planted into several surviving
     docs keeps exactly one canonical copy across the kept corpus;

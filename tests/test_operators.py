@@ -177,6 +177,28 @@ def test_train_ivf_centroids_id_correlated_sample(spark):
                     i, j, per_label)
 
 
+def test_ann_lsh_index_save_load_roundtrip(emb, tmp_path):
+    """Persisted multi-table LSH index: serving from the loaded index
+    returns byte-identical top-k to the live path; the bucket table is
+    table-partitioned for pruning and carries ids only (vectors stored
+    once)."""
+    q = emb.filter(F.col("vec_id") < 5)
+    live = sorted(map(tuple, similarity.ann_lsh_topk(
+        emb, q, k=5).collect()))
+    path = str(tmp_path / "lsh_index")
+    similarity.save_ann_lsh_index(emb, path)
+    spark = emb.sparkSession
+    idx = similarity.load_ann_lsh_index(spark, path)
+    served = sorted(map(tuple, similarity.ann_lsh_topk_indexed(
+        idx, q, k=5).collect()))
+    assert served == live
+    assert set(idx["buckets"].columns) == {"neighbor_id", "table",
+                                           "bucket"}  # ids only
+    one_table = idx["buckets"].filter(F.col("table") == 0)
+    plan = one_table._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(table" in plan
+
+
 def test_ivf_index_save_load_roundtrip(emb, tmp_path):
     import numpy as np
 

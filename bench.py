@@ -201,9 +201,10 @@ def main() -> None:
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     t0 = time.perf_counter()
     kmeans_fit(embs, k=16, n_iter=5)
-    dt = time.perf_counter() - t0
-    training["kmeans_fit_k16_i5_sec"] = round(dt, 3)
-    training["kmeans_per_iter_sec"] = round(dt / 5, 3)
+    # own variable: `dt` above still feeds pipeline_files_per_sec below
+    km_dt = time.perf_counter() - t0
+    training["kmeans_fit_k16_i5_sec"] = round(km_dt, 3)
+    training["kmeans_per_iter_sec"] = round(km_dt / 5, 3)
 
     print(json.dumps({
         "metric": "headline_suite_seconds",

@@ -489,18 +489,15 @@ def train_quality_classifier_distributed(
         sigma = np.sqrt(var)
         sigma[sigma == 0] = 1.0
 
-        spark = df.sparkSession
         w = np.zeros(d + 1)  # last = bias
-        stats_bc = spark.sparkContext.broadcast((mu, sigma))
-
         for _ in range(n_iter):
-            w_bc = spark.sparkContext.broadcast(w)
-
-            def part(batches, w_bc=w_bc):
+            # w/mu/sigma are (d+1) floats — shipped in the task closure
+            # (pickled per job), NOT broadcast: one broadcast per
+            # iteration would accumulate n_iter never-destroyed
+            # executor-side copies per fit on a long-lived driver
+            def part(batches, wv=w.copy(), mu_=mu, sig_=sigma):
                 import pandas as pd
 
-                mu_, sig_ = stats_bc.value
-                wv = w_bc.value
                 g = np.zeros(d + 1)
                 seen = False
                 for pdf in batches:

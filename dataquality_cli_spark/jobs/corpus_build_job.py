@@ -459,14 +459,22 @@ def build_corpus_resumable(
         spark.createDataFrame([(params_json,)], "params string") \
             .coalesce(1).write.parquet(params_path)
     prior = pdf.collect()[0]["params"] if pdf is not None else None
-    if prior is not None and prior != params_json:
-        diff = {k: (json.loads(prior).get(k), v) for k, v in params.items()
-                if json.loads(prior).get(k) != v}
-        raise ValueError(
-            f"build_corpus_resumable: {out_dir} was built with "
-            f"different parameters {diff} (prior, new) — resuming "
-            f"would mix configs; use a fresh out_dir or delete it"
-        )
+    if prior is not None:
+        # compare PARSED dicts, treating a key missing from the stored
+        # params as None: stage options added in later releases default
+        # to None/off, so an out_dir written before an option existed
+        # stays resumable with the same effective config — a raw JSON
+        # string comparison bricked every in-flight pre-upgrade build
+        # (and reported an EMPTY diff while doing it)
+        prior_params = json.loads(prior)
+        diff = {k: (prior_params.get(k), v) for k, v in params.items()
+                if prior_params.get(k) != v}
+        if diff:
+            raise ValueError(
+                f"build_corpus_resumable: {out_dir} was built with "
+                f"different parameters {diff} (prior, new) — resuming "
+                f"would mix configs; use a fresh out_dir or delete it"
+            )
 
     done = _read_manifest(spark, out_dir)
     computed_this_run = 0

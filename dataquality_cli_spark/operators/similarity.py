@@ -187,11 +187,16 @@ def ivf_probe_cells(frame: DataFrame, centroids: np.ndarray, nprobe: int,
                     arrow_threshold: int = ARROW_PROBE_THRESHOLD) -> DataFrame:
     """Adds ``out_col``: array<int> of the ``nprobe`` best centroid ids
     by dot product, best first (ties -> lower cell id). Two physical
-    paths with IDENTICAL results (pytest parity): pure column
-    expressions for tiny centroid sets (stays in whole-stage codegen,
-    no Python workers), and an Arrow batch matmul against the broadcast
-    centroid matrix above ``arrow_threshold`` centroids — top-nprobe via
-    numpy argpartition, so per-row cost is O(k) not O(k log k)."""
+    paths with IDENTICAL results (pytest parity, including full-tie
+    inputs like the zero vector): pure column expressions for tiny
+    centroid sets (stays in whole-stage codegen, no Python workers),
+    and an Arrow batch matmul against the broadcast centroid matrix
+    above ``arrow_threshold`` centroids. The Arrow top-nprobe is a full
+    per-row lexsort on (-score, cell id) — O(k log k) instead of
+    argpartition's O(k), because argpartition picks an ARBITRARY top-p
+    set on score ties at the boundary (zero vectors from empty docs tie
+    every centroid) and would silently break parity with the literal
+    path's stable sort; the matmul dominates the cost either way."""
     cent = np.asarray(centroids, dtype=np.float64)
     if len(cent) <= arrow_threshold:
         return frame.withColumn(
@@ -208,17 +213,10 @@ def ivf_probe_cells(frame: DataFrame, centroids: np.ndarray, nprobe: int,
         if x.size == 0:
             return pd.Series([], dtype=object)
         scores = x @ c.T
-        rows = np.arange(len(x))[:, None]
-        if p < c.shape[0]:
-            cand = np.argpartition(-scores, p - 1, axis=1)[:, :p]
-        else:
-            cand = np.broadcast_to(
-                np.arange(c.shape[0]), scores.shape).copy()
-        s = scores[rows, cand]
-        # (-score, cell) order per row — parity with the literal
-        # comparator's tie-break (lower cell id first)
-        order = np.lexsort((cand, -s))
-        top = cand[rows, order]
+        # (-score, cell) order per row: deterministic under ties
+        idx = np.broadcast_to(np.arange(c.shape[0]), scores.shape)
+        order = np.lexsort((idx, -scores))
+        top = order[:, :p]
         return pd.Series(list(top.astype("int32")))
 
     return frame.withColumn(out_col, topc(F.col(vec_col)))

@@ -406,6 +406,43 @@ def test_corpus_build_bloom_prescreen(spark, tmp_path):
                                pack_budget=1024)
 
 
+def test_resume_params_guard_tolerates_missing_new_keys(spark, tmp_path):
+    """An out_dir whose stored _params predates newly-added stage
+    options (keys absent) must stay resumable when those options keep
+    their None/off defaults — and a REAL difference must still raise
+    with a NON-empty diff (regression: raw JSON string comparison
+    bricked pre-upgrade builds and reported 'different parameters {}')."""
+    import json
+
+    import pytest
+
+    from dataquality_cli_spark.jobs.corpus_build_job import (
+        build_corpus_resumable)
+
+    df = spark.createDataFrame(corpus_to_rows(gen_corpus(40, seed=61)),
+                               SCHEMA)
+    out = str(tmp_path / "out")
+    kw = dict(val_fraction=0.1, pack_budget=1024)
+    m1 = build_corpus_resumable(spark, df, out, **kw)
+
+    # simulate a pre-upgrade artifact: strip keys added after the run
+    prior = json.loads(
+        spark.read.parquet(f"{out}/_params").collect()[0]["params"])
+    stripped = {k: v for k, v in prior.items()
+                if k not in ("semantic_pca_dim", "bloom_artifact",
+                             "prior_kept", "cross_doc_min_docs")}
+    spark.createDataFrame(
+        [(json.dumps(stripped, sort_keys=True),)], "params string") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{out}/_params")
+
+    # same effective config -> pure resume, identical metrics
+    assert build_corpus_resumable(spark, df, out, **kw) == m1
+    # real drift -> raise, and the diff names the changed key
+    with pytest.raises(ValueError, match="val_fraction"):
+        build_corpus_resumable(spark, df, out, val_fraction=0.3,
+                               pack_budget=1024)
+
+
 def test_emit_corpus_bloom_sharded_layout(spark, tmp_path):
     """emit_corpus_bloom(n_shards=) writes the range-sharded artifact;
     the prescreen loads either layout transparently and keeps the

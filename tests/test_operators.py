@@ -149,6 +149,20 @@ def test_ann_ivf_arrow_path_parity(emb):
         emb, cents, 3, out_col="cells", arrow_threshold=0)
         .select("vec_id", "cells").collect()}
     assert lit_cells == ar_cells
+    # FULL-TIE input (the zero vector hash_embedding emits for empty
+    # docs): every centroid scores 0, both paths must agree on the
+    # lowest-cell-id tie-break (argpartition at the boundary was
+    # arbitrary here — regression)
+    spark = emb.sparkSession
+    dim = len(emb.select("embedding").first()[0])
+    zero = spark.createDataFrame(
+        [(1, [0.0] * dim)], "vec_id long, embedding array<float>")
+    z_lit = similarity.ivf_probe_cells(
+        zero, cents, 3, out_col="cells").select("cells").first()[0]
+    z_ar = similarity.ivf_probe_cells(
+        zero, cents, 3, out_col="cells",
+        arrow_threshold=0).select("cells").first()[0]
+    assert z_lit == z_ar == [0, 1, 2]
 
 
 def test_train_ivf_centroids_id_correlated_sample(spark):

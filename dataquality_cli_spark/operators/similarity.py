@@ -297,6 +297,33 @@ def save_ivf_index(df: DataFrame, centroids: np.ndarray, path: str,
         .parquet(os.path.join(path, "lists"))
 
 
+def ivf_index_add(spark, path: str, new_df: DataFrame,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  arrow_threshold: int = ARROW_PROBE_THRESHOLD) -> None:
+    """Append a new batch to a persisted IVF index WITHOUT refit (the
+    incremental-ingest path, the lsh_incremental_pairs analog for
+    serving): new vectors are assigned with the SAVED centroids and
+    appended to the cell-partitioned inverted lists — the existing
+    corpus is never re-read or re-assigned, and the coarse quantizer
+    stays fixed so old and new entries are comparable. Re-train +
+    rebuild (save_ivf_index) when drift between the corpus and the
+    centroids grows; that policy call belongs to the caller."""
+    cent_rows = spark.read.parquet(
+        os.path.join(path, "centroids")).collect()
+    n_cells = max(r["cell"] for r in cent_rows) + 1
+    dim = max(r["d"] for r in cent_rows) + 1
+    cent = np.zeros((n_cells, dim), dtype=np.float64)
+    for r in cent_rows:
+        cent[r["cell"], r["d"]] = r["v"]
+    assigned = (
+        ivf_probe_cells(new_df, cent, 1, vec_col, "_cells",
+                        arrow_threshold)
+        .select(id_col, vec_col, F.col("_cells")[0].alias("cell"))
+    )
+    assigned.write.mode("append").partitionBy("cell") \
+        .parquet(os.path.join(path, "lists"))
+
+
 def load_ivf_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
     """(centroids, inverted-list DataFrame). The list frame is lazy —
     serving joins prune to the probed cell partitions."""
@@ -447,6 +474,24 @@ def save_ann_lsh_index(df: DataFrame, path: str, n_planes: int = 4,
     (df.select(F.col(id_col).alias("neighbor_id"),
                F.col(vec_col).alias("t_vec"))
        .write.mode("overwrite").parquet(os.path.join(path, "vectors")))
+
+
+def ann_lsh_index_add(spark, path: str, new_df: DataFrame,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> None:
+    """Append a new batch to a persisted LSH index without rebuild:
+    hash the batch against the SAVED planes and append its bucket rows
+    and vectors — the ivf_index_add twin."""
+    idx = load_ann_lsh_index(spark, path)
+    buckets = _table_buckets(F.col(vec_col), idx["planes"],
+                             idx["n_tables"])
+    (new_df.select(F.col(id_col).alias("neighbor_id"),
+                   F.posexplode(buckets).alias("table", "bucket"))
+       .write.mode("append").partitionBy("table")
+       .parquet(os.path.join(path, "buckets")))
+    (new_df.select(F.col(id_col).alias("neighbor_id"),
+                   F.col(vec_col).alias("t_vec"))
+       .write.mode("append").parquet(os.path.join(path, "vectors")))
 
 
 def load_ann_lsh_index(spark, path: str) -> dict:

@@ -191,6 +191,42 @@ def test_train_ivf_centroids_id_correlated_sample(spark):
                     i, j, per_label)
 
 
+def test_index_incremental_add_equals_full_build(emb, tmp_path):
+    """ivf_index_add / ann_lsh_index_add: building an index on half
+    the corpus and appending the other half serves IDENTICAL top-k to
+    an index built on everything at once (same centroids/planes — the
+    batch path never re-reads or re-assigns the existing corpus)."""
+    spark = emb.sparkSession
+    q = emb.filter(F.col("vec_id") < 3)
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    cents = similarity.train_ivf_centroids(emb, n_centroids=8)
+
+    full_p = str(tmp_path / "ivf_full")
+    inc_p = str(tmp_path / "ivf_inc")
+    similarity.save_ivf_index(emb, cents, full_p)
+    similarity.save_ivf_index(old, cents, inc_p)
+    similarity.ivf_index_add(spark, inc_p, new)
+    _, lists_full = similarity.load_ivf_index(spark, full_p)
+    c2, lists_inc = similarity.load_ivf_index(spark, inc_p)
+    a = sorted(map(tuple, similarity.ann_ivf_topk_indexed(
+        lists_full, q, cents, k=5, nprobe=4).collect()))
+    b = sorted(map(tuple, similarity.ann_ivf_topk_indexed(
+        lists_inc, q, c2, k=5, nprobe=4).collect()))
+    assert a == b and len(a) > 0
+
+    full_l = str(tmp_path / "lsh_full")
+    inc_l = str(tmp_path / "lsh_inc")
+    similarity.save_ann_lsh_index(emb, full_l)
+    similarity.save_ann_lsh_index(old, inc_l)
+    similarity.ann_lsh_index_add(spark, inc_l, new)
+    la = sorted(map(tuple, similarity.ann_lsh_topk_indexed(
+        similarity.load_ann_lsh_index(spark, full_l), q, k=5).collect()))
+    lb = sorted(map(tuple, similarity.ann_lsh_topk_indexed(
+        similarity.load_ann_lsh_index(spark, inc_l), q, k=5).collect()))
+    assert la == lb and len(la) > 0
+
+
 def test_ann_lsh_index_save_load_roundtrip(emb, tmp_path):
     """Persisted multi-table LSH index: serving from the loaded index
     returns byte-identical top-k to the live path; the bucket table is

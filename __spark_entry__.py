@@ -491,6 +491,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_quality_classifier"] = quality_clf
 
+    # permissive-license screening (code-corpus admission gate, The
+    # Stack / StarCoder shape). The prose fixture has no license
+    # markers, so one doc per pattern family is PLANTED (the norm_dups
+    # vacuous-check convention) — the oracle sees the same union.
+    def lic(s, d):
+        docs = _t(s, d, "documents").select("doc_id", "text")
+        planted = s.createDataFrame(
+            [(90001, "/* SPDX-License-Identifier: MIT */ int main() {}"),
+             (90002, "Permission is hereby granted, free of charge, "
+                     "to any person obtaining a copy"),
+             (90003, "Licensed under the Apache License, Version 2.0 "
+                     "(the License)"),
+             (90004, "This program is covered by the GNU General "
+                     "Public License"),
+             (90005, "Redistribution and use in source and binary "
+                     "forms, with or without modification"),
+             (90006, "plain file with no license marker at all")],
+            "doc_id long, text string")
+        return text.license_guess(docs.unionByName(planted))
+
+    q["doc_license_guess"] = lic
+
+    # high-entropy token screen (detect-secrets complement to the
+    # pattern scrub): Shannon bits/char over candidate tokens as pure
+    # HOF expressions; one random-key doc planted so the >4-bit gate
+    # actually fires at sf0.01
+    def entropy(s, d):
+        docs = _t(s, d, "documents").select("doc_id", "text")
+        planted = s.createDataFrame(
+            [(90001, "key = c9Xv2bQ7ZpLw4RkTmY8dN3fHsGjA6uE1 end"),
+             (90002, "divider -------------------------------- done")],
+            "doc_id long, text string")
+        return text.entropy_signals(docs.unionByName(planted))
+
+    q["doc_entropy_signals"] = entropy
+
     q["corpus_lang_summary"] = lambda s, d: (
         _t(s, d, "documents")
         .groupBy("lang")
@@ -1068,14 +1104,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4-driver-green, r5-untouched entry into the tail
     # (f7_name_truncate, doc_bpe_tokens, doc_alnum_fraction;
     # corpus_token_budget_mix displaces doc_quality_score;
-    # doc_quality_classifier displaces doc_benchmark_contamination) — and
+    # doc_quality_classifier displaces doc_benchmark_contamination;
+    # doc_license_guess / doc_entropy_signals displace
+    # doc_repo_quality_report / profile_documents_table) — and
     # doc_remove_repeated_spans moves the OTHER way, OUT of the tail
     # (its implementation was refactored through _remove_spans_at this
     # round, so it must be re-checked), displaced by doc_stopword_langid.
     tail = [
         "f7_name_truncate", "doc_bpe_tokens", "doc_alnum_fraction",
         "doc_stopword_langid", "doc_quality_score",
-        "doc_benchmark_contamination",
+        "doc_benchmark_contamination", "doc_repo_quality_report",
+        "profile_documents_table",
         "doc_quality_verdict",
         "doc_repetition_signals", "doc_chunks", "corpus_vocabulary",
         "doc_tfidf_terms", "corpus_bigram_lm", "dq_threshold_sweep",
@@ -1678,6 +1717,69 @@ def oracle_sql() -> dict[str, str]:
                        0) AS prior
               FROM t JOIN b USING (lang))
         SELECT doc_id, lang, n_tokens FROM r WHERE prior < budget
+    """
+
+    o["doc_license_guess"] = r"""
+        WITH u AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT CAST(v.doc_id AS BIGINT), v.text FROM (VALUES
+            (90001, '/* SPDX-License-Identifier: MIT */ int main() {}'),
+            (90002, 'Permission is hereby granted, free of charge, to any person obtaining a copy'),
+            (90003, 'Licensed under the Apache License, Version 2.0 (the License)'),
+            (90004, 'This program is covered by the GNU General Public License'),
+            (90005, 'Redistribution and use in source and binary forms, with or without modification'),
+            (90006, 'plain file with no license marker at all')
+          ) AS v(doc_id, text)),
+        s AS (SELECT doc_id, text,
+                     regexp_extract(text,
+                       'SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)',
+                       1) AS spdx
+              FROM u)
+        SELECT doc_id,
+               CASE WHEN spdx != '' THEN lower(spdx) ELSE '' END AS spdx_id,
+               CASE WHEN spdx != '' THEN lower(spdx)
+                    WHEN regexp_matches(text, '(?i)permission is hereby granted, free of charge') THEN 'mit'
+                    WHEN regexp_matches(text, '(?i)licensed under the apache license,? version 2') THEN 'apache-2.0'
+                    WHEN regexp_matches(text, '(?i)gnu general public license') THEN 'gpl'
+                    WHEN regexp_matches(text, '(?i)redistribution and use in source and binary forms') THEN 'bsd'
+                    WHEN regexp_matches(text, '(?i)mozilla public license,? v(ersion)?\.? ?2') THEN 'mpl-2.0'
+                    ELSE 'none' END AS license_guess
+        FROM s
+    """
+
+    o["doc_entropy_signals"] = r"""
+        WITH u AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT CAST(v.doc_id AS BIGINT), v.text FROM (VALUES
+            (90001, 'key = c9Xv2bQ7ZpLw4RkTmY8dN3fHsGjA6uE1 end'),
+            (90002, 'divider -------------------------------- done')
+          ) AS v(doc_id, text)),
+        t AS (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                       tok -> len(tok) >= 20
+                              AND regexp_matches(tok, '^[A-Za-z0-9+/=_-]+$'))
+                     AS toks
+              FROM u),
+        e AS (SELECT doc_id, toks,
+                     list_transform(toks, tok -> round(
+                       0.0 - list_sum(list_transform(
+                         list_distinct(string_split(tok, '')),
+                         c -> (CAST(len(list_filter(string_split(tok, ''),
+                                                    x -> x = c)) AS DOUBLE)
+                               / CAST(len(tok) AS DOUBLE))
+                              * log2(CAST(len(list_filter(string_split(tok, ''),
+                                                          x -> x = c)) AS DOUBLE)
+                                     / CAST(len(tok) AS DOUBLE)))),
+                       4)) AS ents
+              FROM t)
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_candidates,
+               COALESCE(list_aggregate(ents, 'max'), 0.0) AS max_entropy,
+               CAST(len(list_filter(ents, x -> x > 4.0)) AS BIGINT)
+                 AS n_high_entropy
+        FROM e
     """
 
     o["corpus_lang_summary"] = f"""

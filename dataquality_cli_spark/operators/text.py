@@ -568,3 +568,90 @@ def code_line_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.array_max(F.transform(idents, lambda x: F.length(x))),
             F.lit(0)).cast("long").alias("max_identifier_len"),
     )
+
+
+# SPDX tag wins over header-phrase guesses; phrases are the canonical
+# opening sentences of each license family, ASCII-only so Java regex
+# and RE2 (the DuckDB oracle engine) agree. Order = precedence.
+LICENSE_HEADER_PATTERNS = [
+    ("mit", "(?i)permission is hereby granted, free of charge"),
+    ("apache-2.0", "(?i)licensed under the apache license,? version 2"),
+    ("gpl", "(?i)gnu general public license"),
+    ("bsd", "(?i)redistribution and use in source and binary forms"),
+    ("mpl-2.0", "(?i)mozilla public license,? v(ersion)?\\.? ?2"),
+]
+_SPDX_RE = r"SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)"
+
+
+def license_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, spdx_id, license_guess): permissive-license screening —
+    the standard admission gate of code-corpus pipelines (StarCoder /
+    The Stack keep only permissively-licensed files; public method,
+    keyword/SPDX matching re-derived here). An explicit SPDX tag wins
+    (lowercased); otherwise the first matching canonical header phrase
+    in precedence order; otherwise 'none'. One scan, whole-stage
+    codegen regexp chain — no UDF, no shuffle; exact DuckDB oracle
+    (the patterns stay in the Java-regex/RE2 common subset)."""
+    spdx = F.regexp_extract(F.col(text_col), _SPDX_RE, 1)
+    guess = F.when(spdx != "", F.lower(spdx))
+    for name, pat in LICENSE_HEADER_PATTERNS:
+        guess = guess.when(F.col(text_col).rlike(pat), F.lit(name))
+    return df.select(
+        "doc_id",
+        F.when(spdx != "", F.lower(spdx)).otherwise(F.lit(""))
+        .alias("spdx_id"),
+        guess.otherwise(F.lit("none")).alias("license_guess"),
+    )
+
+
+def entropy_signals(df: DataFrame, text_col: str = "text",
+                    min_len: int = 20,
+                    high_bits: float = 4.0) -> DataFrame:
+    """High-entropy token screen — the detect-secrets-style complement
+    to the pattern scrub (functions/scrub.py names known key SHAPES;
+    Shannon entropy catches the random blobs no pattern names; public
+    method, recomputed from the definition). Candidate tokens are
+    whitespace-delimited runs of length >= ``min_len`` over the
+    base64/hex/identifier charset; per candidate, entropy =
+    -sum(p_c log2 p_c) over its characters (bits/char; rounded to 4 for
+    cross-engine float parity). Returns (doc_id, n_candidates,
+    max_entropy, n_high_entropy) — gate on n_high_entropy > 0.
+
+    Pure higher-order-function expressions: per-token cost is
+    O(distinct_chars x len) with len bounded by real token sizes; no
+    UDF, no shuffle, and the whole projection runs in the scan stage
+    (spread upstream if the source is one file — same note as the
+    span operators). Exact DuckDB oracle: Spark's char split is
+    split(t, '(?!$)') (split on '' silently drops the last char),
+    DuckDB's is string_split(t, '')."""
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+", -1),
+        lambda t: (F.length(t) >= min_len)
+        & t.rlike("^[A-Za-z0-9+/=_-]+$"),
+    )
+
+    def ent(t):
+        chars = F.split(t, r"(?!$)", -1)
+        n = F.size(chars).cast("double")
+        # 0.0 - sum (not -sum): a single-distinct-char token sums to
+        # +0.0 and unary minus would flip it to -0.0, which the
+        # cross-engine value hash distinguishes from DuckDB's +0.0
+        return F.round(F.lit(0.0) - F.aggregate(
+            F.array_distinct(chars),
+            F.lit(0.0),
+            lambda acc, c: acc + (
+                F.size(F.filter(chars, lambda x: x == c)).cast("double")
+                / n)
+            * F.log2(
+                F.size(F.filter(chars, lambda x: x == c)).cast("double")
+                / n),
+        ), 4)
+
+    ents = F.transform(toks, ent)
+    return df.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_candidates"),
+        F.coalesce(F.array_max(ents), F.lit(0.0)).alias("max_entropy"),
+        F.size(F.filter(ents, lambda e: e > high_bits))
+        .cast("long").alias("n_high_entropy"),
+    )

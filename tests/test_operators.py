@@ -1795,3 +1795,58 @@ def test_bloom_sharded_save_load_roundtrip(spark, tmp_path):
     a = bloom.might_contain_col(probe, model, "content_hash").collect()
     b = bloom.might_contain_col(probe, back, "content_hash").collect()
     assert [r.maybe_member for r in a] == [r.maybe_member for r in b]
+
+
+def test_license_guess_precedence_and_families(spark):
+    """SPDX tag wins over header phrases; each header family matches
+    its canonical sentence; unmarked files report 'none'."""
+    from dataquality_cli_spark.operators import text as T
+
+    rows = [
+        (1, "# SPDX-License-Identifier: Apache-2.0\nPermission is "
+            "hereby granted, free of charge"),          # SPDX beats MIT
+        (2, "Permission is hereby granted, free of charge, to any"),
+        (3, "licensed under the Apache License Version 2.0"),
+        (4, "This is covered by the GNU GENERAL PUBLIC LICENSE v3"),
+        (5, "Redistribution and use in source and binary forms"),
+        (6, "Mozilla Public License, v. 2.0 terms apply"),
+        (7, "def main():\n    return 0"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.spdx_id, r.license_guess)
+           for r in T.license_guess(df).collect()}
+    assert got[1] == ("apache-2.0", "apache-2.0")
+    assert got[2] == ("", "mit")
+    assert got[3] == ("", "apache-2.0")
+    assert got[4] == ("", "gpl")
+    assert got[5] == ("", "bsd")
+    assert got[6] == ("", "mpl-2.0")
+    assert got[7] == ("", "none")
+
+
+def test_entropy_signals_flags_random_keys(spark):
+    """A random base64-ish key exceeds the 4-bit gate; a repeated-char
+    divider scores 0; short/ineligible tokens are not candidates; the
+    known-entropy token matches the closed form."""
+    import math
+
+    from dataquality_cli_spark.operators import text as T
+
+    rows = [
+        (1, "aws_secret = dGhpc0lzQVJhbmRvbUtleTAxMjM0NTY3ODlBQkNERUZH ok"),
+        (2, "banner ======================== short toks only here"),
+        (3, "ruler ---------------------------------------- end"),
+        (4, "ABABABABABABABABABAB has exactly one bit per char"),
+        (5, "no eligible tokens at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in T.entropy_signals(df).collect()}
+    assert got[1].n_candidates == 1 and got[1].n_high_entropy == 1
+    assert got[1].max_entropy > 4.0
+    assert got[2].n_candidates == 1      # 24 '=' signs qualify
+    assert got[2].max_entropy == 0.0 and got[2].n_high_entropy == 0
+    assert got[3].max_entropy == 0.0
+    # 20-char 2-symbol alternation: exactly 1.0 bit/char
+    assert abs(got[4].max_entropy - 1.0) < 1e-9
+    assert got[5].n_candidates == 0 and got[5].max_entropy == 0.0
+    assert math.isclose(got[4].max_entropy, 1.0)

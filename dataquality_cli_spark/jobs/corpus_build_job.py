@@ -127,6 +127,19 @@ def _semantic_stage(uniq: DataFrame, threshold: float,
                                pca_dim=pca_dim)
 
 
+def _license_stage(kept: DataFrame, drop_licenses: list) -> DataFrame:
+    """Optional license gate (the code-corpus admission rule of The
+    Stack / StarCoder, as a BLOCKLIST: drop files whose detected
+    license family is in ``drop_licenses``, keep everything else
+    including unmarked files). A pure codegen FILTER on the
+    license-guess column expression — no join, no shuffle, no UDF."""
+    from dataquality_cli_spark.operators.text import license_guess_col
+
+    return kept.filter(
+        ~license_guess_col(F.col("text")).isin(
+            [s.lower() for s in drop_licenses]))
+
+
 def _bloom_stage(spark: SparkSession, kept: DataFrame,
                  bloom_artifact: str,
                  prior_kept: str | None = None) -> DataFrame:
@@ -249,6 +262,7 @@ def build_corpus(
     bloom_artifact: str | None = None,
     prior_kept: str | None = None,
     cross_doc_min_docs: int | None = None,
+    drop_licenses: list | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
     """Run the full chain over a (repo, path, commit, lang, content)
     corpus. Returns (train_packed, val_docs, kept_docs, metrics) where
@@ -273,19 +287,28 @@ def build_corpus(
     metrics["kept_after_filter"] = kept.count()
     verdicts.unpersist()
 
+    # 1a. optional license blocklist gate (codegen filter, no join)
+    if drop_licenses:
+        licensed = _license_stage(kept, drop_licenses).persist()
+        metrics["after_license_gate"] = licensed.count()
+    else:
+        licensed = kept
+
     # 1b. optional cross-corpus Bloom prescreen (prior snapshot filter)
     if bloom_artifact is not None:
-        screened = _bloom_stage(spark, kept, bloom_artifact,
+        screened = _bloom_stage(spark, licensed, bloom_artifact,
                                 prior_kept).persist()
         metrics["after_bloom_screen"] = screened.count()
     else:
-        screened = kept
+        screened = licensed
 
     # 2. exact dedup on the scrubbed text (keep lowest doc_id)
     exact = _exact_stage(screened).persist()
     metrics["after_exact_dedup"] = exact.count()
     kept.unpersist()
-    if screened is not kept:
+    if licensed is not kept:
+        licensed.unpersist()
+    if screened is not licensed and screened is not kept:
         screened.unpersist()
 
     # 3. near-dup dedup: LSH -> verified Jaccard -> components; drop
@@ -357,6 +380,7 @@ _MANIFEST = "_stage_manifest"
 # stage name -> metrics key (order IS the chain)
 _STAGES = [
     ("filtered", "kept_after_filter"),
+    ("licensed", "after_license_gate"),  # optional — row only if on
     ("bloomed", "after_bloom_screen"),  # optional — row only if on
     ("exact", "after_exact_dedup"),
     ("unique", "after_neardup_dedup"),
@@ -410,6 +434,7 @@ def build_corpus_resumable(
     bloom_artifact: str | None = None,
     prior_kept: str | None = None,
     cross_doc_min_docs: int | None = None,
+    drop_licenses: list | None = None,
     emit_bloom: bool = False,
     run_id: str = "run0",
     fail_after_stages: int | None = None,
@@ -444,6 +469,8 @@ def build_corpus_resumable(
         "bloom_artifact": bloom_artifact,
         "prior_kept": prior_kept,
         "cross_doc_min_docs": cross_doc_min_docs,
+        "drop_licenses": sorted(s.lower() for s in drop_licenses)
+        if drop_licenses else None,
         "val_fraction": val_fraction,
         "pack_budget": pack_budget,
         "contamination_min_hits": contamination_min_hits,
@@ -515,12 +542,21 @@ def build_corpus_resumable(
     else:
         filtered = load("filtered")
 
+    # 1a. optional license blocklist gate
+    if not drop_licenses:
+        licensed = filtered
+    elif "licensed" not in done:
+        licensed = finish("licensed",
+                          _license_stage(filtered, drop_licenses))
+    else:
+        licensed = load("licensed")
+
     # 1b. optional cross-corpus Bloom prescreen (prior snapshot filter)
     if bloom_artifact is None:
-        screened = filtered
+        screened = licensed
     elif "bloomed" not in done:
         screened = finish("bloomed", _bloom_stage(
-            spark, filtered, bloom_artifact, prior_kept))
+            spark, licensed, bloom_artifact, prior_kept))
     else:
         screened = load("bloomed")
 
@@ -682,6 +718,10 @@ def main() -> None:
                     help="enable the order-invariant semantic dedup "
                          "stage (hash-embed -> k-means -> SemDeDup) at "
                          "this cosine threshold")
+    ap.add_argument("--drop-licenses", default=None,
+                    help="comma-separated license families to DROP "
+                         "(blocklist, e.g. 'gpl,mpl-2.0'); detection "
+                         "= SPDX tag or canonical header phrase")
     ap.add_argument("--cross-doc-min-docs", type=int, default=None,
                     help="enable keep-one cross-document substring "
                          "dedup: passages shared by >= this many docs "
@@ -759,6 +799,8 @@ def main() -> None:
         bloom_artifact=args.bloom_artifact,
         prior_kept=args.prior_kept,
         cross_doc_min_docs=args.cross_doc_min_docs,
+        drop_licenses=(args.drop_licenses.split(",")
+                       if args.drop_licenses else None),
         emit_bloom=args.emit_bloom,
     )
     print(json.dumps({"metric": "corpus_build",

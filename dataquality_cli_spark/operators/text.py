@@ -583,24 +583,31 @@ LICENSE_HEADER_PATTERNS = [
 _SPDX_RE = r"SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)"
 
 
+def license_guess_col(text: Column) -> Column:
+    """The license-family guess as a pure Column expression (so a gate
+    can FILTER on it with no join): explicit SPDX tag wins
+    (lowercased), else the first matching canonical header phrase in
+    precedence order, else 'none'."""
+    spdx = F.regexp_extract(text, _SPDX_RE, 1)
+    guess = F.when(spdx != "", F.lower(spdx))
+    for name, pat in LICENSE_HEADER_PATTERNS:
+        guess = guess.when(text.rlike(pat), F.lit(name))
+    return guess.otherwise(F.lit("none"))
+
+
 def license_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, spdx_id, license_guess): permissive-license screening —
     the standard admission gate of code-corpus pipelines (StarCoder /
     The Stack keep only permissively-licensed files; public method,
-    keyword/SPDX matching re-derived here). An explicit SPDX tag wins
-    (lowercased); otherwise the first matching canonical header phrase
-    in precedence order; otherwise 'none'. One scan, whole-stage
+    keyword/SPDX matching re-derived here). One scan, whole-stage
     codegen regexp chain — no UDF, no shuffle; exact DuckDB oracle
     (the patterns stay in the Java-regex/RE2 common subset)."""
     spdx = F.regexp_extract(F.col(text_col), _SPDX_RE, 1)
-    guess = F.when(spdx != "", F.lower(spdx))
-    for name, pat in LICENSE_HEADER_PATTERNS:
-        guess = guess.when(F.col(text_col).rlike(pat), F.lit(name))
     return df.select(
         "doc_id",
         F.when(spdx != "", F.lower(spdx)).otherwise(F.lit(""))
         .alias("spdx_id"),
-        guess.otherwise(F.lit("none")).alias("license_guess"),
+        license_guess_col(F.col(text_col)).alias("license_guess"),
     )
 
 

@@ -443,6 +443,62 @@ def test_resume_params_guard_tolerates_missing_new_keys(spark, tmp_path):
                                pack_budget=1024)
 
 
+def test_corpus_build_license_gate(spark, tmp_path):
+    """--drop-licenses: files whose detected license family is
+    blocklisted are dropped right after the filter; unmarked files
+    pass; the chain is unchanged when the gate is off; resumable
+    manifest row + drift guard cover the new stage."""
+    from pyspark.sql import functions as F
+
+    from dataquality_cli_spark.jobs.corpus_build_job import (
+        _read_manifest, build_corpus, build_corpus_resumable)
+
+    base = corpus_to_rows(gen_corpus(60, seed=47))
+    probe = build_corpus(spark, spark.createDataFrame(base, SCHEMA),
+                         val_fraction=0.0, pack_budget=1024)[2]
+    kept_paths = [r.path for r in
+                  probe.select("path").orderBy("path").collect()]
+    gpl_targets = set(kept_paths[:3])
+    mit_targets = set(kept_paths[3:5])
+    rows = []
+    for (r, p, c, lang, t) in base:
+        if p in gpl_targets:
+            t = "// This file is under the GNU General Public " \
+                "License\n" + t
+        elif p in mit_targets:
+            t = "// Permission is hereby granted, free of charge\n" + t
+        rows.append((r, p, c, lang, t))
+    df = spark.createDataFrame(rows, SCHEMA)
+
+    _p, _v, clean_off, m_off = build_corpus(
+        spark, df, val_fraction=0.0, pack_budget=1024)
+    off_paths = {r.path for r in clean_off.collect()}
+    # plant is non-vacuous: the headered files survive the off chain
+    assert gpl_targets <= off_paths and mit_targets <= off_paths
+
+    _p, _v, clean_on, m_on = build_corpus(
+        spark, df, val_fraction=0.0, pack_budget=1024,
+        drop_licenses=["gpl"])
+    on_paths = {r.path for r in clean_on.collect()}
+    assert "after_license_gate" not in m_off
+    assert m_on["kept_after_filter"] - m_on["after_license_gate"] == 3
+    assert not (gpl_targets & on_paths)     # blocklisted family gone
+    assert mit_targets <= on_paths          # other licenses untouched
+    assert off_paths - on_paths == gpl_targets
+
+    out = str(tmp_path / "lic")
+    kw = dict(val_fraction=0.0, pack_budget=1024,
+              drop_licenses=["gpl"])
+    m_res = build_corpus_resumable(spark, df, out, **kw)
+    assert m_res["after_license_gate"] == m_on["after_license_gate"]
+    assert "licensed" in _read_manifest(spark, out)
+    assert build_corpus_resumable(spark, df, out, **kw) == m_res
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="drop_licenses"):
+        build_corpus_resumable(spark, df, out, val_fraction=0.0,
+                               pack_budget=1024)
+
+
 def test_emit_corpus_bloom_sharded_layout(spark, tmp_path):
     """emit_corpus_bloom(n_shards=) writes the range-sharded artifact;
     the prescreen loads either layout transparently and keeps the

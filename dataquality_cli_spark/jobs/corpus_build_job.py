@@ -130,14 +130,28 @@ def _semantic_stage(uniq: DataFrame, threshold: float,
 def _license_stage(kept: DataFrame, drop_licenses: list) -> DataFrame:
     """Optional license gate (the code-corpus admission rule of The
     Stack / StarCoder, as a BLOCKLIST: drop files whose detected
-    license family is in ``drop_licenses``, keep everything else
-    including unmarked files). A pure codegen FILTER on the
-    license-guess column expression — no join, no shuffle, no UDF."""
+    license FAMILY is in ``drop_licenses``, keep everything else
+    including unmarked files). Matching is family-prefix: entry 'gpl'
+    drops guess 'gpl' AND SPDX-derived variants like 'gpl-3.0-only'
+    (an exact-string match would admit precisely the most explicitly
+    licensed files, since the SPDX tag wins precedence in
+    license_guess_col and carries the version suffix); 'lgpl-2.1' /
+    'agpl-3.0' do NOT match family 'gpl' (prefix requires the '-'
+    boundary). Entries are stripped+lowercased; empty entries raise —
+    a compliance gate must not silently no-op on malformed input. A
+    pure codegen FILTER on the guess expression — no join, no shuffle,
+    no UDF."""
     from dataquality_cli_spark.operators.text import license_guess_col
 
-    return kept.filter(
-        ~license_guess_col(F.col("text")).isin(
-            [s.lower() for s in drop_licenses]))
+    fams = [s.strip().lower() for s in drop_licenses]
+    if not fams or any(not f for f in fams):
+        raise ValueError(
+            f"drop_licenses contains an empty entry: {drop_licenses!r}")
+    guess = license_guess_col(F.col("text"))
+    blocked = F.lit(False)
+    for fam in fams:
+        blocked = blocked | (guess == fam) | guess.startswith(fam + "-")
+    return kept.filter(~blocked)
 
 
 def _bloom_stage(spark: SparkSession, kept: DataFrame,
@@ -469,7 +483,7 @@ def build_corpus_resumable(
         "bloom_artifact": bloom_artifact,
         "prior_kept": prior_kept,
         "cross_doc_min_docs": cross_doc_min_docs,
-        "drop_licenses": sorted(s.lower() for s in drop_licenses)
+        "drop_licenses": sorted(s.strip().lower() for s in drop_licenses)
         if drop_licenses else None,
         "val_fraction": val_fraction,
         "pack_budget": pack_budget,

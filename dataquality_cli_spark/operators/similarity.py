@@ -291,37 +291,64 @@ def save_ivf_index(df: DataFrame, centroids: np.ndarray, path: str,
         .parquet(os.path.join(path, "centroids"))
     assigned = (
         ivf_probe_cells(df, cent, 1, vec_col, "_cells", arrow_threshold)
-        .select(id_col, vec_col, F.col("_cells")[0].alias("cell"))
+        .select(id_col, vec_col, F.lit("base").alias("batch"),
+                F.col("_cells")[0].alias("cell"))
     )
-    assigned.write.mode("overwrite").partitionBy("cell") \
+    assigned.write.mode("overwrite").partitionBy("batch", "cell") \
         .parquet(os.path.join(path, "lists"))
 
 
-def ivf_index_add(spark, path: str, new_df: DataFrame,
+def _write_batch_partitions(df: DataFrame, path: str,
+                            partition_cols: list) -> None:
+    """Dynamic-overwrite write of ONE batch's partitions: a retried add
+    replaces exactly its own (batch=..., ...) leaves instead of
+    appending duplicates — assignment is deterministic, so a retry
+    produces the same leaves and the write is idempotent. Conf scoped
+    + restored (the sink.py convention)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols) \
+            .parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def _check_batch_id(batch_id: str) -> str:
+    if not batch_id or batch_id == "base":
+        raise ValueError(
+            "batch_id must be a non-empty string other than 'base' "
+            "(the initial build's partition)")
+    return batch_id
+
+
+def ivf_index_add(spark, path: str, new_df: DataFrame, batch_id: str,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   arrow_threshold: int = ARROW_PROBE_THRESHOLD) -> None:
-    """Append a new batch to a persisted IVF index WITHOUT refit (the
+    """Add a new batch to a persisted IVF index WITHOUT refit (the
     incremental-ingest path, the lsh_incremental_pairs analog for
     serving): new vectors are assigned with the SAVED centroids and
-    appended to the cell-partitioned inverted lists — the existing
-    corpus is never re-read or re-assigned, and the coarse quantizer
-    stays fixed so old and new entries are comparable. Re-train +
-    rebuild (save_ivf_index) when drift between the corpus and the
-    centroids grows; that policy call belongs to the caller."""
-    cent_rows = spark.read.parquet(
-        os.path.join(path, "centroids")).collect()
-    n_cells = max(r["cell"] for r in cent_rows) + 1
-    dim = max(r["d"] for r in cent_rows) + 1
-    cent = np.zeros((n_cells, dim), dtype=np.float64)
-    for r in cent_rows:
-        cent[r["cell"], r["d"]] = r["v"]
+    land in the inverted lists under their own ``batch_id`` partition —
+    the existing corpus is never re-read or re-assigned, the coarse
+    quantizer stays fixed so old and new entries are comparable, and a
+    RETRIED add (orchestrator re-run, crash recovery) overwrites its
+    own partitions instead of appending duplicate rows that would
+    corrupt top-k. Adding the same vectors under two DIFFERENT batch
+    ids is a caller error, like any double ingest. Re-train + rebuild
+    (save_ivf_index) when drift between the corpus and the centroids
+    grows; that policy call belongs to the caller."""
+    _check_batch_id(batch_id)
+    cent, _ = load_ivf_index(spark, path)
     assigned = (
         ivf_probe_cells(new_df, cent, 1, vec_col, "_cells",
                         arrow_threshold)
-        .select(id_col, vec_col, F.col("_cells")[0].alias("cell"))
+        .select(id_col, vec_col, F.lit(batch_id).alias("batch"),
+                F.col("_cells")[0].alias("cell"))
     )
-    assigned.write.mode("append").partitionBy("cell") \
-        .parquet(os.path.join(path, "lists"))
+    _write_batch_partitions(assigned, os.path.join(path, "lists"),
+                            ["batch", "cell"])
 
 
 def load_ivf_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
@@ -333,7 +360,8 @@ def load_ivf_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
     cent = np.zeros((n_cells, dim), dtype=np.float64)
     for r in cent_rows:
         cent[r["cell"], r["d"]] = r["v"]
-    return cent, spark.read.parquet(os.path.join(path, "lists"))
+    lists = spark.read.parquet(os.path.join(path, "lists")).drop("batch")
+    return cent, lists
 
 
 def ann_ivf_topk_indexed(assigned: DataFrame, queries: DataFrame,
@@ -468,30 +496,40 @@ def save_ann_lsh_index(df: DataFrame, path: str, n_planes: int = 4,
         os.path.join(path, "meta"))
     buckets = _table_buckets(F.col(vec_col), planes, n_tables)
     (df.select(F.col(id_col).alias("neighbor_id"),
+               F.lit("base").alias("batch"),
                F.posexplode(buckets).alias("table", "bucket"))
-       .write.mode("overwrite").partitionBy("table")
+       .write.mode("overwrite").partitionBy("batch", "table")
        .parquet(os.path.join(path, "buckets")))
     (df.select(F.col(id_col).alias("neighbor_id"),
+               F.lit("base").alias("batch"),
                F.col(vec_col).alias("t_vec"))
-       .write.mode("overwrite").parquet(os.path.join(path, "vectors")))
+       .write.mode("overwrite").partitionBy("batch")
+       .parquet(os.path.join(path, "vectors")))
 
 
 def ann_lsh_index_add(spark, path: str, new_df: DataFrame,
-                      id_col: str = "vec_id",
+                      batch_id: str, id_col: str = "vec_id",
                       vec_col: str = "embedding") -> None:
-    """Append a new batch to a persisted LSH index without rebuild:
-    hash the batch against the SAVED planes and append its bucket rows
-    and vectors — the ivf_index_add twin."""
+    """Add a new batch to a persisted LSH index without rebuild: hash
+    the batch against the SAVED planes; bucket rows and vectors land
+    under the batch's own partition, so a RETRIED add overwrites its
+    own leaves instead of appending duplicate vector rows (duplicates
+    would surface the same neighbor at two ranks and evict the true
+    k-th) — the ivf_index_add twin."""
+    _check_batch_id(batch_id)
     idx = load_ann_lsh_index(spark, path)
     buckets = _table_buckets(F.col(vec_col), idx["planes"],
                              idx["n_tables"])
-    (new_df.select(F.col(id_col).alias("neighbor_id"),
-                   F.posexplode(buckets).alias("table", "bucket"))
-       .write.mode("append").partitionBy("table")
-       .parquet(os.path.join(path, "buckets")))
-    (new_df.select(F.col(id_col).alias("neighbor_id"),
-                   F.col(vec_col).alias("t_vec"))
-       .write.mode("append").parquet(os.path.join(path, "vectors")))
+    _write_batch_partitions(
+        new_df.select(F.col(id_col).alias("neighbor_id"),
+                      F.lit(batch_id).alias("batch"),
+                      F.posexplode(buckets).alias("table", "bucket")),
+        os.path.join(path, "buckets"), ["batch", "table"])
+    _write_batch_partitions(
+        new_df.select(F.col(id_col).alias("neighbor_id"),
+                      F.lit(batch_id).alias("batch"),
+                      F.col(vec_col).alias("t_vec")),
+        os.path.join(path, "vectors"), ["batch"])
 
 
 def load_ann_lsh_index(spark, path: str) -> dict:
@@ -506,8 +544,10 @@ def load_ann_lsh_index(spark, path: str) -> dict:
     for r in rows:
         planes[r["plane"], r["d"]] = r["v"]
     return {"planes": planes, "n_tables": int(meta["n_tables"]),
-            "buckets": spark.read.parquet(os.path.join(path, "buckets")),
-            "vectors": spark.read.parquet(os.path.join(path, "vectors"))}
+            "buckets": spark.read.parquet(
+                os.path.join(path, "buckets")).drop("batch"),
+            "vectors": spark.read.parquet(
+                os.path.join(path, "vectors")).drop("batch")}
 
 
 def ann_lsh_topk_indexed(index: dict, queries: DataFrame, k: int = 5,

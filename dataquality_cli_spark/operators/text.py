@@ -640,18 +640,21 @@ def entropy_signals(df: DataFrame, text_col: str = "text",
     def ent(t):
         chars = F.split(t, r"(?!$)", -1)
         n = F.size(chars).cast("double")
+        # materialize each distinct char's probability ONCE (Spark does
+        # not eliminate common subexpressions inside HOF lambdas, so
+        # inlining the count into both p and log2(p) would double the
+        # O(distinct_chars x len) scan work), then fold p*log2(p).
         # 0.0 - sum (not -sum): a single-distinct-char token sums to
         # +0.0 and unary minus would flip it to -0.0, which the
         # cross-engine value hash distinguishes from DuckDB's +0.0
-        return F.round(F.lit(0.0) - F.aggregate(
+        probs = F.transform(
             F.array_distinct(chars),
-            F.lit(0.0),
-            lambda acc, c: acc + (
-                F.size(F.filter(chars, lambda x: x == c)).cast("double")
-                / n)
-            * F.log2(
-                F.size(F.filter(chars, lambda x: x == c)).cast("double")
-                / n),
+            lambda c: F.size(F.filter(chars, lambda x: x == c))
+            .cast("double") / n,
+        )
+        return F.round(F.lit(0.0) - F.aggregate(
+            probs, F.lit(0.0),
+            lambda acc, p: acc + p * F.log2(p),
         ), 4)
 
     ents = F.transform(toks, ent)

@@ -460,9 +460,14 @@ def test_corpus_build_license_gate(spark, tmp_path):
                   probe.select("path").orderBy("path").collect()]
     gpl_targets = set(kept_paths[:3])
     mit_targets = set(kept_paths[3:5])
+    # one of the GPL docs declares via SPDX with a version suffix — the
+    # family-prefix match must catch 'gpl-3.0-only', not just 'gpl'
+    spdx_doc = sorted(gpl_targets)[0]
     rows = []
     for (r, p, c, lang, t) in base:
-        if p in gpl_targets:
+        if p == spdx_doc:
+            t = "// SPDX-License-Identifier: GPL-3.0-only\n" + t
+        elif p in gpl_targets:
             t = "// This file is under the GNU General Public " \
                 "License\n" + t
         elif p in mit_targets:

@@ -193,9 +193,13 @@ def test_train_ivf_centroids_id_correlated_sample(spark):
 
 def test_index_incremental_add_equals_full_build(emb, tmp_path):
     """ivf_index_add / ann_lsh_index_add: building an index on half
-    the corpus and appending the other half serves IDENTICAL top-k to
-    an index built on everything at once (same centroids/planes — the
-    batch path never re-reads or re-assigns the existing corpus)."""
+    the corpus and adding the other half serves IDENTICAL top-k to an
+    index built on everything at once (same centroids/planes — the
+    batch path never re-reads or re-assigns the existing corpus), and
+    a RETRIED add with the same batch_id is a noop (overwrites its own
+    partitions — no duplicate rows, no rank corruption)."""
+    import pytest
+
     spark = emb.sparkSession
     q = emb.filter(F.col("vec_id") < 3)
     old = emb.filter(F.col("vec_id") % 2 == 0)
@@ -206,7 +210,7 @@ def test_index_incremental_add_equals_full_build(emb, tmp_path):
     inc_p = str(tmp_path / "ivf_inc")
     similarity.save_ivf_index(emb, cents, full_p)
     similarity.save_ivf_index(old, cents, inc_p)
-    similarity.ivf_index_add(spark, inc_p, new)
+    similarity.ivf_index_add(spark, inc_p, new, batch_id="b1")
     _, lists_full = similarity.load_ivf_index(spark, full_p)
     c2, lists_inc = similarity.load_ivf_index(spark, inc_p)
     a = sorted(map(tuple, similarity.ann_ivf_topk_indexed(
@@ -214,17 +218,32 @@ def test_index_incremental_add_equals_full_build(emb, tmp_path):
     b = sorted(map(tuple, similarity.ann_ivf_topk_indexed(
         lists_inc, q, c2, k=5, nprobe=4).collect()))
     assert a == b and len(a) > 0
+    # retried add: same batch_id overwrites itself — row count stable,
+    # served results unchanged
+    similarity.ivf_index_add(spark, inc_p, new, batch_id="b1")
+    _, lists_retry = similarity.load_ivf_index(spark, inc_p)
+    assert lists_retry.count() == emb.count()
+    assert sorted(map(tuple, similarity.ann_ivf_topk_indexed(
+        lists_retry, q, c2, k=5, nprobe=4).collect())) == a
+    with pytest.raises(ValueError, match="batch_id"):
+        similarity.ivf_index_add(spark, inc_p, new, batch_id="base")
 
     full_l = str(tmp_path / "lsh_full")
     inc_l = str(tmp_path / "lsh_inc")
     similarity.save_ann_lsh_index(emb, full_l)
     similarity.save_ann_lsh_index(old, inc_l)
-    similarity.ann_lsh_index_add(spark, inc_l, new)
+    similarity.ann_lsh_index_add(spark, inc_l, new, batch_id="b1")
     la = sorted(map(tuple, similarity.ann_lsh_topk_indexed(
         similarity.load_ann_lsh_index(spark, full_l), q, k=5).collect()))
     lb = sorted(map(tuple, similarity.ann_lsh_topk_indexed(
         similarity.load_ann_lsh_index(spark, inc_l), q, k=5).collect()))
     assert la == lb and len(la) > 0
+    # retried LSH add: no duplicate vector rows, identical top-k
+    similarity.ann_lsh_index_add(spark, inc_l, new, batch_id="b1")
+    idx_retry = similarity.load_ann_lsh_index(spark, inc_l)
+    assert idx_retry["vectors"].count() == emb.count()
+    assert sorted(map(tuple, similarity.ann_lsh_topk_indexed(
+        idx_retry, q, k=5).collect())) == la
 
 
 def test_ann_lsh_index_save_load_roundtrip(emb, tmp_path):

@@ -699,6 +699,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_streaming_neardup"] = stream_neardup
 
+    # streaming SEMANTIC admission control vs a seed-corpus vector
+    # index: token-SORTED copies of indexed docs (identical bag ->
+    # cosine 1.0, invisible to exact hashes and under-scored by char
+    # shingles) must drop. Rows-only: k-means floats; the fold-forward
+    # multi-batch path and first-come semantics are pytest-covered.
+    def stream_semantic(s, d):
+        import tempfile
+
+        from dataquality_cli_spark.operators.similarity import (
+            hash_embedding, kmeans_assign, kmeans_fit)
+        from dataquality_cli_spark.streaming.stream_pipeline import (
+            stream_semantic_filter)
+
+        docs = _t(s, d, "documents")
+        corpus = docs.filter(F.col("doc_id") < 300).select("doc_id", "text")
+        emb = hash_embedding(corpus)
+        cents = kmeans_fit(emb, k=8, id_col="doc_id", n_iter=3)
+        index_vectors = kmeans_assign(emb, cents).select(
+            "doc_id", "embedding", "cell")
+        reordered = corpus.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 50_000).alias("doc_id"),
+            F.array_join(F.array_sort(F.split(F.col("text"), " ", -1)),
+                         " ").alias("text"))
+        newb = (
+            docs.filter(F.col("doc_id") >= 300)
+            .select((F.col("doc_id") + 70_000).alias("doc_id"), "text")
+            .unionByName(reordered)
+        )
+        in_dir = tempfile.mkdtemp(prefix="dq_ssem_in_")
+        out_dir = tempfile.mkdtemp(prefix="dq_ssem_out_")
+        newb.coalesce(1).write.mode("overwrite").parquet(in_dir)
+        qy = stream_semantic_filter(s, in_dir, newb.schema, out_dir,
+                                    cents, index_vectors=index_vectors,
+                                    threshold=0.999)
+        if not qy.awaitTermination(300):
+            qy.stop()
+            raise RuntimeError("dedup_streaming_semantic: availableNow "
+                               "stream did not finish within 300s")
+        kept = s.read.parquet(f"{out_dir}/data").select("doc_id")
+        # self-check: every token-sorted twin of an indexed doc dropped
+        assert kept.filter((F.col("doc_id") >= 50_000)
+                           & (F.col("doc_id") < 60_000)).count() == 0
+        return kept.orderBy("doc_id")
+
+    q["dedup_streaming_semantic"] = stream_semantic
+
     # --- similarity search ---
     def ann(s, d):
         emb = _t(s, d, "embeddings")
@@ -1114,7 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f7_name_truncate", "doc_bpe_tokens", "doc_alnum_fraction",
         "doc_stopword_langid", "doc_quality_score",
         "doc_benchmark_contamination", "doc_repo_quality_report",
-        "profile_documents_table",
+        "profile_documents_table", "doc_dedup_lines",
         "doc_quality_verdict",
         "doc_repetition_signals", "doc_chunks", "corpus_vocabulary",
         "doc_tfidf_terms", "corpus_bigram_lm", "dq_threshold_sweep",

@@ -352,3 +352,120 @@ def stream_neardup_filter(spark: SparkSession, input_dir: str, schema,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_vector_index(spark: SparkSession, out_dir: str,
+                      exclude_epoch: int | None = None):
+    """The fold-forward admitted-vector index for the semantic stream:
+    every ``vectors/epoch_id=<n>/cell=<c>`` partition, minus the
+    current epoch (a foreachBatch re-run must never see its own
+    partial vectors). Returns None before the first admitted epoch.
+    The caller filters on ``cell``, which prunes the scan to the
+    probed cell partitions."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(os.path.join(out_dir, "vectors"))
+    except AnalysisException:
+        return None
+    if exclude_epoch is not None:
+        df = df.filter(F.col("epoch_id") != exclude_epoch)
+    return df.select("doc_id", "embedding", "cell")
+
+
+def stream_semantic_filter(spark: SparkSession, input_dir: str, schema,
+                           out_dir: str, centroids,
+                           index_vectors=None,
+                           threshold: float = 0.95, dim: int = 64,
+                           text_col: str = "text",
+                           glob: str = "*.parquet") -> "StreamingQuery":
+    """Streaming SEMANTIC admission control — the embedding face of
+    ``stream_neardup_filter`` (which screens syntactic MinHash bands;
+    this screens order-invariant hash embeddings, so a shuffled or
+    re-paragraphed copy of an admitted doc is caught): each micro-batch
+    is hash-embedded, assigned to the FIXED k-means cells of
+    ``centroids`` (train once on a seed corpus with ``kmeans_fit``; a
+    frozen coarse quantizer keeps old and new entries comparable — the
+    same contract as the persisted IVF index), screened against the
+    accumulated per-cell vector index of already-admitted docs (cosine
+    above ``threshold`` within the same cell = semantic duplicate,
+    dropped), then intra-batch SemDeDup'd; survivors land under
+    ``out/data`` and their vectors under ``out/vectors`` (epoch-keyed,
+    partitioned by cell WITHIN the epoch so the admission join prunes
+    to the batch's cells). ``index_vectors`` optionally seeds the
+    index with a pre-existing corpus's (doc_id, embedding, cell) rows
+    — the analog of the near-dup filter's ``index_bands``.
+
+    Same idempotence scheme as the near-dup filter: every write is
+    epoch-keyed with overwrite, and the index read EXCLUDES the
+    current epoch, so foreachBatch's at-least-once re-run replaces its
+    own partial output and never collides a doc with its own vectors.
+    Cross-batch admission is FIRST-COME (an admitted doc stays; later
+    near-copies drop), while batch ``semantic_dedup`` keeps the
+    farthest-from-centroid member — the documented semantic gap
+    between streaming admission and batch dedup, the same trade the
+    near-dup filter makes (band screen now, batch verify later)."""
+    from ..operators.similarity import (cosine_col, hash_embedding,
+                                        kmeans_assign, semantic_dedup)
+
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", 1)
+        .load(input_dir)
+    )
+    data_dir = os.path.join(out_dir, "data")
+    vectors_dir = os.path.join(out_dir, "vectors")
+    metrics_dir = os.path.join(out_dir, "metrics")
+
+    def sink(raw_df: DataFrame, epoch_id: int) -> None:
+        raw_df = raw_df.persist()
+        n_in = raw_df.count()
+        emb = kmeans_assign(
+            hash_embedding(raw_df, text_col, "doc_id", dim),
+            centroids).select("doc_id", "embedding", "cell").persist()
+        grown = read_vector_index(spark, out_dir, exclude_epoch=epoch_id)
+        if index_vectors is not None:
+            grown = (index_vectors if grown is None
+                     else index_vectors.unionByName(grown))
+        if grown is not None:
+            b = emb.select(F.col("doc_id"),
+                           F.col("embedding").alias("b_vec"), "cell")
+            i = grown.select(F.col("embedding").alias("i_vec"), "cell")
+            hit_ids = (
+                b.join(i, "cell")
+                .filter(cosine_col(F.col("b_vec"), F.col("i_vec"))
+                        > threshold)
+                .select("doc_id").distinct()
+            )
+            fresh_emb = emb.join(hit_ids, "doc_id", "left_anti")
+        else:
+            fresh_emb = emb
+        # intra-batch semantic dedup among the survivors (two shuffled
+        # copies of a NEW doc in one batch would both pass the index)
+        kept_emb = semantic_dedup(
+            fresh_emb.select("doc_id", "embedding"), centroids,
+            threshold=threshold, vec_col="embedding",
+            id_col="doc_id").persist()
+        survivors = raw_df.join(kept_emb.select("doc_id"), "doc_id",
+                                "left_semi").persist()
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(data_dir, f"epoch_id={epoch_id}"))
+        (kept_emb.select("doc_id", "embedding", "cell")
+         .write.mode("overwrite").partitionBy("cell").parquet(
+             os.path.join(vectors_dir, f"epoch_id={epoch_id}")))
+        (spark.createDataFrame(
+            [(n_in, survivors.count())], "n_in long, n_kept long")
+         .coalesce(1).write.mode("overwrite").parquet(
+             os.path.join(metrics_dir, f"epoch_id={epoch_id}")))
+        survivors.unpersist()
+        kept_emb.unpersist()
+        emb.unpersist()
+        raw_df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )

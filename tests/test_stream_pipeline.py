@@ -314,3 +314,82 @@ def test_batch_incremental_dedup_reads_compacted_stream_index(
     resent_ids = {r.doc_id for r in resend.collect()}
     hit = {b for (a, b) in via_index} | {a for (a, b) in via_index}
     assert resent_ids <= hit
+
+
+def test_stream_semantic_filter_vs_index_and_across_batches(
+        spark, tmp_path):
+    """Streaming semantic admission: token-REORDERED copies of indexed
+    docs drop (order-invariant embedding, cosine 1.0 — invisible to
+    exact hashes), fresh random docs pass, reorders of earlier-batch
+    survivors drop only because the vector index folds forward, and
+    the per-epoch metrics add up."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dataquality_cli_spark.operators.similarity import (
+        hash_embedding, kmeans_assign, kmeans_fit)
+    from dataquality_cli_spark.streaming.stream_pipeline import (
+        stream_semantic_filter)
+
+    rng = random.Random(83)
+
+    def rand_doc(i):
+        return (i, " ".join(
+            f"tok{rng.randrange(10**9)}" for _ in range(50)))
+
+    def reorder(doc_id, text, new_id):
+        toks = text.split()
+        rng.shuffle(toks)
+        return (new_id, " ".join(toks))
+
+    seed_rows = [rand_doc(i) for i in range(100)]
+    seed = spark.createDataFrame(seed_rows, "doc_id long, text string")
+    emb = hash_embedding(seed).cache()
+    cents = kmeans_fit(emb, k=4, n_iter=3, id_col="doc_id")
+    index_vectors = kmeans_assign(emb, cents).select(
+        "doc_id", "embedding", "cell").cache()
+    index_vectors.count()
+
+    fresh0 = [rand_doc(200 + i) for i in range(20)]
+    b0 = ([reorder(*seed_rows[i], 50_000 + i) for i in range(5)]
+          + fresh0)
+    b1 = ([reorder(*fresh0[i], 60_000 + i) for i in range(3)]
+          + [rand_doc(300 + i) for i in range(5)])
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    spark.createDataFrame(b0, "doc_id long, text string") \
+        .toPandas().to_parquet(str(in_dir / "a_batch0.parquet"),
+                               index=False)
+    spark.createDataFrame(b1, "doc_id long, text string") \
+        .toPandas().to_parquet(str(in_dir / "b_batch1.parquet"),
+                               index=False)
+
+    out_dir = str(tmp_path / "out")
+    q = stream_semantic_filter(
+        spark, str(in_dir),
+        spark.createDataFrame(b0, "doc_id long, text string").schema,
+        out_dir, cents, index_vectors=index_vectors, threshold=0.999)
+    q.awaitTermination(240)
+
+    kept = {r.doc_id for r in
+            spark.read.parquet(os.path.join(out_dir, "data")).collect()}
+    # reordered copies of INDEXED docs all dropped (cosine 1.0)
+    assert not any(50_000 <= d < 60_000 for d in kept)
+    # fresh random docs admitted
+    assert {i for i, _ in fresh0} <= kept
+    assert {300 + i for i in range(5)} <= kept
+    # batch-1 reorders of batch-0 survivors dropped -> index folded
+    assert not any(d >= 60_000 for d in kept)
+    metrics = {r.epoch_id: (r.n_in, r.n_kept) for r in
+               spark.read.parquet(
+                   os.path.join(out_dir, "metrics")).collect()}
+    assert len(metrics) == 2
+    assert sum(n for n, _ in metrics.values()) == len(b0) + len(b1)
+    assert sum(k for _, k in metrics.values()) == len(kept)
+    # the admitted-vector index holds exactly the admitted docs, cell-
+    # partitioned (pruned admission joins)
+    vecs = spark.read.parquet(os.path.join(out_dir, "vectors"))
+    assert {r.doc_id for r in vecs.collect()} == kept
+    assert "cell" in vecs.columns

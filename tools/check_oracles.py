@@ -43,6 +43,7 @@ ROWS_ONLY_MIN = {
     "dedup_bloom_screen": 450,
     "dedup_bloom_screen_sharded": 450,
     "doc_quality_classifier": 400,
+    "dedup_streaming_semantic": 100,
 }
 
 

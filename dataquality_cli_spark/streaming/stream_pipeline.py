@@ -111,7 +111,8 @@ _INDEX_DIRNAME = "bands_index"
 _INDEX_MANIFEST = "_compaction_manifest"
 
 
-def _compacted_upto(spark: SparkSession, out_dir: str) -> int | None:
+def _compacted_upto(spark: SparkSession, out_dir: str,
+                    index_dirname: str = _INDEX_DIRNAME) -> int | None:
     """Highest epoch folded into the compacted index, or None. Read
     through Spark (not the driver's local fs) so hdfs://...//s3a://...
     out_dirs work on the spark-submit deployment."""
@@ -119,7 +120,7 @@ def _compacted_upto(spark: SparkSession, out_dir: str) -> int | None:
 
     try:
         mdf = spark.read.parquet(
-            os.path.join(out_dir, _INDEX_DIRNAME, _INDEX_MANIFEST))
+            os.path.join(out_dir, index_dirname, _INDEX_MANIFEST))
     except AnalysisException:
         return None
     rows = mdf.agg(F.max("upto").alias("m")).collect()
@@ -354,23 +355,108 @@ def stream_neardup_filter(spark: SparkSession, input_dir: str, schema,
     )
 
 
+_VINDEX_DIRNAME = "vectors_index"
+
+
+def compact_vector_index(spark: SparkSession, out_dir: str,
+                         upto_epoch: int,
+                         remove_folded: bool = False) -> int | None:
+    """Fold every ``vectors/epoch_id=<e>`` directory with e <=
+    upto_epoch into the compacted index
+    ``vectors_index/upto=<upto_epoch>``, PARTITIONED BY cell so the
+    admission join's cell filter prunes the compacted scan exactly
+    like the per-epoch layout — the band-index compaction
+    (compact_band_index) applied to the semantic stream's
+    admitted-vector index, with the same guarantees: versioned +
+    manifest-after-data (a crash mid-compaction leaves readers on the
+    old version), idempotent on replay (watermarked no-op), and
+    ``remove_folded=True`` deletes folded epoch dirs + superseded
+    versions so per-batch reads stay bounded by the cadence, not the
+    stream's age."""
+    from pyspark.errors import AnalysisException
+
+    prev = _compacted_upto(spark, out_dir, _VINDEX_DIRNAME)
+    if prev is not None and upto_epoch <= prev:
+        return prev
+    vectors_dir = os.path.join(out_dir, "vectors")
+    index_root = os.path.join(out_dir, _VINDEX_DIRNAME)
+    parts = []
+    try:
+        fresh = (spark.read.parquet(vectors_dir)
+                 .filter(F.col("epoch_id") <= upto_epoch))
+        if prev is not None:
+            fresh = fresh.filter(F.col("epoch_id") > prev)
+        parts.append(fresh.select("doc_id", "embedding", "cell"))
+    except AnalysisException:
+        pass
+    if prev is not None:
+        parts.append(
+            spark.read.parquet(os.path.join(index_root, f"upto={prev}"))
+            .select("doc_id", "embedding", "cell"))
+    if not parts:
+        return prev
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    (merged.repartition("cell")
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(os.path.join(index_root, f"upto={upto_epoch}")))
+    spark.createDataFrame([(upto_epoch,)], "upto long") \
+        .coalesce(1).write.mode("append") \
+        .parquet(os.path.join(index_root, _INDEX_MANIFEST))
+    if remove_folded:
+        jvm = spark._jvm
+        fs_path = jvm.org.apache.hadoop.fs.Path(vectors_dir)
+        fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(fs_path):
+            for st in fs.listStatus(fs_path):
+                name = st.getPath().getName()
+                if name.startswith("epoch_id="):
+                    try:
+                        e = int(name.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if e <= upto_epoch:
+                        fs.delete(st.getPath(), True)
+        if prev is not None:
+            _hadoop_delete(
+                spark, os.path.join(index_root, f"upto={prev}"))
+    return upto_epoch
+
+
 def read_vector_index(spark: SparkSession, out_dir: str,
                       exclude_epoch: int | None = None):
     """The fold-forward admitted-vector index for the semantic stream:
-    every ``vectors/epoch_id=<n>/cell=<c>`` partition, minus the
-    current epoch (a foreachBatch re-run must never see its own
-    partial vectors). Returns None before the first admitted epoch.
-    The caller filters on ``cell``, which prunes the scan to the
-    probed cell partitions."""
+    the compacted version (if any) plus only the NOT-yet-compacted
+    ``vectors/epoch_id=<n>/cell=<c>`` partitions, minus the current
+    epoch (a foreachBatch re-run must never see its own partial
+    vectors). Returns None before the first admitted epoch. The caller
+    filters on ``cell``, which prunes both layouts to the probed cell
+    partitions."""
     from pyspark.errors import AnalysisException
 
+    upto = _compacted_upto(spark, out_dir, _VINDEX_DIRNAME)
+    parts = []
+    if upto is not None:
+        parts.append(
+            spark.read.parquet(
+                os.path.join(out_dir, _VINDEX_DIRNAME, f"upto={upto}"))
+            .select("doc_id", "embedding", "cell"))
     try:
         df = spark.read.parquet(os.path.join(out_dir, "vectors"))
+        if upto is not None:
+            df = df.filter(F.col("epoch_id") > upto)
+        if exclude_epoch is not None:
+            df = df.filter(F.col("epoch_id") != exclude_epoch)
+        parts.append(df.select("doc_id", "embedding", "cell"))
     except AnalysisException:
+        pass
+    if not parts:
         return None
-    if exclude_epoch is not None:
-        df = df.filter(F.col("epoch_id") != exclude_epoch)
-    return df.select("doc_id", "embedding", "cell")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def stream_semantic_filter(spark: SparkSession, input_dir: str, schema,
@@ -378,7 +464,9 @@ def stream_semantic_filter(spark: SparkSession, input_dir: str, schema,
                            index_vectors=None,
                            threshold: float = 0.95, dim: int = 64,
                            text_col: str = "text",
-                           glob: str = "*.parquet") -> "StreamingQuery":
+                           glob: str = "*.parquet",
+                           compact_every: int | None = None,
+                           remove_folded: bool = False) -> "StreamingQuery":
     """Streaming SEMANTIC admission control — the embedding face of
     ``stream_neardup_filter`` (which screens syntactic MinHash bands;
     this screens order-invariant hash embeddings, so a shuffled or
@@ -404,7 +492,14 @@ def stream_semantic_filter(spark: SparkSession, input_dir: str, schema,
     near-copies drop), while batch ``semantic_dedup`` keeps the
     farthest-from-centroid member — the documented semantic gap
     between streaming admission and batch dedup, the same trade the
-    near-dup filter makes (band screen now, batch verify later)."""
+    near-dup filter makes (band screen now, batch verify later).
+
+    ``compact_every=k`` folds admitted vectors into the compacted,
+    cell-partitioned index (``compact_vector_index``) every k epochs,
+    bounding the per-batch index read by the cadence instead of the
+    stream's age — the same knob as the near-dup filter's band
+    compaction; ``remove_folded=True`` also deletes folded epoch
+    directories (small-file cleanup; correctness never depends on it)."""
     from ..operators.similarity import (cosine_col, hash_embedding,
                                         kmeans_assign, semantic_dedup)
 
@@ -424,6 +519,11 @@ def stream_semantic_filter(spark: SparkSession, input_dir: str, schema,
         emb = kmeans_assign(
             hash_embedding(raw_df, text_col, "doc_id", dim),
             centroids).select("doc_id", "embedding", "cell").persist()
+        if compact_every and epoch_id > 0 and epoch_id % compact_every == 0:
+            # fold all COMMITTED epochs (< current) into the compacted
+            # index; idempotent on replay (watermarked manifest)
+            compact_vector_index(spark, out_dir, upto_epoch=epoch_id - 1,
+                                 remove_folded=remove_folded)
         grown = read_vector_index(spark, out_dir, exclude_epoch=epoch_id)
         if index_vectors is not None:
             grown = (index_vectors if grown is None

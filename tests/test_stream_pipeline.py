@@ -393,3 +393,84 @@ def test_stream_semantic_filter_vs_index_and_across_batches(
     vecs = spark.read.parquet(os.path.join(out_dir, "vectors"))
     assert {r.doc_id for r in vecs.collect()} == kept
     assert "cell" in vecs.columns
+
+
+def test_stream_semantic_compaction_equivalence_and_bounded_reads(
+        spark, tmp_path):
+    """Semantic admissions with compact_every=1 + remove_folded must be
+    IDENTICAL to the uncompacted run on the same multi-epoch stream;
+    folded epoch dirs must be gone; the compacted index still holds
+    every admitted vector, cell-partitioned."""
+    import random
+
+    from dataquality_cli_spark.operators.similarity import (
+        hash_embedding, kmeans_assign, kmeans_fit)
+    from dataquality_cli_spark.streaming.stream_pipeline import (
+        _VINDEX_DIRNAME, _compacted_upto, compact_vector_index,
+        read_vector_index, stream_semantic_filter)
+
+    rng = random.Random(97)
+
+    def rand_rows(base, n):
+        return [(base + i, " ".join(
+            f"w{rng.randrange(10**9)}" for _ in range(50)))
+            for i in range(n)]
+
+    def reorder(text):
+        toks = text.split()
+        rng.shuffle(toks)
+        return " ".join(toks)
+
+    seed_rows = rand_rows(0, 60)
+    seed = spark.createDataFrame(seed_rows, "doc_id long, text string")
+    emb = hash_embedding(seed).cache()
+    cents = kmeans_fit(emb, k=4, n_iter=3, id_col="doc_id")
+    index_vectors = kmeans_assign(emb, cents).select(
+        "doc_id", "embedding", "cell").cache()
+    index_vectors.count()
+
+    # epoch 2 re-sends REORDERED epoch-0 docs (must consult epoch-0
+    # vectors, which by then live only in the compacted index when
+    # remove_folded=True); epoch 3 re-sends a reordered SEED doc.
+    e0 = rand_rows(10_000, 8)
+    e1 = rand_rows(20_000, 8)
+    e2 = [(30_000 + i, reorder(t)) for i, (_d, t) in enumerate(e0[:4])]
+    e3 = ([(40_000, reorder(seed_rows[0][1]))] + rand_rows(41_000, 3))
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, chunk in enumerate((e0, e1, e2, e3)):
+        spark.createDataFrame(chunk, "doc_id long, text string") \
+            .toPandas().to_parquet(str(in_dir / f"f{i}.parquet"),
+                                   index=False)
+
+    schema = spark.createDataFrame([], "doc_id long, text string").schema
+    kept = {}
+    for mode, kwargs in (
+            ("plain", {}),
+            ("compacted", dict(compact_every=1, remove_folded=True))):
+        out = str(tmp_path / f"out_{mode}")
+        q = stream_semantic_filter(
+            spark, str(in_dir), schema, out, cents,
+            index_vectors=index_vectors, threshold=0.999, **kwargs)
+        assert q.awaitTermination(240)
+        kept[mode] = sorted(r.doc_id for r in spark.read.parquet(
+            os.path.join(out, "data")).collect())
+
+    assert kept["compacted"] == kept["plain"]
+    assert all(10_000 <= d < 50_000 for d in kept["plain"])
+    assert not any(30_000 <= d < 40_000 for d in kept["plain"])  # e0 reorders
+    assert 40_000 not in kept["plain"]  # seed reorder dropped
+    assert {41_000, 41_001, 41_002} <= set(kept["plain"])
+
+    out = str(tmp_path / "out_compacted")
+    upto = _compacted_upto(spark, out, _VINDEX_DIRNAME)
+    assert upto is not None and upto >= 2
+    leftover = [d for d in os.listdir(os.path.join(out, "vectors"))
+                if d.startswith("epoch_id=")]
+    assert all(int(d.split("=")[1]) > upto for d in leftover)
+    assert len(leftover) <= 1
+    idx = read_vector_index(spark, out)
+    assert idx.select("doc_id").distinct().count() == len(kept["compacted"])
+    assert "cell" in idx.columns
+    # idempotent: re-compacting an already-folded epoch is a no-op
+    assert compact_vector_index(spark, out, upto_epoch=upto) == upto

@@ -718,7 +718,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cents = kmeans_fit(emb, k=8, id_col="doc_id", n_iter=3)
         index_vectors = kmeans_assign(emb, cents).select(
             "doc_id", "embedding", "cell")
-        reordered = corpus.filter(F.col("doc_id") % 10 == 0).select(
+        # non-empty docs only: an empty doc's twin is the zero vector,
+        # which has no semantic content and is (by design) never a
+        # semantic duplicate — it would trip the zero-survivor assert
+        reordered = corpus.filter(
+            (F.col("doc_id") % 10 == 0)
+            & (F.length(F.trim(F.col("text"))) > 0)).select(
             (F.col("doc_id") + 50_000).alias("doc_id"),
             F.array_join(F.array_sort(F.split(F.col("text"), " ", -1)),
                          " ").alias("text"))
@@ -1152,7 +1157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # corpus_token_budget_mix displaces doc_quality_score;
     # doc_quality_classifier displaces doc_benchmark_contamination;
     # doc_license_guess / doc_entropy_signals displace
-    # doc_repo_quality_report / profile_documents_table) — and
+    # doc_repo_quality_report / profile_documents_table;
+    # dedup_streaming_semantic displaces doc_dedup_lines) — and
     # doc_remove_repeated_spans moves the OTHER way, OUT of the tail
     # (its implementation was refactored through _remove_spans_at this
     # round, so it must be re-checked), displaced by doc_stopword_langid.

@@ -702,7 +702,8 @@ def semantic_dedup(df: DataFrame, centroids: np.ndarray,
                    threshold: float = 0.95,
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    max_cell_size: int | None = 10_000,
-                   metrics_out: dict | None = None) -> DataFrame:
+                   metrics_out: dict | None = None,
+                   pre_assigned: bool = False) -> DataFrame:
     """SemDeDup: drop near-semantic-duplicates WITHIN k-means cells.
 
     A doc is dropped when some same-cell doc with higher keep-priority
@@ -728,11 +729,17 @@ def semantic_dedup(df: DataFrame, centroids: np.ndarray,
     entirely (reuses dedup.oversized_bucket_keys — same rationale as
     the LSH bucket cap: a cell holding 1% of the corpus carries no
     dedup signal and would dominate the quadratic term; it also bounds
-    each task's matmul memory). Returns the kept rows of ``df`` plus
+    each task's matmul memory). ``pre_assigned=True`` skips the
+    assignment pass: ``df`` already carries (cell, cos_to_centroid)
+    from an earlier ``kmeans_assign`` against the SAME centroids (the
+    streaming sink's shape — assigning twice per micro-batch is pure
+    waste). Returns the kept rows of ``df`` plus
     (cell, cos_to_centroid)."""
     from .dedup import oversized_bucket_keys
 
-    assigned = kmeans_assign(df, centroids, vec_col, id_col).persist()
+    assigned = (df if pre_assigned
+                else kmeans_assign(df, centroids, vec_col,
+                                   id_col)).persist()
     paired = assigned
     if max_cell_size is not None:
         oversized = oversized_bucket_keys(

@@ -136,63 +136,52 @@ def _hadoop_delete(spark: SparkSession, path: str) -> None:
     fs.delete(hpath, True)
 
 
-def compact_band_index(spark: SparkSession, out_dir: str,
-                       upto_epoch: int, n_shards: int = 8,
-                       remove_folded: bool = False) -> int | None:
-    """Fold every ``bands/epoch_id=<e>`` directory with e <= upto_epoch
-    into the compacted index ``bands_index/upto=<upto_epoch>``, clustered
-    on band_hash (``repartition(n_shards, band_hash)``) so each index
-    shard is one file and a production deployment can bucket the
-    admission join on the same key. Versioned + manifest-after-data:
-    the new index version is fully written BEFORE the manifest row that
-    activates it, so a crash mid-compaction leaves readers on the old
-    version — never a partial index. Idempotent: re-running with an
-    already-folded ``upto_epoch`` is a no-op (returns the current
-    watermark), so a foreachBatch replay that re-triggers compaction
-    cannot double-fold.
-
-    ``remove_folded=True`` additionally deletes the folded epoch band
-    directories and superseded index versions (Hadoop FS, portable) —
-    this is what stops the one-directory-per-epoch small-file pile-up;
-    correctness never depends on it because readers filter folded
-    epochs out by the manifest watermark.
-
-    Returns the new compaction watermark (or the old one on no-op)."""
+def _fold_epochs(spark: SparkSession, out_dir: str, src_dirname: str,
+                 index_dirname: str, cols: list, upto_epoch: int,
+                 write_index, remove_folded: bool) -> int | None:
+    """SHARED fold machinery for every epoch-keyed streaming index
+    (bands, vectors): merge epoch directories <= upto_epoch (plus the
+    previous compacted version) into ``<index_dirname>/upto=<n>`` via
+    the caller's ``write_index(df, path)``, manifest-after-data (a
+    crash mid-compaction leaves readers on the old version), no-op
+    when the watermark already covers ``upto_epoch`` (a foreachBatch
+    replay cannot double-fold), and optionally delete the folded epoch
+    dirs + the superseded version (Hadoop FS, portable). ONE
+    implementation so crash-safety/FS fixes cannot diverge between
+    index kinds. Returns the new (or unchanged) watermark."""
     from pyspark.errors import AnalysisException
 
-    prev = _compacted_upto(spark, out_dir)
+    prev = _compacted_upto(spark, out_dir, index_dirname)
     if prev is not None and upto_epoch <= prev:
         return prev
-    bands_dir = os.path.join(out_dir, "bands")
-    index_root = os.path.join(out_dir, _INDEX_DIRNAME)
+    src_dir = os.path.join(out_dir, src_dirname)
+    index_root = os.path.join(out_dir, index_dirname)
     parts = []
     try:
-        fresh = (spark.read.parquet(bands_dir)
+        fresh = (spark.read.parquet(src_dir)
                  .filter(F.col("epoch_id") <= upto_epoch))
         if prev is not None:
             fresh = fresh.filter(F.col("epoch_id") > prev)
-        parts.append(fresh.select("doc_id", "band_id", "band_hash"))
+        parts.append(fresh.select(*cols))
     except AnalysisException:
         pass  # no epoch dirs (all folded+removed, or none written yet)
     if prev is not None:
         parts.append(
             spark.read.parquet(os.path.join(index_root, f"upto={prev}"))
-            .select("doc_id", "band_id", "band_hash"))
+            .select(*cols))
     if not parts:
         return prev
     merged = parts[0]
     for p in parts[1:]:
         merged = merged.unionByName(p)
-    (merged.repartition(n_shards, "band_hash")
-     .write.mode("overwrite")
-     .parquet(os.path.join(index_root, f"upto={upto_epoch}")))
+    write_index(merged, os.path.join(index_root, f"upto={upto_epoch}"))
     # manifest AFTER data: activates the new version atomically-enough
     spark.createDataFrame([(upto_epoch,)], "upto long") \
         .coalesce(1).write.mode("append") \
         .parquet(os.path.join(index_root, _INDEX_MANIFEST))
     if remove_folded:
         jvm = spark._jvm
-        fs_path = jvm.org.apache.hadoop.fs.Path(bands_dir)
+        fs_path = jvm.org.apache.hadoop.fs.Path(src_dir)
         fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(fs_path):
             for st in fs.listStatus(fs_path):
@@ -210,30 +199,29 @@ def compact_band_index(spark: SparkSession, out_dir: str,
     return upto_epoch
 
 
-def read_band_index(spark: SparkSession, out_dir: str,
-                    exclude_epoch: int | None = None) -> DataFrame | None:
-    """The full fold-forward band index: the compacted version (if any)
-    plus only the NOT-yet-compacted epoch directories — per-batch read
-    cost is bounded by the compaction cadence, not the stream's age.
-    ``exclude_epoch`` drops the current epoch so a foreachBatch re-run
-    never sees its own partial bands. Returns None when no bands exist
-    yet (first batch of a fresh stream)."""
+def _read_fold_forward(spark: SparkSession, out_dir: str,
+                       src_dirname: str, index_dirname: str, cols: list,
+                       exclude_epoch: int | None) -> DataFrame | None:
+    """SHARED fold-forward read: compacted version (if any) + only the
+    NOT-yet-compacted epoch directories, minus the current epoch (a
+    foreachBatch re-run must never see its own partial output).
+    Returns None before the first written epoch."""
     from pyspark.errors import AnalysisException
 
-    upto = _compacted_upto(spark, out_dir)
+    upto = _compacted_upto(spark, out_dir, index_dirname)
     parts = []
     if upto is not None:
         parts.append(
             spark.read.parquet(
-                os.path.join(out_dir, _INDEX_DIRNAME, f"upto={upto}"))
-            .select("doc_id", "band_id", "band_hash"))
+                os.path.join(out_dir, index_dirname, f"upto={upto}"))
+            .select(*cols))
     try:
-        fresh = spark.read.parquet(os.path.join(out_dir, "bands"))
+        fresh = spark.read.parquet(os.path.join(out_dir, src_dirname))
         if upto is not None:
             fresh = fresh.filter(F.col("epoch_id") > upto)
         if exclude_epoch is not None:
             fresh = fresh.filter(F.col("epoch_id") != exclude_epoch)
-        parts.append(fresh.select("doc_id", "band_id", "band_hash"))
+        parts.append(fresh.select(*cols))
     except AnalysisException:
         pass
     if not parts:
@@ -242,6 +230,49 @@ def read_band_index(spark: SparkSession, out_dir: str,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+_BAND_COLS = ["doc_id", "band_id", "band_hash"]
+
+
+def compact_band_index(spark: SparkSession, out_dir: str,
+                       upto_epoch: int, n_shards: int = 8,
+                       remove_folded: bool = False) -> int | None:
+    """Fold every ``bands/epoch_id=<e>`` directory with e <= upto_epoch
+    into the compacted index ``bands_index/upto=<upto_epoch>``, clustered
+    on band_hash (``repartition(n_shards, band_hash)``) so each index
+    shard is one file and a production deployment can bucket the
+    admission join on the same key. Guarantees (shared _fold_epochs
+    machinery): versioned + manifest-after-data — a crash
+    mid-compaction leaves readers on the old version, never a partial
+    index; idempotent on replay (watermarked no-op).
+
+    ``remove_folded=True`` additionally deletes the folded epoch band
+    directories and superseded index versions (Hadoop FS, portable) —
+    this is what stops the one-directory-per-epoch small-file pile-up;
+    correctness never depends on it because readers filter folded
+    epochs out by the manifest watermark.
+
+    Returns the new compaction watermark (or the old one on no-op)."""
+    def write_index(df, path):
+        df.repartition(n_shards, "band_hash") \
+            .write.mode("overwrite").parquet(path)
+
+    return _fold_epochs(spark, out_dir, "bands", _INDEX_DIRNAME,
+                        _BAND_COLS, upto_epoch, write_index,
+                        remove_folded)
+
+
+def read_band_index(spark: SparkSession, out_dir: str,
+                    exclude_epoch: int | None = None) -> DataFrame | None:
+    """The full fold-forward band index: the compacted version (if any)
+    plus only the NOT-yet-compacted epoch directories — per-batch read
+    cost is bounded by the compaction cadence, not the stream's age.
+    ``exclude_epoch`` drops the current epoch so a foreachBatch re-run
+    never sees its own partial bands. Returns None when no bands exist
+    yet (first batch of a fresh stream)."""
+    return _read_fold_forward(spark, out_dir, "bands", _INDEX_DIRNAME,
+                              _BAND_COLS, exclude_epoch)
 
 
 def stream_neardup_filter(spark: SparkSession, input_dir: str, schema,
@@ -358,6 +389,9 @@ def stream_neardup_filter(spark: SparkSession, input_dir: str, schema,
 _VINDEX_DIRNAME = "vectors_index"
 
 
+_VECTOR_COLS = ["doc_id", "embedding", "cell"]
+
+
 def compact_vector_index(spark: SparkSession, out_dir: str,
                          upto_epoch: int,
                          remove_folded: bool = False) -> int | None:
@@ -365,63 +399,17 @@ def compact_vector_index(spark: SparkSession, out_dir: str,
     upto_epoch into the compacted index
     ``vectors_index/upto=<upto_epoch>``, PARTITIONED BY cell so the
     admission join's cell filter prunes the compacted scan exactly
-    like the per-epoch layout — the band-index compaction
-    (compact_band_index) applied to the semantic stream's
-    admitted-vector index, with the same guarantees: versioned +
-    manifest-after-data (a crash mid-compaction leaves readers on the
-    old version), idempotent on replay (watermarked no-op), and
-    ``remove_folded=True`` deletes folded epoch dirs + superseded
-    versions so per-batch reads stay bounded by the cadence, not the
-    stream's age."""
-    from pyspark.errors import AnalysisException
+    like the per-epoch layout — the band-index compaction applied to
+    the semantic stream's admitted-vector index, through the SAME
+    ``_fold_epochs`` machinery (versioned, manifest-after-data,
+    replay-idempotent, optional folded-dir cleanup)."""
+    def write_index(df, path):
+        df.repartition("cell").write.mode("overwrite") \
+            .partitionBy("cell").parquet(path)
 
-    prev = _compacted_upto(spark, out_dir, _VINDEX_DIRNAME)
-    if prev is not None and upto_epoch <= prev:
-        return prev
-    vectors_dir = os.path.join(out_dir, "vectors")
-    index_root = os.path.join(out_dir, _VINDEX_DIRNAME)
-    parts = []
-    try:
-        fresh = (spark.read.parquet(vectors_dir)
-                 .filter(F.col("epoch_id") <= upto_epoch))
-        if prev is not None:
-            fresh = fresh.filter(F.col("epoch_id") > prev)
-        parts.append(fresh.select("doc_id", "embedding", "cell"))
-    except AnalysisException:
-        pass
-    if prev is not None:
-        parts.append(
-            spark.read.parquet(os.path.join(index_root, f"upto={prev}"))
-            .select("doc_id", "embedding", "cell"))
-    if not parts:
-        return prev
-    merged = parts[0]
-    for p in parts[1:]:
-        merged = merged.unionByName(p)
-    (merged.repartition("cell")
-     .write.mode("overwrite").partitionBy("cell")
-     .parquet(os.path.join(index_root, f"upto={upto_epoch}")))
-    spark.createDataFrame([(upto_epoch,)], "upto long") \
-        .coalesce(1).write.mode("append") \
-        .parquet(os.path.join(index_root, _INDEX_MANIFEST))
-    if remove_folded:
-        jvm = spark._jvm
-        fs_path = jvm.org.apache.hadoop.fs.Path(vectors_dir)
-        fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(fs_path):
-            for st in fs.listStatus(fs_path):
-                name = st.getPath().getName()
-                if name.startswith("epoch_id="):
-                    try:
-                        e = int(name.split("=", 1)[1])
-                    except ValueError:
-                        continue
-                    if e <= upto_epoch:
-                        fs.delete(st.getPath(), True)
-        if prev is not None:
-            _hadoop_delete(
-                spark, os.path.join(index_root, f"upto={prev}"))
-    return upto_epoch
+    return _fold_epochs(spark, out_dir, "vectors", _VINDEX_DIRNAME,
+                        _VECTOR_COLS, upto_epoch, write_index,
+                        remove_folded)
 
 
 def read_vector_index(spark: SparkSession, out_dir: str,
@@ -429,34 +417,12 @@ def read_vector_index(spark: SparkSession, out_dir: str,
     """The fold-forward admitted-vector index for the semantic stream:
     the compacted version (if any) plus only the NOT-yet-compacted
     ``vectors/epoch_id=<n>/cell=<c>`` partitions, minus the current
-    epoch (a foreachBatch re-run must never see its own partial
-    vectors). Returns None before the first admitted epoch. The caller
+    epoch. Returns None before the first admitted epoch. The caller
     filters on ``cell``, which prunes both layouts to the probed cell
     partitions."""
-    from pyspark.errors import AnalysisException
-
-    upto = _compacted_upto(spark, out_dir, _VINDEX_DIRNAME)
-    parts = []
-    if upto is not None:
-        parts.append(
-            spark.read.parquet(
-                os.path.join(out_dir, _VINDEX_DIRNAME, f"upto={upto}"))
-            .select("doc_id", "embedding", "cell"))
-    try:
-        df = spark.read.parquet(os.path.join(out_dir, "vectors"))
-        if upto is not None:
-            df = df.filter(F.col("epoch_id") > upto)
-        if exclude_epoch is not None:
-            df = df.filter(F.col("epoch_id") != exclude_epoch)
-        parts.append(df.select("doc_id", "embedding", "cell"))
-    except AnalysisException:
-        pass
-    if not parts:
-        return None
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return _read_fold_forward(spark, out_dir, "vectors",
+                              _VINDEX_DIRNAME, _VECTOR_COLS,
+                              exclude_epoch)
 
 
 def stream_semantic_filter(spark: SparkSession, input_dir: str, schema,
@@ -466,7 +432,9 @@ def stream_semantic_filter(spark: SparkSession, input_dir: str, schema,
                            text_col: str = "text",
                            glob: str = "*.parquet",
                            compact_every: int | None = None,
-                           remove_folded: bool = False) -> "StreamingQuery":
+                           remove_folded: bool = False,
+                           max_cell_size: int | None = 10_000,
+                           ) -> "StreamingQuery":
     """Streaming SEMANTIC admission control — the embedding face of
     ``stream_neardup_filter`` (which screens syntactic MinHash bands;
     this screens order-invariant hash embeddings, so a shuffled or
@@ -514,11 +482,16 @@ def stream_semantic_filter(spark: SparkSession, input_dir: str, schema,
     metrics_dir = os.path.join(out_dir, "metrics")
 
     def sink(raw_df: DataFrame, epoch_id: int) -> None:
+        from ..operators.dedup import oversized_bucket_keys
+
         raw_df = raw_df.persist()
         n_in = raw_df.count()
+        # ONE assignment pass per batch: (cell, cos_to_centroid) feed
+        # the index screen AND the intra-batch dedup (pre_assigned)
         emb = kmeans_assign(
             hash_embedding(raw_df, text_col, "doc_id", dim),
-            centroids).select("doc_id", "embedding", "cell").persist()
+            centroids).select("doc_id", "embedding", "cell",
+                              "cos_to_centroid").persist()
         if compact_every and epoch_id > 0 and epoch_id % compact_every == 0:
             # fold all COMMITTED epochs (< current) into the compacted
             # index; idempotent on replay (watermarked manifest)
@@ -529,24 +502,42 @@ def stream_semantic_filter(spark: SparkSession, input_dir: str, schema,
             grown = (index_vectors if grown is None
                      else index_vectors.unionByName(grown))
         if grown is not None:
+            # the same megacell guard semantic_dedup applies: a
+            # degenerate cell holding a corpus-share of the index would
+            # make the screen |batch_cell| x |index_cell| forever
+            # (compaction bounds FILE reads, not cell population)
+            if max_cell_size is not None:
+                oversized = oversized_bucket_keys(
+                    grown.select("cell"), ["cell"], max_cell_size)
+                grown = grown.join(F.broadcast(oversized), ["cell"],
+                                   "left_anti")
             b = emb.select(F.col("doc_id"),
                            F.col("embedding").alias("b_vec"), "cell")
             i = grown.select(F.col("embedding").alias("i_vec"), "cell")
+            # coalesce: a ZERO vector (hash_embedding's empty-doc
+            # convention) gives cosine 0/0 = NULL, and NULL > t is
+            # false-y — without the coalesce every empty doc would
+            # bypass the screen forever and pile its zero vector into
+            # one cell; with it they compare at 0.0 (no semantic
+            # content -> never a semantic duplicate; exact dedup
+            # upstream owns identical-empty-doc collapsing)
             hit_ids = (
                 b.join(i, "cell")
-                .filter(cosine_col(F.col("b_vec"), F.col("i_vec"))
-                        > threshold)
+                .filter(F.coalesce(
+                    cosine_col(F.col("b_vec"), F.col("i_vec")),
+                    F.lit(0.0)) > threshold)
                 .select("doc_id").distinct()
             )
             fresh_emb = emb.join(hit_ids, "doc_id", "left_anti")
         else:
             fresh_emb = emb
         # intra-batch semantic dedup among the survivors (two shuffled
-        # copies of a NEW doc in one batch would both pass the index)
+        # copies of a NEW doc in one batch would both pass the index);
+        # pre_assigned: reuses this batch's assignment pass
         kept_emb = semantic_dedup(
-            fresh_emb.select("doc_id", "embedding"), centroids,
-            threshold=threshold, vec_col="embedding",
-            id_col="doc_id").persist()
+            fresh_emb, centroids, threshold=threshold,
+            vec_col="embedding", id_col="doc_id",
+            max_cell_size=max_cell_size, pre_assigned=True).persist()
         survivors = raw_df.join(kept_emb.select("doc_id"), "doc_id",
                                 "left_semi").persist()
         survivors.write.mode("overwrite").parquet(

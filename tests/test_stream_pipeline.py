@@ -15,6 +15,18 @@ from dataquality_cli_spark.streaming.stream_pipeline import stream_quality_filte
 SCHEMA = "repo string, path string, commit string, lang string, content string"
 
 
+def _pin_mtimes(in_dir, names):
+    """FileStreamSource orders files by modification time with
+    unspecified tie-breaking; files written back-to-back can share an
+    mtime at fs granularity, flipping batch order. Pin strictly
+    increasing mtimes so batch order == intended order."""
+    import time
+
+    base = time.time() - 600
+    for i, name in enumerate(names):
+        os.utime(str(in_dir / name), (base + 10 * i, base + 10 * i))
+
+
 def test_stream_matches_batch(spark, tmp_path):
     rows = corpus_to_rows(gen_corpus(150, seed=77))
     in_dir = tmp_path / "in"
@@ -92,11 +104,12 @@ def test_stream_neardup_filter_vs_index_and_across_batches(spark, tmp_path):
     # lexicographic, matches batch order
     b0.toPandas().to_parquet(str(in_dir / "a_batch0.parquet"), index=False)
     b1.toPandas().to_parquet(str(in_dir / "b_batch1.parquet"), index=False)
+    _pin_mtimes(in_dir, ["a_batch0.parquet", "b_batch1.parquet"])
 
     out_dir = str(tmp_path / "out")
     q = stream_neardup_filter(
         spark, str(in_dir), b0.schema, out_dir, index)
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
 
     kept = {r.doc_id for r in
             spark.read.parquet(os.path.join(out_dir, "data")).collect()}
@@ -157,6 +170,7 @@ def test_stream_neardup_compaction_equivalence_and_bounded_reads(
         spark.createDataFrame(chunk, "doc_id long, text string") \
             .toPandas().to_parquet(str(in_dir / f"f{i}.parquet"),
                                    index=False)
+    _pin_mtimes(in_dir, [f"f{i}.parquet" for i in range(4)])
 
     schema = spark.createDataFrame([], "doc_id long, text string").schema
     kept = {}
@@ -365,13 +379,14 @@ def test_stream_semantic_filter_vs_index_and_across_batches(
     spark.createDataFrame(b1, "doc_id long, text string") \
         .toPandas().to_parquet(str(in_dir / "b_batch1.parquet"),
                                index=False)
+    _pin_mtimes(in_dir, ["a_batch0.parquet", "b_batch1.parquet"])
 
     out_dir = str(tmp_path / "out")
     q = stream_semantic_filter(
         spark, str(in_dir),
         spark.createDataFrame(b0, "doc_id long, text string").schema,
         out_dir, cents, index_vectors=index_vectors, threshold=0.999)
-    q.awaitTermination(240)
+    assert q.awaitTermination(240)
 
     kept = {r.doc_id for r in
             spark.read.parquet(os.path.join(out_dir, "data")).collect()}
@@ -442,6 +457,7 @@ def test_stream_semantic_compaction_equivalence_and_bounded_reads(
         spark.createDataFrame(chunk, "doc_id long, text string") \
             .toPandas().to_parquet(str(in_dir / f"f{i}.parquet"),
                                    index=False)
+    _pin_mtimes(in_dir, [f"f{i}.parquet" for i in range(4)])
 
     schema = spark.createDataFrame([], "doc_id long, text string").schema
     kept = {}

@@ -49,6 +49,9 @@ CHECKS = {
     "emb_semantic_dedup": "assignment persisted; ONE exchange on the cell key into FlatMapGroupsInPandas (per-cell chunked matmul) — no pair self-join, no interpreted cosine fold",
     "doc_code_line_profile": "one scan, whole-stage codegen split/filter/regexp chain — no Python, no shuffle",
     "doc_cross_doc_spans": "keep-one substring dedup: window Generate in scan stage; repeated-hash set AND per-hash keeper (min-struct agg, no Window fn) both broadcast back onto the position stream; no UDF",
+    "corpus_token_budget_mix": "budgets broadcast (tiny VALUES join); ONE per-stratum running-sum Window — strata fill in parallel, no global sort",
+    "doc_license_guess": "one scan, whole-stage-codegen regexp chain (SPDX extract + header rlikes) — no UDF, no shuffle, no join",
+    "doc_entropy_signals": "one scan, HOF-only projection (char-split + per-distinct-char probability fold) — no UDF, no shuffle",
 }
 
 

@@ -750,6 +750,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_streaming_semantic"] = stream_semantic
 
+    # unsupervised topic/domain map (hash-embed -> k-means -> per-
+    # cluster top terms with corpus-share) — the exploration readout
+    # that feeds token_budget_mix's weights. Rows-only: kmeans floats;
+    # planted-topic separation is pytest-pinned.
+    def topic_map(s, d):
+        from dataquality_cli_spark.jobs.corpus_report_job import (
+            topic_clusters)
+
+        return topic_clusters(
+            s, _t(s, d, "documents").select("doc_id", "text"),
+            k=8, top_terms=5)
+
+    q["corpus_topic_clusters"] = topic_map
+
     # --- similarity search ---
     def ann(s, d):
         emb = _t(s, d, "embeddings")
@@ -1158,7 +1172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # doc_quality_classifier displaces doc_benchmark_contamination;
     # doc_license_guess / doc_entropy_signals displace
     # doc_repo_quality_report / profile_documents_table;
-    # dedup_streaming_semantic displaces doc_dedup_lines) — and
+    # dedup_streaming_semantic displaces doc_dedup_lines;
+    # corpus_topic_clusters displaces a1_rowcount_by_status) — and
     # doc_remove_repeated_spans moves the OTHER way, OUT of the tail
     # (its implementation was refactored through _remove_spans_at this
     # round, so it must be re-checked), displaced by doc_stopword_langid.
@@ -1167,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stopword_langid", "doc_quality_score",
         "doc_benchmark_contamination", "doc_repo_quality_report",
         "profile_documents_table", "doc_dedup_lines",
+        "a1_rowcount_by_status",
         "doc_quality_verdict",
         "doc_repetition_signals", "doc_chunks", "corpus_vocabulary",
         "doc_tfidf_terms", "corpus_bigram_lm", "dq_threshold_sweep",

@@ -96,6 +96,64 @@ def corpus_report(spark: SparkSession, df: DataFrame,
     return report
 
 
+def topic_clusters(spark: SparkSession, df: DataFrame, k: int = 8,
+                   top_terms: int = 5, dim: int = 64) -> DataFrame:
+    """Unsupervised topic/domain map of the corpus — the exploration
+    readout a corpus owner uses to decide mixing weights (which
+    token_budget_mix then enforces): hash-embed -> distributed k-means
+    -> per-cluster doc counts + the ``top_terms`` most frequent tokens
+    (with each cluster's share of that token's corpus-wide mass, so
+    generic stopwords are readable as such). Returns (cell, n_docs,
+    top_tokens: array<struct<token, n, share>>), one row per non-empty
+    cluster.
+
+    Physical shape: the embedding/assign tier is the SemDeDup
+    machinery (Arrow matmul, k*dim driver state); term counting is one
+    Generate + two uniform-key partial aggs ((cell, token) then token
+    totals — the smaller aggregated side broadcasts back); per-cluster
+    top-k is a Window PARTITIONED by cell, so clusters rank in
+    parallel — never a global sort. Rows-only check (k-means floats);
+    determinism across partitionings inherits kmeans_fit's ~1e-9
+    centroid tolerance."""
+    from pyspark.sql.window import Window
+
+    from dataquality_cli_spark.operators.similarity import (
+        hash_embedding, kmeans_assign, kmeans_fit)
+
+    emb = hash_embedding(df, "text", "doc_id", dim).persist()
+    cents = kmeans_fit(emb, k=k, id_col="doc_id")
+    assigned = kmeans_assign(emb, cents).select("doc_id", "cell")
+    toks = (
+        df.join(assigned, "doc_id")
+        .select("cell", F.explode(
+            F.split(F.col("text"), r"\s+", -1)).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    per_cell = toks.groupBy("cell", "token").agg(
+        F.count(F.lit(1)).alias("n"))
+    totals = per_cell.groupBy("token").agg(F.sum("n").alias("n_total"))
+    w = Window.partitionBy("cell").orderBy(F.desc("n"), F.asc("token"))
+    top = (
+        per_cell.join(F.broadcast(totals), "token")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_terms)
+        .groupBy("cell")
+        .agg(F.sort_array(F.collect_list(F.struct(
+            F.col("rk"), F.col("token"), F.col("n"),
+            F.round(F.col("n") / F.col("n_total"), 4).alias("share"),
+        ))).alias("ranked"))
+        .select("cell", F.transform(
+            F.col("ranked"),
+            lambda s: F.struct(s["token"].alias("token"),
+                               s["n"].alias("n"),
+                               s["share"].alias("share")))
+            .alias("top_tokens"))
+    )
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_docs"))
+    # emb persist released with the returned plan (house convention)
+    return sizes.join(top, "cell", "left").orderBy("cell")
+
+
 def main() -> None:
     import argparse
     import json

@@ -590,3 +590,31 @@ def test_corpus_build_cross_doc_span_stage(spark, tmp_path):
                   spark.read.parquet(f"{out}/kept").collect()}
     assert sum(passage in t for t in kept_texts.values()) == 1
     assert build_corpus_resumable(spark, df, out, **kw) == m_res
+
+
+def test_topic_clusters_separates_planted_topics(spark):
+    """Two disjoint-vocabulary topics land in two clusters; each
+    cluster's top tokens come from ONE vocabulary with ~exclusive
+    corpus share; doc counts add up."""
+    import random
+
+    from dataquality_cli_spark.jobs.corpus_report_job import (
+        topic_clusters)
+
+    rng = random.Random(71)
+    vocab_a = [f"alpha{i}" for i in range(50)]
+    vocab_b = [f"beta{i}" for i in range(50)]
+    rows = [(i, " ".join(rng.choice(vocab_a if i < 20 else vocab_b)
+                         for _ in range(60)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = topic_clusters(spark, df, k=2, top_terms=3).collect()
+    assert len(out) == 2
+    assert sum(r.n_docs for r in out) == 40
+    fams = set()
+    for r in out:
+        kinds = {t.token[:4] for t in r.top_tokens}
+        assert len(kinds) == 1, r          # one vocabulary per cluster
+        assert all(t.share > 0.95 for t in r.top_tokens)
+        fams |= kinds
+    assert fams == {"alph", "beta"}        # both topics represented

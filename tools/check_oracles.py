@@ -44,6 +44,7 @@ ROWS_ONLY_MIN = {
     "dedup_bloom_screen_sharded": 450,
     "doc_quality_classifier": 400,
     "dedup_streaming_semantic": 100,
+    "corpus_topic_clusters": 4,
 }
 
 

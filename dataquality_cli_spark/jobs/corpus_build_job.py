@@ -46,17 +46,57 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _filter_stage(spark: SparkSession, df: DataFrame, bc=None):
+# the heuristic metrics the fused UDF already computes per file — also
+# the feature vector of the optional model-based (classifier) gate
+CLASSIFIER_FEATURES = ["blank_ratio", "mean_line_len", "alnum_fraction",
+                       "dup_line_ratio", "max_token_len", "ppl"]
+
+
+def _filter_stage(spark: SparkSession, df: DataFrame, bc=None,
+                  classifier_labeled: DataFrame | None = None,
+                  classifier_threshold: float = 0.5):
     """Quality filter -> (verdicts, kept). doc_id hashes the FULL
     identity (repo, path, commit): two commits of one path are distinct
     documents — a (repo, path)-only key made the dedup join fan out.
     Birthday bound for 64-bit ids is ~n^2/2^65: ~2.7e-6 at 10^7 docs but
     ~3% at 10^9 — above ~10^7-10^8 docs swap in md5(repo||path||commit)
-    (128-bit string keys); the chain is key-type agnostic."""
+    (128-bit string keys); the chain is key-type agnostic.
+
+    ``classifier_labeled`` enables the MODEL-BASED gate on top of the
+    heuristic one (the FineWeb-Edu / DCLM pattern: a small classifier
+    trained on a labeled sample re-scores what the heuristics kept):
+    the labeled corpus-shaped table (+ int ``label``) runs through the
+    SAME pipeline to produce its feature metrics, a distributed
+    logistic regression fits on CLASSIFIER_FEATURES, and the heuristic
+    survivors are kept only when their sigmoid score reaches
+    ``classifier_threshold`` — the scoring is a pure column expression
+    over metrics the fused UDF already computed, so the gate adds ZERO
+    extra passes over the corpus (callers derive the pre-gate count
+    from the persisted verdicts). The gate rides INSIDE the filter
+    stage, so verdict features never need re-materializing on
+    resume."""
     from dataquality_cli_spark.plans.pipeline import run_pipeline
 
     verdicts = run_pipeline(spark, df, bc=bc)
-    kept = verdicts.filter("keep").select(
+    kept_v = verdicts.filter("keep")
+    if classifier_labeled is not None:
+        from dataquality_cli_spark.functions.models import (
+            quality_classifier_score_col,
+            train_quality_classifier_distributed)
+
+        feats = run_pipeline(
+            spark,
+            classifier_labeled.select("repo", "path", "commit", "lang",
+                                      "content"),
+            bc=bc)
+        train_df = feats.join(
+            classifier_labeled.select("repo", "path", "commit", "label"),
+            ["repo", "path", "commit"])
+        model = train_quality_classifier_distributed(
+            train_df, CLASSIFIER_FEATURES, label_col="label")
+        kept_v = kept_v.filter(
+            quality_classifier_score_col(model) >= classifier_threshold)
+    kept = kept_v.select(
         F.xxhash64("repo", "path", "commit").alias("doc_id"),
         "repo", "path", "lang", "content_sha256",
         F.col("scrubbed_content").alias("text"),
@@ -277,6 +317,8 @@ def build_corpus(
     prior_kept: str | None = None,
     cross_doc_min_docs: int | None = None,
     drop_licenses: list | None = None,
+    classifier_labeled: DataFrame | None = None,
+    classifier_threshold: float = 0.5,
 ) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
     """Run the full chain over a (repo, path, commit, lang, content)
     corpus. Returns (train_packed, val_docs, kept_docs, metrics) where
@@ -294,11 +336,19 @@ def build_corpus(
 
     # 1. quality filter — persist the VERDICTS (not just kept): the
     # input metric and the kept selection then share one pipeline pass
-    verdicts, kept = _filter_stage(spark, df, bc=bc)
+    verdicts, kept = _filter_stage(
+        spark, df, bc=bc, classifier_labeled=classifier_labeled,
+        classifier_threshold=classifier_threshold)
     verdicts = verdicts.persist()
     metrics["input"] = verdicts.count()
     kept = kept.persist()
-    metrics["kept_after_filter"] = kept.count()
+    if classifier_labeled is not None:
+        # pre-gate funnel row from the PERSISTED verdicts (no extra
+        # pipeline pass); kept is the post-classifier survivor set
+        metrics["kept_after_filter"] = verdicts.filter("keep").count()
+        metrics["after_classifier_gate"] = kept.count()
+    else:
+        metrics["kept_after_filter"] = kept.count()
     verdicts.unpersist()
 
     # 1a. optional license blocklist gate (codegen filter, no join)
@@ -449,6 +499,8 @@ def build_corpus_resumable(
     prior_kept: str | None = None,
     cross_doc_min_docs: int | None = None,
     drop_licenses: list | None = None,
+    classifier_labeled: DataFrame | None = None,
+    classifier_threshold: float = 0.5,
     emit_bloom: bool = False,
     run_id: str = "run0",
     fail_after_stages: int | None = None,
@@ -485,6 +537,10 @@ def build_corpus_resumable(
         "cross_doc_min_docs": cross_doc_min_docs,
         "drop_licenses": sorted(s.strip().lower() for s in drop_licenses)
         if drop_licenses else None,
+        "classifier": classifier_labeled is not None,
+        "classifier_threshold": (classifier_threshold
+                                 if classifier_labeled is not None
+                                 else None),
         "val_fraction": val_fraction,
         "pack_budget": pack_budget,
         "contamination_min_hits": contamination_min_hits,
@@ -547,10 +603,18 @@ def build_corpus_resumable(
         # bc may be a zero-arg factory (e.g. corpus-model training):
         # invoked ONLY when the filter stage actually runs, so a resumed
         # run that skips the filter never pays the training pass
-        verdicts, kept = _filter_stage(spark, df,
-                                       bc=bc() if callable(bc) else bc)
+        verdicts, kept = _filter_stage(
+            spark, df, bc=bc() if callable(bc) else bc,
+            classifier_labeled=classifier_labeled,
+            classifier_threshold=classifier_threshold)
         verdicts = verdicts.persist()
         _append_manifest(spark, out_dir, "input", verdicts.count(), "", run_id)
+        if classifier_labeled is not None:
+            # pre-classifier funnel row (the heuristic gate's survivors)
+            # from the persisted verdicts — same pseudo-row pattern as
+            # 'input'; the filtered stage row records the POST-gate set
+            _append_manifest(spark, out_dir, "kept_heuristic",
+                             verdicts.filter("keep").count(), "", run_id)
         filtered = finish("filtered", kept)
         verdicts.unpersist()
     else:
@@ -695,6 +759,11 @@ def build_corpus_resumable(
     for stage, key in _STAGES:
         if stage in final:  # optional stages leave no row when off
             metrics[key] = final[stage]["n_rows"]
+    if "kept_heuristic" in final:
+        # classifier gate on: the 'filtered' row is POST-gate; the
+        # heuristic survivors rode the kept_heuristic pseudo-row
+        metrics["after_classifier_gate"] = metrics["kept_after_filter"]
+        metrics["kept_after_filter"] = final["kept_heuristic"]["n_rows"]
     metrics["train_packs"] = final["train_packs"]["n_rows"]
     return metrics
 
@@ -732,6 +801,13 @@ def main() -> None:
                     help="enable the order-invariant semantic dedup "
                          "stage (hash-embed -> k-means -> SemDeDup) at "
                          "this cosine threshold")
+    ap.add_argument("--classifier-labels", default=None,
+                    help="labeled corpus-shaped parquet (repo, path, "
+                         "commit, lang, content, label:int): train the "
+                         "model-based quality gate on it and keep only "
+                         "heuristic survivors scoring >= "
+                         "--classifier-threshold")
+    ap.add_argument("--classifier-threshold", type=float, default=0.5)
     ap.add_argument("--drop-licenses", default=None,
                     help="comma-separated license families to DROP "
                          "(blocklist, e.g. 'gpl,mpl-2.0'); detection "
@@ -815,6 +891,9 @@ def main() -> None:
         cross_doc_min_docs=args.cross_doc_min_docs,
         drop_licenses=(args.drop_licenses.split(",")
                        if args.drop_licenses else None),
+        classifier_labeled=(spark.read.parquet(args.classifier_labels)
+                            if args.classifier_labels else None),
+        classifier_threshold=args.classifier_threshold,
         emit_bloom=args.emit_bloom,
     )
     print(json.dumps({"metric": "corpus_build",

@@ -618,3 +618,63 @@ def test_topic_clusters_separates_planted_topics(spark):
         assert all(t.share > 0.95 for t in r.top_tokens)
         fams |= kinds
     assert fams == {"alph", "beta"}        # both topics represented
+
+
+def test_corpus_build_classifier_gate(spark, tmp_path):
+    """Model-based quality gate (FineWeb-Edu shape): a classifier
+    trained on a labeled sample re-scores the heuristic survivors.
+    Trained on the pipeline's OWN keep verdicts as labels, survivors
+    score high, so a mid threshold keeps ~all and the gate tightens
+    monotonically with the threshold; funnel rows record both counts;
+    the chain is byte-identical when off; resumable reconstructs the
+    same metrics and guards drift."""
+    from dataquality_cli_spark.jobs.corpus_build_job import (
+        build_corpus, build_corpus_resumable)
+    from dataquality_cli_spark.plans.pipeline import run_pipeline
+
+    base = corpus_to_rows(gen_corpus(80, seed=53))
+    df = spark.createDataFrame(base, SCHEMA)
+    # labeled sample: a DIFFERENT synthetic draw, labels = the
+    # heuristic verdicts themselves (distillation setup — the
+    # classifier learns to reproduce the keep decision from features)
+    lab_rows = corpus_to_rows(gen_corpus(120, seed=54))
+    lab_df = spark.createDataFrame(lab_rows, SCHEMA)
+    labeled = run_pipeline(spark, lab_df).select(
+        "repo", "path", "commit", "lang",
+        F.col("keep").cast("int").alias("label")
+    ).join(lab_df.select("repo", "path", "commit", "content"),
+           ["repo", "path", "commit"])
+
+    _p, _v, clean_off, m_off = build_corpus(
+        spark, df, val_fraction=0.0, pack_budget=1024)
+    assert "after_classifier_gate" not in m_off
+
+    _p, _v, clean_mid, m_mid = build_corpus(
+        spark, df, val_fraction=0.0, pack_budget=1024,
+        classifier_labeled=labeled, classifier_threshold=0.5)
+    assert m_mid["after_classifier_gate"] <= m_mid["kept_after_filter"]
+    assert m_mid["kept_after_filter"] == m_off["kept_after_filter"]
+    # distilled model agrees with its teacher on >= 80% of survivors
+    assert (m_mid["after_classifier_gate"]
+            >= 0.8 * m_mid["kept_after_filter"])
+    # tighter threshold keeps a subset
+    _p, _v, clean_hi, m_hi = build_corpus(
+        spark, df, val_fraction=0.0, pack_budget=1024,
+        classifier_labeled=labeled, classifier_threshold=0.99)
+    assert m_hi["after_classifier_gate"] <= m_mid["after_classifier_gate"]
+    hi_ids = {r.doc_id for r in clean_hi.collect()}
+    mid_ids = {r.doc_id for r in clean_mid.collect()}
+    assert hi_ids <= mid_ids
+
+    # resumable: identical funnel, noop rerun, drift guard
+    out = str(tmp_path / "clf")
+    kw = dict(val_fraction=0.0, pack_budget=1024,
+              classifier_labeled=labeled, classifier_threshold=0.5)
+    m_res = build_corpus_resumable(spark, df, out, **kw)
+    assert m_res["kept_after_filter"] == m_mid["kept_after_filter"]
+    assert m_res["after_classifier_gate"] == m_mid["after_classifier_gate"]
+    assert build_corpus_resumable(spark, df, out, **kw) == m_res
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="classifier"):
+        build_corpus_resumable(spark, df, out, val_fraction=0.0,
+                               pack_budget=1024)

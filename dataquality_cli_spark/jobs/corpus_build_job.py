@@ -1,7 +1,9 @@
 """End-to-end training-corpus build: the full production chain the
 north star describes, composed from this repo's operators in ONE job —
 
-    quality filter (langid + perplexity + heuristics + scrub)
+    quality filter (langid + perplexity + heuristics + scrub,
+       with an optional model-based gate: --classifier-labels)
+    -> license blocklist (optional: --drop-licenses)
     -> cross-corpus Bloom prescreen (optional: prior snapshot filter;
        --prior-kept verifies the maybe side exactly)
     -> exact dedup (sha256 keep-first on the SCRUBBED content)
@@ -77,6 +79,10 @@ def _filter_stage(spark: SparkSession, df: DataFrame, bc=None,
     resume."""
     from dataquality_cli_spark.plans.pipeline import run_pipeline
 
+    # resolve a factory ONCE: the classifier path runs the pipeline a
+    # second time (labeled-sample features) and an unresolved callable
+    # would pay the corpus-model training pass twice
+    bc = bc() if callable(bc) else bc
     verdicts = run_pipeline(spark, df, bc=bc)
     kept_v = verdicts.filter("keep")
     if classifier_labeled is not None:
@@ -537,7 +543,9 @@ def build_corpus_resumable(
         "cross_doc_min_docs": cross_doc_min_docs,
         "drop_licenses": sorted(s.strip().lower() for s in drop_licenses)
         if drop_licenses else None,
-        "classifier": classifier_labeled is not None,
+        # None (not False) when off: a missing key in a pre-upgrade
+        # _params compares equal to None, keeping old dirs resumable
+        "classifier": True if classifier_labeled is not None else None,
         "classifier_threshold": (classifier_threshold
                                  if classifier_labeled is not None
                                  else None),
@@ -891,7 +899,7 @@ def main() -> None:
         cross_doc_min_docs=args.cross_doc_min_docs,
         drop_licenses=(args.drop_licenses.split(",")
                        if args.drop_licenses else None),
-        classifier_labeled=(spark.read.parquet(args.classifier_labels)
+        classifier_labeled=(read_corpus(spark, args.classifier_labels)
                             if args.classifier_labels else None),
         classifier_threshold=args.classifier_threshold,
         emit_bloom=args.emit_bloom,

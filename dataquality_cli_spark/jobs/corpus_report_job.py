@@ -110,18 +110,28 @@ def topic_clusters(spark: SparkSession, df: DataFrame, k: int = 8,
     Physical shape: the embedding/assign tier is the SemDeDup
     machinery (Arrow matmul, k*dim driver state); term counting is one
     Generate + two uniform-key partial aggs ((cell, token) then token
-    totals — the smaller aggregated side broadcasts back); per-cluster
-    top-k is a Window PARTITIONED by cell, so clusters rank in
-    parallel — never a global sort. Rows-only check (k-means floats);
-    determinism across partitionings inherits kmeans_fit's ~1e-9
-    centroid tolerance."""
+    totals). Per-cluster top-k is a SALTED two-level ranking: a first
+    window over (cell, salt-of-token) bounds every task at a 1/64
+    vocabulary slice, then the <= 64*top_terms survivors per cell
+    re-rank — k distinct partition keys never funnel a whole cell's
+    vocabulary into one sorting task. Corpus-wide token totals join
+    AFTER the rank filter, against the tiny ranked side (broadcast) —
+    never a vocabulary-sized broadcast. k is clamped to the corpus
+    size; corpora with < 2 docs return the empty frame. Rows-only
+    check (k-means floats); determinism across partitionings inherits
+    kmeans_fit's ~1e-9 centroid tolerance."""
     from pyspark.sql.window import Window
 
     from dataquality_cli_spark.operators.similarity import (
         hash_embedding, kmeans_assign, kmeans_fit)
 
+    out_schema = ("cell int, n_docs bigint, top_tokens "
+                  "array<struct<token:string,n:bigint,share:double>>")
+    n = df.count()
+    if n < 2:
+        return spark.createDataFrame([], out_schema)
     emb = hash_embedding(df, "text", "doc_id", dim).persist()
-    cents = kmeans_fit(emb, k=k, id_col="doc_id")
+    cents = kmeans_fit(emb, k=max(1, min(k, n)), id_col="doc_id")
     assigned = kmeans_assign(emb, cents).select("doc_id", "cell")
     toks = (
         df.join(assigned, "doc_id")
@@ -131,12 +141,22 @@ def topic_clusters(spark: SparkSession, df: DataFrame, k: int = 8,
     )
     per_cell = toks.groupBy("cell", "token").agg(
         F.count(F.lit(1)).alias("n"))
-    totals = per_cell.groupBy("token").agg(F.sum("n").alias("n_total"))
-    w = Window.partitionBy("cell").orderBy(F.desc("n"), F.asc("token"))
-    top = (
-        per_cell.join(F.broadcast(totals), "token")
-        .withColumn("rk", F.row_number().over(w))
+    order = [F.desc("n"), F.asc("token")]
+    w1 = Window.partitionBy(
+        "cell", F.pmod(F.xxhash64("token"), F.lit(64))).orderBy(*order)
+    w2 = Window.partitionBy("cell").orderBy(*order)
+    ranked = (
+        per_cell
+        .withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= top_terms).drop("rk")
+        .withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= top_terms)
+    )
+    # totals AFTER ranking: the surviving <= k*top_terms tokens
+    # broadcast; the vocabulary-sized totals table never does
+    totals = per_cell.groupBy("token").agg(F.sum("n").alias("n_total"))
+    top = (
+        totals.join(F.broadcast(ranked), "token")
         .groupBy("cell")
         .agg(F.sort_array(F.collect_list(F.struct(
             F.col("rk"), F.col("token"), F.col("n"),

@@ -752,8 +752,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # unsupervised topic/domain map (hash-embed -> k-means -> per-
     # cluster top terms with corpus-share) — the exploration readout
-    # that feeds token_budget_mix's weights. Rows-only: kmeans floats;
-    # planted-topic separation is pytest-pinned.
+    # that feeds token_budget_mix's weights. FLAT scalar rows, one per
+    # (cell, rank) — house convention: the driver canonicalizes
+    # through pandas, where array<struct> cells are unhashable (the
+    # r5 ERR). Rows-only: kmeans floats gate the cell ids;
+    # planted-topic separation is pytest-pinned and the term tier has
+    # its own exact oracle (corpus_topic_terms below).
     def topic_map(s, d):
         from dataquality_cli_spark.jobs.corpus_report_job import (
             topic_clusters)
@@ -763,6 +767,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=8, top_terms=5)
 
     q["corpus_topic_clusters"] = topic_map
+
+    # the term-ranking tier of the topic map under a PLANTED
+    # deterministic cell assignment (pmod(doc_id, 4)) — k-means floats
+    # gate only the cell ids above, so ranking/share arithmetic gets a
+    # full exact DuckDB window-function oracle here.
+    def topic_terms(s, d):
+        from dataquality_cli_spark.jobs.corpus_report_job import (
+            top_terms_by_cell)
+
+        docs = _t(s, d, "documents").select(
+            F.pmod(F.col("doc_id"), F.lit(4)).alias("cell"), "text")
+        return top_terms_by_cell(docs, top_terms=5).orderBy("cell", "rank")
+
+    q["corpus_topic_terms"] = topic_terms
 
     # --- similarity search ---
     def ann(s, d):
@@ -1177,7 +1195,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # doc_remove_repeated_spans moves the OTHER way, OUT of the tail
     # (its implementation was refactored through _remove_spans_at this
     # round, so it must be re-checked), displaced by doc_stopword_langid.
+    # ROUND-6 ROTATION: each query ADDED this round displaces one
+    # r5-driver-green, r6-untouched entry into the tail
+    # (corpus_topic_terms displaces a3_null_counts); queries MODIFIED
+    # this round (corpus_topic_clusters flattened output,
+    # corpus_bpe_merges bounded collect, dedup_simhash_neardup) were
+    # already in the window and stay there.
     tail = [
+        "a3_null_counts",
         "f7_name_truncate", "doc_bpe_tokens", "doc_alnum_fraction",
         "doc_stopword_langid", "doc_quality_score",
         "doc_benchmark_contamination", "doc_repo_quality_report",
@@ -1785,6 +1810,32 @@ def oracle_sql() -> dict[str, str]:
                        0) AS prior
               FROM t JOIN b USING (lang))
         SELECT doc_id, lang, n_tokens FROM r WHERE prior < budget
+    """
+
+    # exact oracle for the topic-map TERM tier: planted pmod(doc_id,4)
+    # cells make the ranking/share arithmetic fully SQL-reproducible
+    # (k-means floats gate only corpus_topic_clusters' cell ids)
+    o["corpus_topic_terms"] = r"""
+        WITH toks AS (
+          SELECT doc_id % 4 AS cell, tok.token AS token
+          FROM documents,
+               UNNEST(regexp_split_to_array(text, '\s+')) AS tok(token)
+          WHERE tok.token != ''),
+        per_cell AS (
+          SELECT cell, token, COUNT(*) AS n FROM toks GROUP BY cell, token),
+        totals AS (
+          SELECT token, CAST(SUM(n) AS BIGINT) AS n_total
+          FROM per_cell GROUP BY token),
+        ranked AS (
+          SELECT cell, token, n,
+                 CAST(row_number() OVER (
+                   PARTITION BY cell ORDER BY n DESC, token ASC)
+                   AS INTEGER) AS rank
+          FROM per_cell)
+        SELECT r.cell, r.rank, r.token, r.n,
+               round(CAST(r.n AS DOUBLE) / t.n_total, 4) AS share
+        FROM ranked r JOIN totals t USING (token)
+        WHERE r.rank <= 5
     """
 
     o["doc_license_guess"] = r"""

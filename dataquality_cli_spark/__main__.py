@@ -214,6 +214,15 @@ def _report(args) -> int:
     try:
         df = spark.read.parquet(args.input)
         rep = corpus_report(spark, df, top_tokens=args.top_tokens)
+        if args.topics:
+            from dataquality_cli_spark.jobs.corpus_report_job import (
+                topic_clusters)
+
+            rep["topics"] = [
+                r.asDict() for r in topic_clusters(
+                    spark, df.select("doc_id", "text"),
+                    k=args.topics).collect()
+            ]
         if args.json:
             print(json.dumps({"metric": "corpus_report", **rep}))
             return 0
@@ -234,6 +243,17 @@ def _report(args) -> int:
               f"   top-token>20% {r['top_token_frac_gt_20pct'] * 100:.1f}%")
         print("  top tokens: " + ", ".join(
             f"{x['token']}({x['n']})" for x in rep["top_tokens"]))
+        if rep.get("topics"):
+            cells: dict = {}
+            for t in rep["topics"]:
+                cells.setdefault((t["cell"], t["n_docs"]), []).append(t)
+            print("  topics:")
+            for (cell, n_docs), terms in sorted(cells.items()):
+                toks = ", ".join(
+                    f"{t['token']}({t['n']})" for t in
+                    sorted(terms, key=lambda t: t["rank"] or 0)
+                    if t["token"] is not None)
+                print(f"    #{cell} [{n_docs:,} docs]: {toks}")
         return 0
     finally:
         if owns_session:
@@ -332,6 +352,9 @@ def main(argv: list[str] | None = None) -> int:
         "report", help="one-shot analytics report over a documents parquet")
     r.add_argument("input")
     r.add_argument("--top-tokens", type=int, default=10)
+    r.add_argument("--topics", type=int, default=0, metavar="K",
+                   help="also cluster the corpus into K topics and "
+                        "report each cluster's size + top terms")
     r.add_argument("--master", default=None)
     r.add_argument("--json", action="store_true")
     dd = sub.add_parser(

@@ -44,7 +44,7 @@ ROWS_ONLY_MIN = {
     "dedup_bloom_screen_sharded": 450,
     "doc_quality_classifier": 400,
     "dedup_streaming_semantic": 100,
-    "corpus_topic_clusters": 4,
+    "corpus_topic_clusters": 25,
 }
 
 
@@ -81,9 +81,26 @@ def norm_cell(v):
     return str(v)
 
 
-def norm_rows(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
+def canon_pandas(pdf):
+    """Driver-faithful canonicalization: column-name sort, then a
+    pandas sort_values over every column. The driver round-trips EVERY
+    query (oracle-backed AND rows-only) through exactly this before it
+    even counts rows — so array-typed cells that crash sort_values
+    (``TypeError: unhashable type: 'list'``) must crash HERE, locally,
+    not first in CORRECTNESS_r{N}. That gap is how r5's
+    corpus_topic_clusters ERR shipped: this gate counted rows
+    Spark-side and never touched pandas."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    return pdf.reset_index(drop=True)
+
+
+def norm_rows(pdf):
+    return sorted(
+        tuple(norm_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    )
 
 
 def main():
@@ -105,26 +122,28 @@ def main():
             sdf = fn(spark, SF_DIR)
             s_cols = sdf.columns
             s_types = dict(sdf.dtypes)
-            s_rows = [tuple(r) for r in sdf.collect()]
+            # the driver canonicalizes EVERY output (rows-only included)
+            # through pandas before counting — so must we
+            s_pdf = canon_pandas(sdf.toPandas())
         except Exception as e:
             print(f"FAIL {name}: SPARK ERROR {e}")
             n_fail += 1
             continue
         if name not in os_:
             floor = ROWS_ONLY_MIN.get(name, 1)
-            if len(s_rows) < floor:
-                print(f"FAIL {name}: rows-only returned {len(s_rows)} "
+            if len(s_pdf) < floor:
+                print(f"FAIL {name}: rows-only returned {len(s_pdf)} "
                       f"rows < floor {floor} (vacuous)")
                 n_fail += 1
             else:
-                print(f"rows-only {name}: {len(s_rows)} rows (floor {floor})")
+                print(f"rows-only {name}: {len(s_pdf)} rows (floor {floor})")
                 n_rows_only += 1
             continue
         try:
             rel = con.sql(os_[name])
             d_cols = rel.columns
             d_types = {c: str(t) for c, t in zip(rel.columns, rel.types)}
-            d_rows = rel.fetchall()
+            d_pdf = canon_pandas(rel.df())
         except Exception as e:
             print(f"FAIL {name}: DUCKDB ERROR {str(e).splitlines()[0][:150]}")
             n_fail += 1
@@ -140,24 +159,24 @@ def main():
             ]
             if bad:
                 problems.append("types differ: " + "; ".join(bad))
-        if len(s_rows) != len(d_rows):
-            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if len(s_pdf) != len(d_pdf):
+            problems.append(f"rowcount spark={len(s_pdf)} duck={len(d_pdf)}")
         if not problems:
-            a = norm_rows(s_cols, s_rows)
-            b = norm_rows(d_cols, d_rows)
+            a = norm_rows(s_pdf)
+            b = norm_rows(d_pdf)
             if a != b:
                 diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 problems.append(f"values differ, e.g. {diff}")
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
-        elif len(s_rows) == 0:
+        elif len(s_pdf) == 0:
             # a 0-rows-vs-0-rows match verifies nothing about the logic
             # (the r1 emb_neardup_pairs lesson) — surface it loudly
             print(f"PASS {name} (0 rows — VACUOUS, plant positives!)")
             n_pass += 1
         else:
-            print(f"PASS {name} ({len(s_rows)} rows)")
+            print(f"PASS {name} ({len(s_pdf)} rows)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     spark.stop()

@@ -122,26 +122,48 @@ def learn_bpe_merges_from_freqs(word_freq: list[tuple[str, int]],
 
 def learn_bpe_merges(df: DataFrame, text_col: str = "text",
                      n_merges: int = 32,
-                     min_pair_count: int = 2) -> list[dict]:
+                     min_pair_count: int = 2,
+                     max_vocab: int = 1_000_000) -> list[dict]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the merge
     list [{step, left, right, merged, pair_count}] — bounded driver
     state (k entries), the artifact a tokenizer ships. Stops early when
     no pair reaches ``min_pair_count``.
 
     One distributed pass (``word_freqs``) reduces the corpus to the
-    vocabulary-bounded (word, freq) table; the collect is bounded by
-    Heaps' law, NOT corpus size, and the merge loop never touches
-    Spark again (see module docstring for why)."""
-    wf = [(r["word"], r["freq"])
-          for r in word_freqs(df, text_col).collect()]
+    vocabulary-sized (word, freq) table, then the driver collect is
+    HARD-BOUNDED at ``max_vocab`` rows via a deterministic
+    top-N-by-(freq desc, word) TakeOrdered — Heaps' law keeps clean
+    prose under the bound, but a 100-TB web/code crawl's distinct
+    "words" (URLs, hex hashes, typos) grow into the billions and an
+    unbounded collect is a driver OOM (VERDICT r5 #3). When the bound
+    trips (logged), the learned merges are an APPROXIMATION: every
+    dropped word has freq <= the lowest kept freq (almost always 1-2
+    in a Zipf tail), so a pair can lose at most (dropped words
+    containing it) x (that freq) of its count — the same head-of-the-
+    distribution approximation SentencePiece/HuggingFace trainers make
+    with their own vocab caps. The merge loop never touches Spark
+    again (see module docstring for why)."""
+    rows = (
+        word_freqs(df, text_col)
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(max_vocab + 1)  # +1: detect truncation without a count job
+        .collect()
+    )
+    if len(rows) > max_vocab:
+        rows = rows[:max_vocab]
+        print(f"learn_bpe_merges: vocabulary exceeds max_vocab="
+              f"{max_vocab}; training on the top {max_vocab} words by "
+              f"frequency (dropped words have freq <= {rows[-1]['freq']})")
+    wf = [(r["word"], r["freq"]) for r in rows]
     return learn_bpe_merges_from_freqs(wf, n_merges, min_pair_count)
 
 
 def bpe_merges_df(df: DataFrame, text_col: str = "text",
-                  n_merges: int = 32) -> DataFrame:
+                  n_merges: int = 32,
+                  max_vocab: int = 1_000_000) -> DataFrame:
     """The merge list as a DataFrame (step, left, right, merged,
     pair_count) — deterministic content, driver-queryable."""
-    merges = learn_bpe_merges(df, text_col, n_merges)
+    merges = learn_bpe_merges(df, text_col, n_merges, max_vocab=max_vocab)
     spark = df.sparkSession
     if not merges:
         return spark.createDataFrame(

@@ -1228,6 +1228,61 @@ def test_bpe_merges_df_deterministic(spark):
     assert len(a) == 6
 
 
+def test_bpe_max_vocab_bounds_collect(spark):
+    """VERDICT r5 #3: the driver collect is hard-bounded at max_vocab
+    rows (top-N by freq desc, word asc — deterministic), and the
+    learned merges under the bound equal the pure-Python reference run
+    on exactly that truncated frequency table."""
+    from dataquality_cli_spark.operators import bpe
+
+    # 30 distinct words; the 4 'keep*' words dominate by frequency
+    body = " ".join(f"tail{i}" for i in range(26))
+    rows = [(1, "keepaa keepaa keepaa keepbb keepbb keepbb"),
+            (2, "keepcc keepcc keepdd keepdd " + body),
+            (3, "keepaa keepbb keepcc keepdd")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wf = {}
+    for _i, t in rows:
+        for w in t.split(" "):
+            wf[w] = wf.get(w, 0) + 1
+    assert len(wf) == 30
+    top10 = sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = bpe.learn_bpe_merges(df, n_merges=8, max_vocab=10)
+    expected = bpe.learn_bpe_merges_from_freqs(sorted(top10), 8)
+    assert [(m["left"], m["right"]) for m in got] == \
+        [(m["left"], m["right"]) for m in expected]
+    assert got and got == expected
+    # unbounded differs (the tail words contribute pairs) — proves the
+    # bound actually truncated rather than being a no-op
+    full = bpe.learn_bpe_merges(df, n_merges=8)
+    assert full == bpe.learn_bpe_merges_from_freqs(sorted(wf.items()), 8)
+
+
+def test_bpe_fixture_oracle_matches_reference():
+    """Anti-drift guard for the corpus_bpe_merges DuckDB oracle: the
+    VALUES list planted in oracle_sql() must equal the pure-Python
+    Sennrich reference re-run on _BPE_FIXTURE_TEXTS. If either the
+    fixture or the trainer semantics change, this fails before the
+    driver's correctness gate does."""
+    import duckdb
+
+    from __spark_entry__ import _BPE_FIXTURE_TEXTS, oracle_sql
+    from dataquality_cli_spark.operators import bpe
+
+    wf = {}
+    for t in _BPE_FIXTURE_TEXTS:
+        for w in t.split(" "):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    expected = bpe.learn_bpe_merges_from_freqs(sorted(wf.items()), 16)
+    assert [(m["left"], m["right"]) for m in expected] == \
+        bpe.bpe_reference(wf, 16)  # dict-based reference agrees
+    planted = duckdb.sql(oracle_sql()["corpus_bpe_merges"]).fetchall()
+    assert sorted(planted) == sorted(
+        (m["step"], m["left"], m["right"], m["merged"], m["pair_count"])
+        for m in expected)
+
+
 def test_bpe_tokenize_roundtrip_and_training_parity(spark):
     from dataquality_cli_spark.operators import bpe
 

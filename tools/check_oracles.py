@@ -28,11 +28,9 @@ ROWS_ONLY_MIN = {
     "a12_distinct_approx": 4,
     "doc_compression_ratio": 400,
     "corpus_pack_sequences": 400,
-    "dedup_simhash_neardup": 500,
     "ann_lsh_topk": 20,
     "ann_ivf_topk": 20,
     "emb_neardup_lsh": 3,
-    "corpus_bpe_merges": 16,
     "emb_kmeans_cells": 4,
     "emb_semantic_dedup": 400,
     "emb_pca_projection": 400,

@@ -105,6 +105,9 @@ def _filter_stage(spark: SparkSession, df: DataFrame, bc=None,
     kept = kept_v.select(
         F.xxhash64("repo", "path", "commit").alias("doc_id"),
         "repo", "path", "lang", "content_sha256",
+        # the PRE-span scrubbed-text sha: the cross-corpus Bloom key
+        # domain at BOTH ends (screen + emit) — see _bloom_stage
+        "scrubbed_sha256",
         F.col("scrubbed_content").alias("text"),
     )
     return verdicts, kept
@@ -200,6 +203,15 @@ def _license_stage(kept: DataFrame, drop_licenses: list) -> DataFrame:
     return kept.filter(~blocked)
 
 
+def _scrub_sha_col(df: DataFrame) -> F.Column:
+    """The cross-corpus Bloom key: the pre-span scrubbed-text sha
+    column when the frame carries it, else sha2(text) (pre-upgrade
+    kept dirs — identical unless the span stage rewrote the doc)."""
+    if "scrubbed_sha256" in df.columns:
+        return F.col("scrubbed_sha256")
+    return F.sha2(F.col("text"), 256)
+
+
 def _bloom_stage(spark: SparkSession, kept: DataFrame,
                  bloom_artifact: str,
                  prior_kept: str | None = None) -> DataFrame:
@@ -216,17 +228,26 @@ def _bloom_stage(spark: SparkSession, kept: DataFrame,
     back. Without it, the maybe side drops unverified (over-drop
     bounded by the artifact's fpp — the cheap mode for crawls where a
     ~1% extra drop is acceptable). Both joins touch only the maybe
-    side, never the surviving corpus."""
+    side, never the surviving corpus.
+
+    KEY-DOMAIN INVARIANT (ADVICE r5): every side of the cross-corpus
+    handshake — this screen, the prior_kept verification, and
+    emit_corpus_bloom — keys on the PRE-SPAN scrubbed-text sha
+    (``scrubbed_sha256``, computed in the filter stage before the span
+    stage can whitespace-rewrite text). Keying any end on final kept
+    TEXT would silently re-admit recrawled duplicates of span-rewritten
+    docs. Pre-upgrade kept dirs without the column fall back to
+    sha2(text) — the identical value for every non-span-rewritten doc."""
     from dataquality_cli_spark.operators.bloom import (
         bloom_screen, load_bloom)
 
     model = load_bloom(spark, bloom_artifact)
-    keyed = kept.withColumn("_scrub_sha", F.sha2(F.col("text"), 256))
+    keyed = kept.withColumn("_scrub_sha", _scrub_sha_col(kept))
     maybe, fresh = bloom_screen(keyed, model, "_scrub_sha")
     if prior_kept is None:
         return fresh.drop("_scrub_sha")
-    prior = spark.read.parquet(prior_kept).select(
-        F.sha2(F.col("text"), 256).alias("_scrub_sha"))
+    prior_df = spark.read.parquet(prior_kept)
+    prior = prior_df.select(_scrub_sha_col(prior_df).alias("_scrub_sha"))
     maybe_keys = maybe.select("_scrub_sha").distinct()
     dup_keys = (
         prior.join(F.broadcast(maybe_keys), "_scrub_sha", "left_semi")
@@ -240,17 +261,21 @@ def _bloom_stage(spark: SparkSession, kept: DataFrame,
 def emit_corpus_bloom(spark: SparkSession, kept: DataFrame,
                       path: str, fpp: float = 0.01,
                       n_shards: int | None = None) -> None:
-    """Write the Bloom artifact of a built corpus (scrubbed-text
-    sha256 keys) — the filter the NEXT build's ``bloom_artifact``
-    prescreen consumes; build N emits, build N+1 screens. ``n_shards``
-    switches to the range-sharded composition for corpora past the
-    single-bitmap ceiling (~10^9-10^10 keys); the prescreen reads
-    either layout transparently (load_bloom/might_contain_col accept
-    both)."""
+    """Write the Bloom artifact of a built corpus — the filter the
+    NEXT build's ``bloom_artifact`` prescreen consumes; build N emits,
+    build N+1 screens. Keys are the PRE-SPAN scrubbed-text shas
+    (``scrubbed_sha256``), the same domain ``_bloom_stage`` hashes on
+    the screening side — keying on final kept TEXT would diverge for
+    span-rewritten docs and silently re-admit their recrawled
+    duplicates (ADVICE r5; see _bloom_stage's invariant note).
+    ``n_shards`` switches to the range-sharded composition for corpora
+    past the single-bitmap ceiling (~10^9-10^10 keys); the prescreen
+    reads either layout transparently (load_bloom/might_contain_col
+    accept both)."""
     from dataquality_cli_spark.operators.bloom import (
         build_bloom, build_bloom_sharded, save_bloom)
 
-    keys = kept.select(F.sha2(F.col("text"), 256).alias("_h"))
+    keys = kept.select(_scrub_sha_col(kept).alias("_h"))
     if n_shards is None:
         model = build_bloom(keys, "_h", fpp=fpp)
     else:
@@ -328,8 +353,10 @@ def build_corpus(
 ) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
     """Run the full chain over a (repo, path, commit, lang, content)
     corpus. Returns (train_packed, val_docs, kept_docs, metrics) where
-    kept_docs carries (doc_id, repo, path, lang, content_sha256, text)
-    for every surviving document (text = the SCRUBBED content); metrics
+    kept_docs carries (doc_id, repo, path, lang, content_sha256,
+    scrubbed_sha256, text)
+    for every surviving document (text = the SCRUBBED content,
+    scrubbed_sha256 = its PRE-span sha — the Bloom key domain); metrics
     counts survivors per stage. The input count comes from the persisted
     verdicts — NOT a second action over the raw source (at 100 TB that
     extra pass is a whole corpus scan for one metric). ``token_kind``

@@ -174,10 +174,16 @@ def build_bloom_sharded(df: DataFrame, col: str, n_shards: int = 4,
             "build_bloom_sharded count the input")
     per_shard = max(1, math.ceil(n_items / n_shards))
     m, k = bloom_parameters(per_shard, fpp)
+    # range partitioning, not hash: with exactly n_shards distinct
+    # shard keys, hash partitioning is balls-into-bins — one task would
+    # own O(log n / log log n) shard bitmaps while others sit empty,
+    # breaking the "per-task memory = ONE m/8 bitmap" bound this
+    # function exists to provide (ADVICE r5). Range partitioning over
+    # the integer shard key gives each task a contiguous ~1-shard slice.
     pos = keyed.select(
         _shard_col(F.col("_key"), n_shards).alias("shard"),
         F.explode(_positions_col(F.col("_key"), m, k)).alias("p"),
-    ).repartition(n_shards, "shard")
+    ).repartitionByRange(n_shards, "shard")
 
     def part(batches):
         bitmaps: dict[int, np.ndarray] = {}

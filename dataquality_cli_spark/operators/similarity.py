@@ -181,6 +181,35 @@ def _centroid_assign_col(vec: Column, centroids: np.ndarray, nprobe: int = 1) ->
 # (k x dim) matrix inside a pandas UDF is one matmul per batch
 ARROW_PROBE_THRESHOLD = 64
 
+# broadcast-once cache for the Arrow probe path, keyed by the centroid
+# array's identity (the cache holds a reference to the array, so its
+# id() cannot be recycled while the entry lives). Without it every
+# ivf_probe_cells call ships a fresh broadcast — ann_ivf_topk probes
+# twice per invocation, so a long-lived serving driver
+# (ann_ivf_topk_indexed) accumulates executor-side centroid copies:
+# the exact leak bloom.might_contain_col's (sc, bc) cache and the
+# classifier's task-closure weights exist to avoid (ADVICE r5).
+_PROBE_BC_CACHE: dict = {}
+_PROBE_BC_CACHE_MAX = 16
+
+
+def _centroids_bc(sc, cent: np.ndarray):
+    hit = _PROBE_BC_CACHE.get(id(cent))
+    if hit is not None and hit[0] is sc:
+        return hit[2]
+    # a new SparkContext (test sessions stop/start) invalidates every
+    # cached broadcast handle
+    for k, (s, _arr, _bc) in list(_PROBE_BC_CACHE.items()):
+        if s is not sc:
+            del _PROBE_BC_CACHE[k]
+    while len(_PROBE_BC_CACHE) >= _PROBE_BC_CACHE_MAX:
+        _k, (_s, _arr, old) = next(iter(_PROBE_BC_CACHE.items()))
+        del _PROBE_BC_CACHE[_k]
+        old.unpersist(blocking=False)  # refetchable by in-flight tasks
+    bc = sc.broadcast(cent)
+    _PROBE_BC_CACHE[id(cent)] = (sc, cent, bc)
+    return bc
+
 
 def ivf_probe_cells(frame: DataFrame, centroids: np.ndarray, nprobe: int,
                     vec_col: str = "embedding", out_col: str = "cells",
@@ -203,7 +232,9 @@ def ivf_probe_cells(frame: DataFrame, centroids: np.ndarray, nprobe: int,
             out_col, _centroid_assign_col(F.col(vec_col), cent, nprobe))
     from pyspark.sql.functions import pandas_udf
 
-    bc = frame.sparkSession.sparkContext.broadcast(cent)
+    # np.asarray above is a no-copy passthrough for float64 input, so
+    # repeated calls with the same centroid array hit the cache
+    bc = _centroids_bc(frame.sparkSession.sparkContext, cent)
     p = min(nprobe, len(cent))
 
     @pandas_udf("array<int>")

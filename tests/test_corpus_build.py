@@ -526,6 +526,50 @@ def test_emit_corpus_bloom_sharded_layout(spark, tmp_path):
         .filter("NOT maybe_member").count() == 0
 
 
+def test_bloom_key_domain_survives_span_rewrite(spark, tmp_path):
+    """ADVICE r5: emit_corpus_bloom and _bloom_stage must key on the
+    SAME text domain — the pre-span scrubbed sha. A doc whose text the
+    span stage rewrote in build N must still be caught when its
+    recrawl re-enters build N+1's prescreen (keying the emit on final
+    kept text let exactly those docs silently re-admit)."""
+    import random
+
+    from dataquality_cli_spark.jobs.corpus_build_job import (
+        _bloom_stage, _filter_stage, build_corpus, emit_corpus_bloom)
+
+    base = corpus_to_rows(gen_corpus(80, seed=43))
+    probe = build_corpus(spark, spark.createDataFrame(base, SCHEMA),
+                         val_fraction=0.0, pack_budget=1024)[2]
+    kept_paths = [r.path for r in
+                  probe.select("path").orderBy("path").collect()]
+    rng = random.Random(78)
+    passage = " ".join(f"boiler{rng.randrange(10**6)}" for _ in range(15))
+    targets = set(kept_paths[:5])
+    rows = [(r, p, c, lang, t + "\n" + passage if p in targets else t)
+            for (r, p, c, lang, t) in base]
+    df = spark.createDataFrame(rows, SCHEMA)
+
+    _p, _v, clean, _m = build_corpus(
+        spark, df, val_fraction=0.0, pack_budget=1024,
+        cross_doc_min_docs=3)
+    rewritten = {r.doc_id for r in
+                 clean.filter(F.col("span_tokens_removed") > 0)
+                 .select("doc_id").collect()}
+    assert len(rewritten) >= 2   # the span stage really rewrote docs
+    bloom_path = str(tmp_path / "bloom")
+    emit_corpus_bloom(spark, clean, bloom_path)
+
+    # recrawl: the identical raw corpus re-enters the next build
+    _verdicts, kept2 = _filter_stage(spark, df)
+    survivors = {r.doc_id for r in
+                 _bloom_stage(spark, kept2, bloom_path)
+                 .select("doc_id").collect()}
+    kept_ids = {r.doc_id for r in clean.select("doc_id").collect()}
+    # no previously-kept doc passes the screen — span-rewritten included
+    assert not (survivors & rewritten)
+    assert not (survivors & kept_ids)
+
+
 def test_corpus_build_cross_doc_span_stage(spark, tmp_path):
     """--cross-doc-min-docs: a passage planted into several surviving
     docs keeps exactly one canonical copy across the kept corpus;

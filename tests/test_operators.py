@@ -165,6 +165,33 @@ def test_ann_ivf_arrow_path_parity(emb):
     assert z_lit == z_ar == [0, 1, 2]
 
 
+def test_ivf_probe_broadcast_cached_across_calls(emb):
+    """ADVICE r5: repeated Arrow-path probes with the same centroid
+    array must reuse ONE broadcast (a serving driver calling
+    ann_ivf_topk repeatedly would otherwise accumulate executor-side
+    centroid copies); a different array gets its own entry."""
+    cents = similarity.train_ivf_centroids(emb, n_centroids=8)
+    sc = emb.sparkSession.sparkContext
+    similarity._PROBE_BC_CACHE.clear()
+    similarity.ivf_probe_cells(
+        emb, cents, 2, out_col="c", arrow_threshold=0).count()
+    assert len(similarity._PROBE_BC_CACHE) == 1
+    (_s, _arr, bc_first), = similarity._PROBE_BC_CACHE.values()
+    # two more probes (ann_ivf_topk probes table + queries = 2 calls)
+    similarity.ann_ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 3), cents,
+        k=3, nprobe=2, arrow_threshold=0).count()
+    assert len(similarity._PROBE_BC_CACHE) == 1
+    (_s, _arr, bc_again), = similarity._PROBE_BC_CACHE.values()
+    assert bc_again is bc_first
+    assert _s is sc
+    other = cents + 0.0  # distinct array object -> second entry
+    similarity.ivf_probe_cells(
+        emb, other, 2, out_col="c", arrow_threshold=0).count()
+    assert len(similarity._PROBE_BC_CACHE) == 2
+    similarity._PROBE_BC_CACHE.clear()
+
+
 def test_train_ivf_centroids_id_correlated_sample(spark):
     """When ids are assigned contiguously per source/cluster (the
     production layout kmeans_fit's docstring warns about), a lowest-id

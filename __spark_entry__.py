@@ -806,6 +806,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_topic_terms"] = topic_terms
 
+    # --- multimodal: real binary-blob decode path, exact oracles ---
+    # the arithmetic corpus's pixels are a pure integer formula, so
+    # DuckDB recomputes every pixel, histogram bucket, and aHash bit
+    # the Spark mapInPandas decode produces from the actual blobs —
+    # the decode/stats plumbing itself is under oracle, not just row
+    # counts (VERDICT r5 #8).
+    def media_profile(s, d):
+        from dataquality_cli_spark.operators.multimodal import (
+            arith_media_df, image_stats)
+
+        return image_stats(arith_media_df(s))
+
+    q["media_profile"] = media_profile
+
+    # aHash near-dup via the shared multi-band hamming engine; the 8
+    # planted perturbed copies guarantee positives
+    def media_neardup(s, d):
+        from dataquality_cli_spark.operators.multimodal import (
+            arith_media_df, media_neardup_pairs)
+
+        return media_neardup_pairs(arith_media_df(s))
+
+    q["media_neardup_pairs"] = media_neardup
+
     # --- similarity search ---
     def ann(s, d):
         emb = _t(s, d, "embeddings")
@@ -1221,12 +1245,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round, so it must be re-checked), displaced by doc_stopword_langid.
     # ROUND-6 ROTATION: each query ADDED this round displaces one
     # r5-driver-green, r6-untouched entry into the tail
-    # (corpus_topic_terms displaces a3_null_counts); queries MODIFIED
-    # this round (corpus_topic_clusters flattened output,
-    # corpus_bpe_merges bounded collect, dedup_simhash_neardup) were
-    # already in the window and stay there.
+    # (corpus_topic_terms displaces a3_null_counts; media_profile
+    # displaces a4_sparse_pct_grade; media_neardup_pairs displaces
+    # a5_group_aggregates); queries MODIFIED this round
+    # (corpus_topic_clusters flattened output, corpus_bpe_merges
+    # bounded collect + planted fixture, dedup_simhash_neardup refactor
+    # through hamming_band_pairs) were already in the window and stay.
     tail = [
-        "a3_null_counts",
+        "a3_null_counts", "a4_sparse_pct_grade", "a5_group_aggregates",
         "f7_name_truncate", "doc_bpe_tokens", "doc_alnum_fraction",
         "doc_stopword_langid", "doc_quality_score",
         "doc_benchmark_contamination", "doc_repo_quality_report",
@@ -1943,6 +1969,85 @@ def oracle_sql() -> dict[str, str]:
         FROM bands a JOIN bands b USING (band_id, band_key)
         WHERE a.doc_id < b.doc_id
           AND bit_count(xor(a.usim, b.usim)) <= 8
+    """
+
+    # shared pixel reconstruction for the two media oracles: DuckDB
+    # recomputes the arithmetic corpus (multimodal._arith_pixels — a
+    # Knuth multiplicative hash, pure integers) pixel by pixel, so the
+    # Spark side's actual blob decode is what's under test
+    _MEDIA_PX = """
+        media AS (
+          SELECT id AS media_id, id AS seed, 0 AS perturb
+          FROM range(0, 64) t(id)
+          UNION ALL
+          SELECT 1000 + id, id, 97 FROM range(0, 8) t(id)),
+        dims AS (
+          SELECT media_id, seed, perturb,
+                 CAST(8 + (seed % 8) * 4 AS INTEGER) AS w,
+                 CAST(8 + (seed % 5) * 4 AS INTEGER) AS h
+          FROM media),
+        px AS (
+          SELECT media_id, w, h, t.i AS i,
+                 CAST(CASE WHEN perturb > 0 AND t.i % perturb = 0
+                      THEN (((CAST(seed AS HUGEINT) * 1000003 + t.i + 1)
+                             * 2654435761) % 4294967296 // 16777216 + 1)
+                           % 256
+                      ELSE ((CAST(seed AS HUGEINT) * 1000003 + t.i + 1)
+                            * 2654435761) % 4294967296 // 16777216
+                      END AS BIGINT) AS p
+          FROM dims, UNNEST(range(0, CAST(w AS BIGINT) * h)) AS t(i)),
+        blocks AS (
+          SELECT media_id,
+                 ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS block,
+                 SUM(p) AS bsum, COUNT(*) AS bcnt
+          FROM px GROUP BY media_id, ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w)),
+        tot AS (
+          SELECT media_id, SUM(p) AS gsum, COUNT(*) AS npx FROM px
+          GROUP BY media_id),
+        ahash_u AS (
+          SELECT b.media_id,
+                 SUM(CASE WHEN b.bsum * t.npx >= t.gsum * b.bcnt
+                     THEN CAST(1 AS UBIGINT) << CAST(b.block AS INTEGER)
+                     ELSE CAST(0 AS UBIGINT) END) AS u
+          FROM blocks b JOIN tot t USING (media_id)
+          GROUP BY b.media_id)
+    """
+
+    o["media_profile"] = f"""
+        WITH {_MEDIA_PX},
+        hist AS (
+          SELECT media_id,
+                 CAST(COUNT(*) FILTER (p < 85) AS BIGINT) AS n_dark,
+                 CAST(COUNT(*) FILTER (p >= 85 AND p < 170) AS BIGINT)
+                   AS n_mid,
+                 CAST(COUNT(*) FILTER (p >= 170) AS BIGINT) AS n_bright
+          FROM px GROUP BY media_id)
+        SELECT d.media_id, d.w AS width, d.h AS height,
+               round(CAST(d.w AS DOUBLE) / d.h, 4) AS aspect,
+               CAST(8 + d.w * d.h AS BIGINT) AS n_bytes,
+               CAST(t.gsum AS BIGINT) AS luma_total,
+               hist.n_dark, hist.n_mid, hist.n_bright,
+               CAST(CASE WHEN a.u >= 9223372036854775808
+                    THEN CAST(a.u AS HUGEINT) - 18446744073709551616
+                    ELSE CAST(a.u AS HUGEINT) END AS BIGINT) AS ahash
+        FROM dims d
+        JOIN tot t USING (media_id)
+        JOIN hist USING (media_id)
+        JOIN ahash_u a USING (media_id)
+    """
+
+    o["media_neardup_pairs"] = f"""
+        WITH {_MEDIA_PX},
+        bands AS (
+          SELECT media_id, u, band.b AS band_id,
+                 (u >> (16 * band.b)) & 65535 AS band_key
+          FROM ahash_u
+          CROSS JOIN (SELECT unnest(range(0, 4)) AS b) AS band)
+        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+               CAST(bit_count(xor(a.u, b.u)) AS INTEGER) AS hamming
+        FROM bands a JOIN bands b USING (band_id, band_key)
+        WHERE a.media_id < b.media_id
+          AND bit_count(xor(a.u, b.u)) <= 6
     """
 
     o["doc_license_guess"] = r"""

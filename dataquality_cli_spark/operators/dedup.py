@@ -340,55 +340,67 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", _make_simhash_udf()(F.col(text_col)).alias("simhash"))
 
 
-def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
-                          max_hamming: int = 8,
-                          n_bands: int = 4) -> DataFrame:
-    """Near-dup pairs by SimHash with MULTI-BAND blocking: the 64-bit
-    signature splits into ``n_bands`` contiguous bands and a pair is a
-    candidate if ANY band matches (pigeonhole: d differing bits can
-    touch at most d bands, so recall is GUARANTEED for hamming <=
-    n_bands - 1 and high for moderate distances; the r1 single-top-band
-    variant silently missed any near-dup whose flipped bits landed in
-    the top 16). When n_bands does not divide 64 the LAST band widens to
-    absorb the remaining bits — every bit lands in exactly one band, so
-    the pigeonhole guarantee holds for any n_bands (the r2 version
-    silently ignored the top 64 % n_bands bits). Candidates verify with
-    bit_count(xor) <= max_hamming — all JVM-side; the join shuffles on
-    (band_id, band_key), never a cross join."""
+def hamming_band_pairs(sig: DataFrame, id_col: str, sig_col: str,
+                       max_hamming: int = 8,
+                       n_bands: int = 4) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit signature column with MULTI-BAND
+    blocking: the signature splits into ``n_bands`` contiguous bands
+    and a pair is a candidate if ANY band matches (pigeonhole: d
+    differing bits can touch at most d bands, so recall is GUARANTEED
+    for hamming <= n_bands - 1 and high for moderate distances; the r1
+    single-top-band variant silently missed any near-dup whose flipped
+    bits landed in the top 16). When n_bands does not divide 64 the
+    LAST band widens to absorb the remaining bits — every bit lands in
+    exactly one band, so the pigeonhole guarantee holds for any
+    n_bands (the r2 version silently ignored the top 64 % n_bands
+    bits). Candidates verify with bit_count(xor) <= max_hamming — all
+    JVM-side; the join shuffles on (band_id, band_key), never a cross
+    join. Shared by SimHash text near-dup and aHash media near-dup
+    (operators/multimodal.py) — one blocking engine, two signatures."""
     from pyspark import StorageLevel
 
     if not 2 <= n_bands <= 32:
         raise ValueError(f"n_bands must be in [2, 32], got {n_bands}")
     base = 64 // n_bands
     widths = [base] * (n_bands - 1) + [base + 64 % n_bands]
-    sig = simhash_signatures(df, text_col)
     bands = sig.select(
-        "doc_id", "simhash",
+        F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"),
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.shiftrightunsigned(F.col("simhash"), b * base)
+                F.shiftrightunsigned(F.col(sig_col), b * base)
                 .bitwiseAND(F.lit((1 << widths[b]) - 1)).alias("band_key"),
             )
             for b in range(n_bands)
         ])).alias("bk"),
-        # persisted so the self-join doesn't run the signature UDF twice;
+        # persisted so the self-join doesn't run the signature plan twice;
         # released by Spark's ContextCleaner when the returned plan drops
-    ).select("doc_id", "simhash", "bk.band_id", "bk.band_key").persist(
+    ).select("_id", "_sig", "bk.band_id", "bk.band_key").persist(
         StorageLevel.MEMORY_AND_DISK
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, ["band_id", "band_key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(F.col("a._id") < F.col("b._id"))
         .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
+                          max_hamming: int = 8,
+                          n_bands: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash — signature UDF + the shared
+    ``hamming_band_pairs`` multi-band blocking (see its docstring for
+    the recall guarantee and plan shape)."""
+    return hamming_band_pairs(
+        simhash_signatures(df, text_col), "doc_id", "simhash",
+        max_hamming=max_hamming, n_bands=n_bands)
 
 
 # ---------------------------------------------------------------------------

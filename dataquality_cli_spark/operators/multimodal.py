@@ -70,6 +70,147 @@ def synthetic_media_df(spark: SparkSession, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def _arith_pixels(media_id: int, n: int, perturb_every: int = 0) -> np.ndarray:
+    """Deterministic hash-mixed pixels (Knuth multiplicative hash of
+    (media_id, i), top byte) — the ARITHMETIC corpus: unlike the
+    seeded-numpy corpus, a SQL engine can recompute every pixel, so
+    image stats and aHash get exact cross-engine oracles. With
+    ``perturb_every`` > 0, every perturb_every-th pixel is +1 (mod
+    256): the planted near-duplicate transform."""
+    i = np.arange(n, dtype=np.uint64)
+    mixed = (np.uint64(media_id) * np.uint64(1000003) + i + np.uint64(1)) \
+        * np.uint64(2654435761)
+    pix = ((mixed & np.uint64(0xFFFFFFFF)) >> np.uint64(24)).astype(np.uint8)
+    if perturb_every:
+        mask = (np.arange(n) % perturb_every) == 0
+        pix = pix.copy()
+        pix[mask] = ((pix[mask].astype(np.int64) + 1) % 256).astype(np.uint8)
+    return pix
+
+
+ARITH_DUP_BASE = 1000       # planted dup j has media_id = 1000 + j
+ARITH_PERTURB_EVERY = 97    # ~1% of pixels shifted by +1
+
+
+def arith_media_df(spark: SparkSession, n: int = 64,
+                   planted_dups: int = 8) -> DataFrame:
+    """The oracle-checkable media corpus: ``n`` arithmetic-pixel images
+    (same dim ladder as synthetic_media_df) plus ``planted_dups``
+    near-duplicates — image j's copy at media_id 1000+j with every
+    97th pixel +1 (mod 256), guaranteeing the near-dup query real
+    positives (the r1 vacuous-match lesson, applied to media)."""
+    rows = []
+    for i in range(n):
+        w, h = 8 + (i % 8) * 4, 8 + (i % 5) * 4
+        blob = _MAGIC + struct.pack("<HH", w, h) + \
+            _arith_pixels(i, w * h).tobytes()
+        rows.append((i, "image", "image/x-syn", w, h, bytearray(blob)))
+    for j in range(planted_dups):
+        w, h = 8 + (j % 8) * 4, 8 + (j % 5) * 4
+        blob = _MAGIC + struct.pack("<HH", w, h) + \
+            _arith_pixels(j, w * h, ARITH_PERTURB_EVERY).tobytes()
+        rows.append((ARITH_DUP_BASE + j, "image", "image/x-syn", w, h,
+                     bytearray(blob)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = (
+    "media_id long, width int, height int, aspect double, n_bytes long, "
+    "luma_total long, n_dark long, n_mid long, n_bright long, ahash long"
+)
+
+
+def _ahash64(pix: np.ndarray, w: int, h: int) -> int:
+    """64-bit average hash: the image maps onto an 8x8 block grid
+    (pixel (x,y) -> block (8y//h)*8 + 8x//w, so any resolution works)
+    and bit b is set iff block b's mean luma >= the global mean. The
+    comparison is INTEGER cross-multiplied (block_sum * n_pixels >=
+    global_sum * block_count) — no float mean, so a SQL oracle lands
+    on exactly the same bits at ties. Returned as signed int64 (same
+    64 bits; hamming unaffected), the simhash convention."""
+    idx = np.arange(w * h, dtype=np.int64)
+    block = (idx // w * 8 // h) * 8 + (idx % w) * 8 // w
+    p = pix.astype(np.int64)
+    sums = np.bincount(block, weights=p, minlength=64).astype(np.int64)
+    cnts = np.bincount(block, minlength=64).astype(np.int64)
+    bits = (sums * (w * h)) >= (int(p.sum()) * cnts)
+    bits &= cnts > 0
+    v = int(((bits.astype(np.uint64))
+             << np.arange(64, dtype=np.uint64)).sum())
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def image_stats(df: DataFrame) -> DataFrame:
+    """Per-image profile over REAL binary blobs via mapInPandas:
+    decode -> resolution/aspect + integer-exact luma histogram buckets
+    (dark < 85 <= mid < 170 <= bright) + the 64-bit aHash. Rows whose
+    blob does not decode are dropped (the valid=false path is
+    extract_features' contract; this operator is the stats tier over
+    decodable media). Every emitted value is integer-derived (aspect's
+    round(w/h, 4) is exact for the dim ladder), so the arithmetic
+    corpus gives the whole operator an exact DuckDB oracle
+    (entry query media_profile)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "width", "height", "aspect", "n_bytes",
+                "luma_total", "n_dark", "n_mid", "n_bright", "ahash")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    w, h, pix = decode_image(raw)
+                except NotImplementedError:
+                    continue
+                if pix.size != w * h:
+                    continue  # truncated payload: not a stats row
+                p = pix.astype(np.int64)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["aspect"].append(round(w / h, 4))
+                out["n_bytes"].append(len(raw))
+                out["luma_total"].append(int(p.sum()))
+                out["n_dark"].append(int((p < 85).sum()))
+                out["n_mid"].append(int(((p >= 85) & (p < 170)).sum()))
+                out["n_bright"].append(int((p >= 170).sum()))
+                out["ahash"].append(_ahash64(pix, w, h))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(gen, IMAGE_STATS_SCHEMA)
+
+
+def resolution_profile(df: DataFrame) -> DataFrame:
+    """Corpus-level resolution/aspect profile: one row per decoded
+    (width, height) with counts and byte totals — the readout a corpus
+    owner scans before choosing resize targets. Pure aggregation over
+    image_stats (the blob decode happens once, map-side; the shuffle
+    carries only the tiny stats rows)."""
+    return (
+        image_stats(df)
+        .groupBy("width", "height", "aspect")
+        .agg(F.count(F.lit(1)).alias("n_images"),
+             F.sum("n_bytes").alias("total_bytes"),
+             F.sum("luma_total").alias("luma_total"))
+        .orderBy("width", "height")
+    )
+
+
+def media_neardup_pairs(df: DataFrame, max_hamming: int = 6,
+                        n_bands: int = 4) -> DataFrame:
+    """Near-duplicate images by aHash: per-blob 64-bit signatures
+    (one map-side decode) into the SAME multi-band hamming blocking
+    engine SimHash text near-dup uses (dedup.hamming_band_pairs — the
+    join shuffles on (band_id, band_key) over ids+signatures only;
+    blobs never shuffle, which is the property that matters when the
+    payload column is megabytes per row)."""
+    from dataquality_cli_spark.operators.dedup import hamming_band_pairs
+
+    sig = image_stats(df).select("media_id", "ahash")
+    return hamming_band_pairs(sig, "media_id", "ahash",
+                              max_hamming=max_hamming, n_bands=n_bands)
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """Decode + feature-extract via mapInPandas: per-partition Arrow batch
     iterator, one decode per row inside the batch, vectorized stats."""

@@ -356,6 +356,59 @@ def test_multimodal_resize_plumbing(spark):
     assert all(r.decoded_width == 16 for r in feats.collect())
 
 
+def test_image_stats_exact_values(spark):
+    """image_stats over real blobs equals a numpy recomputation from
+    the pixel formula — the same parity the DuckDB media_profile
+    oracle checks cross-engine, pinned here in-process too (fast
+    failure localization when either side drifts)."""
+    import numpy as np
+
+    media = multimodal.arith_media_df(spark, n=16, planted_dups=0)
+    rows = {r.media_id: r for r in multimodal.image_stats(media).collect()}
+    assert len(rows) == 16
+    for i in range(16):
+        w, h = 8 + (i % 8) * 4, 8 + (i % 5) * 4
+        pix = multimodal._arith_pixels(i, w * h).astype(np.int64)
+        r = rows[i]
+        assert (r.width, r.height) == (w, h)
+        assert r.n_bytes == 8 + w * h
+        assert r.luma_total == int(pix.sum())
+        assert r.n_dark == int((pix < 85).sum())
+        assert r.n_bright == int((pix >= 170).sum())
+        assert r.ahash == multimodal._ahash64(
+            pix.astype(np.uint8), w, h)
+    # truncated payload: dropped from stats, not a crash
+    bad = spark.createDataFrame(
+        [(99, "image", "image/x-syn", 8, 8,
+          bytearray(multimodal._MAGIC + b"\x08\x00\x08\x00" + b"\x01" * 10))],
+        multimodal.MEDIA_SCHEMA)
+    assert multimodal.image_stats(bad).count() == 0
+
+
+def test_media_neardup_finds_planted_pairs(spark):
+    """Every planted perturbed copy (1000+j vs j) surfaces as a
+    near-dup pair at small hamming; unrelated hash-mixed images do
+    not collide. Signature blocking reuses dedup.hamming_band_pairs —
+    blobs never enter the join (only media_id + ahash columns)."""
+    media = multimodal.arith_media_df(spark, n=32, planted_dups=6)
+    pairs = multimodal.media_neardup_pairs(media).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    for j in range(6):
+        assert (j, 1000 + j) in got, f"planted pair {j} missed"
+        assert got[(j, 1000 + j)] <= 6
+    # no false pairs among the 32 distinct base images
+    assert not [p for p in got if p[0] < 1000 and p[1] < 1000]
+
+
+def test_media_resolution_profile(spark):
+    media = multimodal.arith_media_df(spark, n=40, planted_dups=0)
+    prof = multimodal.resolution_profile(media).collect()
+    assert sum(r.n_images for r in prof) == 40
+    # 8 widths x 5 heights cycle: every (w, h) combo of the 40-ladder
+    assert all(r.total_bytes == r.n_images * (8 + r.width * r.height)
+               for r in prof)
+
+
 def test_asof_join_small_fixture(spark):
     from dataquality_cli_spark.operators.asof import asof_join
 

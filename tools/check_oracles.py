@@ -7,7 +7,6 @@ Usage: python tools/check_oracles.py [name ...]
 
 from __future__ import annotations
 
-import math
 import sys
 
 import duckdb
@@ -68,12 +67,19 @@ def canon_type(t: str) -> str:
 
 
 def norm_cell(v):
+    if v is None or v != v:
+        # the pandas null family: None, NaN, NaT. The engines' pandas
+        # conversions pick different members for the same SQL NULL
+        # (object->None, float64->NaN, datetime64->NaT) — one label
+        return "None"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
         return f"{v:.6f}"
     if hasattr(v, "isoformat"):
-        return v.isoformat()
+        # pandas canonicalization artifact: duckdb's .df() widens DATE
+        # to a midnight datetime64 while Spark's toPandas keeps date —
+        # same value, different repr (the type gate still compares
+        # date-vs-timestamp on the ENGINE dtypes, so this loses nothing)
+        return v.isoformat().removesuffix("T00:00:00")
     if isinstance(v, bool):
         return str(v)
     return str(v)

@@ -52,6 +52,9 @@ CHECKS = {
     "corpus_token_budget_mix": "budgets broadcast (tiny VALUES join); ONE per-stratum running-sum Window — strata fill in parallel, no global sort",
     "doc_license_guess": "one scan, whole-stage-codegen regexp chain (SPDX extract + header rlikes) — no UDF, no shuffle, no join",
     "doc_entropy_signals": "one scan, HOF-only projection (char-split + per-distinct-char probability fold) — no UDF, no shuffle",
+    "corpus_topic_terms": "salted two-level top-k: first Window over (cell, token-salt) bounds every task at a 1/64 vocabulary slice; token totals join AFTER rank against the tiny ranked side (broadcast) — never a vocabulary-sized broadcast",
+    "media_profile": "blob decode is ONE map-side Arrow stage (MapInPandas) straight off the scan — no Exchange at all; stats rows are the only output",
+    "media_neardup_pairs": "signature stage map-side; band self-join is an equi-join on (band_id, band_key) over (id, ahash) rows ONLY — the binary payload never enters an Exchange",
 }
 
 

@@ -830,6 +830,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_neardup_pairs"] = media_neardup
 
+    # audio tier of the same pattern: SYNA PCM blobs decoded by
+    # mapInPandas, every stat integer-derived (floor-division duration,
+    # exact energy sum) so DuckDB recomputes the whole profile from
+    # the sample formula
+    def media_audio(s, d):
+        from dataquality_cli_spark.operators.multimodal import (
+            arith_audio_df, audio_stats)
+
+        return audio_stats(arith_audio_df(s))
+
+    q["media_audio_profile"] = media_audio
+
     # --- similarity search ---
     def ann(s, d):
         emb = _t(s, d, "embeddings")
@@ -1247,12 +1259,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r5-driver-green, r6-untouched entry into the tail
     # (corpus_topic_terms displaces a3_null_counts; media_profile
     # displaces a4_sparse_pct_grade; media_neardup_pairs displaces
-    # a5_group_aggregates); queries MODIFIED this round
+    # a5_group_aggregates; media_audio_profile displaces
+    # a7_stddev_by_status); queries MODIFIED this round
     # (corpus_topic_clusters flattened output, corpus_bpe_merges
     # bounded collect + planted fixture, dedup_simhash_neardup refactor
     # through hamming_band_pairs) were already in the window and stay.
     tail = [
         "a3_null_counts", "a4_sparse_pct_grade", "a5_group_aggregates",
+        "a7_stddev_by_status",
         "f7_name_truncate", "doc_bpe_tokens", "doc_alnum_fraction",
         "doc_stopword_langid", "doc_quality_score",
         "doc_benchmark_contamination", "doc_repo_quality_report",
@@ -2048,6 +2062,35 @@ def oracle_sql() -> dict[str, str]:
         FROM bands a JOIN bands b USING (band_id, band_key)
         WHERE a.media_id < b.media_id
           AND bit_count(xor(a.u, b.u)) <= 6
+    """
+
+    # audio profile: DuckDB regenerates every signed-16-bit PCM sample
+    # from multimodal._arith_samples' formula and recomputes the exact
+    # integer stats the Spark mapInPandas decode produced from blobs
+    o["media_audio_profile"] = """
+        WITH tracks AS (
+          SELECT id AS media_id,
+                 CAST(CASE WHEN id % 2 = 0 THEN 8000 ELSE 16000 END
+                      AS INTEGER) AS rate,
+                 CAST(800 + (id % 6) * 400 AS BIGINT) AS n
+          FROM range(0, 48) t(id)),
+        smp AS (
+          SELECT media_id, rate, n,
+                 CAST(((CAST(media_id AS HUGEINT) * 7000003 + t.i + 1)
+                       * 2654435761) % 4294967296 // 65536 - 32768
+                      AS BIGINT) AS s
+          FROM tracks, UNNEST(range(0, n)) AS t(i))
+        SELECT media_id,
+               CAST(MIN(rate) AS INTEGER) AS sample_rate,
+               MIN(n) AS n_samples,
+               CAST(MIN(n) * 1000 // MIN(rate) AS BIGINT) AS duration_ms,
+               CAST(SUM(s) AS BIGINT) AS sum_amp,
+               CAST(SUM(abs(s)) AS BIGINT) AS sum_abs,
+               CAST(MAX(abs(s)) AS INTEGER) AS peak,
+               CAST(COUNT(*) FILTER (abs(s) >= 32700) AS BIGINT)
+                 AS n_clipped,
+               CAST(SUM(s * s) AS BIGINT) AS energy
+        FROM smp GROUP BY media_id
     """
 
     o["doc_license_guess"] = r"""

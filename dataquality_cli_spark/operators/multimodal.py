@@ -266,6 +266,96 @@ def resize_stub(df: DataFrame, target: int = 32) -> DataFrame:
     return df.mapInPandas(gen, "media_id long, payload binary")
 
 
+# --- audio tier: SYNA blobs, same arithmetic-oracle pattern as SYNM ---
+
+_AMAGIC = b"SYNA"  # synthetic audio: SYNA | u16 rate | u32 n_samples | s16le
+
+
+def _arith_samples(media_id: int, n: int) -> np.ndarray:
+    """Deterministic signed 16-bit PCM from the same Knuth-mix family
+    as _arith_pixels (different multiplier so audio and image corpora
+    are decorrelated) — every sample recomputable in SQL."""
+    i = np.arange(n, dtype=np.uint64)
+    mixed = (np.uint64(media_id) * np.uint64(7000003) + i + np.uint64(1)) \
+        * np.uint64(2654435761)
+    u16 = ((mixed & np.uint64(0xFFFFFFFF)) >> np.uint64(16)).astype(np.int64)
+    return (u16 - 32768).astype(np.int16)
+
+
+def make_arith_audio(media_id: int, n_samples: int,
+                     sample_rate: int) -> bytes:
+    return (_AMAGIC + struct.pack("<HI", sample_rate, n_samples)
+            + _arith_samples(media_id, n_samples).tobytes())
+
+
+def arith_audio_df(spark: SparkSession, n: int = 48) -> DataFrame:
+    """Oracle-checkable audio corpus: alternating 8k/16k sample rates,
+    a 6-step duration ladder. width/height are NULL (audio rows)."""
+    rows = []
+    for i in range(n):
+        rate = 8000 if i % 2 == 0 else 16000
+        n_samples = 800 + (i % 6) * 400
+        rows.append((i, "audio", "audio/x-syn", None, None,
+                     bytearray(make_arith_audio(i, n_samples, rate))))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_audio(payload: bytes):
+    """STUB decoder, same contract as decode_image: real deployments
+    swap in soundfile/ffmpeg; only synthetic SYNA blobs decode here."""
+    if payload is None or len(payload) < 10 or payload[:4] != _AMAGIC:
+        raise NotImplementedError(
+            "real audio decoding requires soundfile/ffmpeg (not in this "
+            "container); only synthetic SYNA blobs are decodable here"
+        )
+    rate, n = struct.unpack("<HI", payload[4:10])
+    samples = np.frombuffer(payload[10:10 + 2 * n], dtype="<i2")
+    return rate, samples
+
+
+AUDIO_STATS_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, duration_ms long, "
+    "sum_amp long, sum_abs long, peak int, n_clipped long, energy long"
+)
+
+
+def audio_stats(df: DataFrame) -> DataFrame:
+    """Per-track profile over real binary blobs via mapInPandas —
+    every value integer-derived (duration_ms is floor-division, energy
+    is the exact sum of squares), so the arithmetic corpus gives the
+    decode path an exact DuckDB oracle (entry query
+    media_audio_profile). Undecodable or truncated blobs are dropped,
+    the image_stats contract."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "sample_rate", "n_samples", "duration_ms",
+                "sum_amp", "sum_abs", "peak", "n_clipped", "energy")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    rate, s = decode_audio(raw)
+                except NotImplementedError:
+                    continue
+                n = struct.unpack("<I", raw[6:10])[0]
+                if s.size != n or rate == 0:
+                    continue  # truncated payload: not a stats row
+                a = s.astype(np.int64)
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(int(n))
+                out["duration_ms"].append(int(n) * 1000 // rate)
+                out["sum_amp"].append(int(a.sum()))
+                out["sum_abs"].append(int(np.abs(a).sum()))
+                out["peak"].append(int(np.abs(a).max()) if n else 0)
+                out["n_clipped"].append(int((np.abs(a) >= 32700).sum()))
+                out["energy"].append(int((a * a).sum()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(gen, AUDIO_STATS_SCHEMA)
+
+
 _VMAGIC = b"SYNV"  # synthetic video: SYNV | u16 w | u16 h | u16 n_frames | frames
 
 

@@ -400,6 +400,42 @@ def test_media_neardup_finds_planted_pairs(spark):
     assert not [p for p in got if p[0] < 1000 and p[1] < 1000]
 
 
+def test_audio_stats_exact_values(spark):
+    """audio_stats over real SYNA blobs equals a numpy recomputation
+    from the sample formula (the in-process twin of the DuckDB
+    media_audio_profile oracle); truncated blobs drop."""
+    import numpy as np
+
+    media = multimodal.arith_audio_df(spark, n=12)
+    rows = {r.media_id: r for r in multimodal.audio_stats(media).collect()}
+    assert len(rows) == 12
+    for i in range(12):
+        rate = 8000 if i % 2 == 0 else 16000
+        n = 800 + (i % 6) * 400
+        s = multimodal._arith_samples(i, n).astype(np.int64)
+        r = rows[i]
+        assert (r.sample_rate, r.n_samples) == (rate, n)
+        assert r.duration_ms == n * 1000 // rate
+        assert r.sum_amp == int(s.sum())
+        assert r.sum_abs == int(np.abs(s).sum())
+        assert r.peak == int(np.abs(s).max())
+        assert r.n_clipped == int((np.abs(s) >= 32700).sum())
+        assert r.energy == int((s * s).sum())
+    # both polarities actually exercised (signed PCM, not unsigned)
+    assert any(rows[i].sum_amp < 0 for i in range(12)) or \
+        any(rows[i].sum_amp > 0 for i in range(12))
+    import struct as _struct
+    bad = spark.createDataFrame(
+        [(99, "audio", "audio/x-syn", None, None,
+          bytearray(multimodal._AMAGIC + _struct.pack("<HI", 8000, 100)
+                    + b"\x01\x02" * 10))],
+        multimodal.MEDIA_SCHEMA)
+    assert multimodal.audio_stats(bad).count() == 0
+    # image blobs in an audio query: rejected by the decoder, dropped
+    mixed = multimodal.arith_media_df(spark, n=4, planted_dups=0)
+    assert multimodal.audio_stats(mixed).count() == 0
+
+
 def test_media_resolution_profile(spark):
     media = multimodal.arith_media_df(spark, n=40, planted_dups=0)
     prof = multimodal.resolution_profile(media).collect()

@@ -260,6 +260,68 @@ def _report(args) -> int:
             spark.stop()
 
 
+def _media(args) -> int:
+    """One-shot media analytics over a MEDIA_SCHEMA parquet (media_id,
+    kind, mime, width, height, payload): image resolution/aspect
+    profile, audio track profile, and optionally the aHash near-dup
+    pair count — the `dataqa report` of the binary-blob surface. Each
+    section is the already-oracle-checked operator; this is only the
+    composition + a JSON line."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from dataquality_cli_spark.operators import multimodal as M
+    from dataquality_cli_spark.session import get_spark
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark(app="dataqa-media", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        df = spark.read.parquet(args.input)
+        rep: dict = {"metric": "media_report"}
+        kinds = {r["kind"]: r["n"] for r in
+                 df.groupBy("kind").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+        rep["media"] = {k: int(v) for k, v in sorted(kinds.items())}
+        images = df.filter(F.col("kind") == "image")
+        rep["resolutions"] = [
+            r.asDict() for r in M.resolution_profile(images).collect()
+        ]
+        audio = df.filter(F.col("kind") == "audio")
+        a = M.audio_stats(audio).agg(
+            F.count(F.lit(1)).alias("tracks"),
+            F.sum("duration_ms").alias("total_ms"),
+            F.sum("n_clipped").alias("clipped_samples"),
+        ).collect()[0]
+        rep["audio"] = {"tracks": int(a["tracks"] or 0),
+                        "total_ms": int(a["total_ms"] or 0),
+                        "clipped_samples": int(a["clipped_samples"] or 0)}
+        if args.neardup:
+            rep["image_neardup_pairs"] = M.media_neardup_pairs(
+                images, max_hamming=args.max_hamming).count()
+        if args.json:
+            print(json.dumps(rep))
+            return 0
+        print(f"Media report: {args.input}")
+        print("  media: " + ", ".join(
+            f"{k}={v:,}" for k, v in rep["media"].items()))
+        for r in rep["resolutions"]:
+            print(f"  {r['width']}x{r['height']} (aspect {r['aspect']}): "
+                  f"{r['n_images']:,} images, {r['total_bytes']:,} bytes")
+        au = rep["audio"]
+        if au["tracks"]:
+            print(f"  audio: {au['tracks']:,} tracks, "
+                  f"{au['total_ms'] / 1000.0:.1f}s total, "
+                  f"{au['clipped_samples']:,} clipped samples")
+        if "image_neardup_pairs" in rep:
+            print(f"  near-dup image pairs (hamming<="
+                  f"{args.max_hamming}): {rep['image_neardup_pairs']:,}")
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
 def _dedup(args) -> int:
     """One-command dedup over a (doc_id, text, ...) parquet: exact
     (sha256 keep-first), near (MinHash LSH -> verified Jaccard ->
@@ -357,6 +419,14 @@ def main(argv: list[str] | None = None) -> int:
                         "report each cluster's size + top terms")
     r.add_argument("--master", default=None)
     r.add_argument("--json", action="store_true")
+    mm = sub.add_parser(
+        "media", help="one-shot analytics report over a media parquet")
+    mm.add_argument("input")
+    mm.add_argument("--neardup", action="store_true",
+                    help="also count aHash near-dup image pairs")
+    mm.add_argument("--max-hamming", type=int, default=6)
+    mm.add_argument("--master", default=None)
+    mm.add_argument("--json", action="store_true")
     dd = sub.add_parser(
         "dedup", help="dedup a documents parquet (exact/near/semantic)")
     dd.add_argument("input")
@@ -377,6 +447,8 @@ def main(argv: list[str] | None = None) -> int:
         return _describe(args)
     if args.cmd == "report":
         return _report(args)
+    if args.cmd == "media":
+        return _media(args)
     if args.cmd == "dedup":
         return _dedup(args)
     return 2

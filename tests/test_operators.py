@@ -445,6 +445,30 @@ def test_media_resolution_profile(spark):
                for r in prof)
 
 
+def test_cli_media_report_smoke(spark, tmp_path, capsys):
+    """`dataqa media <parquet> --neardup --json`: the composed media
+    report over a mixed image+audio corpus — resolution profile,
+    audio totals, planted near-dup pairs — all behind one command."""
+    import json
+
+    from dataquality_cli_spark.__main__ import main
+
+    path = str(tmp_path / "media.parquet")
+    multimodal.arith_media_df(spark, n=16, planted_dups=3).unionByName(
+        multimodal.arith_audio_df(spark, n=6).withColumn(
+            "media_id", F.col("media_id") + 5000)
+    ).write.parquet(path)
+    rc = main(["media", path, "--neardup", "--json"])
+    assert rc == 0
+    out = [l for l in capsys.readouterr().out.splitlines()
+           if l.startswith("{")][-1]
+    rep = json.loads(out)
+    assert rep["media"] == {"audio": 6, "image": 19}
+    assert sum(r["n_images"] for r in rep["resolutions"]) == 19
+    assert rep["audio"]["tracks"] == 6 and rep["audio"]["total_ms"] > 0
+    assert rep["image_neardup_pairs"] >= 3   # the planted copies
+
+
 def test_asof_join_small_fixture(spark):
     from dataquality_cli_spark.operators.asof import asof_join
 

@@ -689,6 +689,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_streaming_exact"] = stream_dedup
 
+    # STREAM-STREAM interval join (impression -> click attribution):
+    # two watermarked file sources over the events table, inner-joined
+    # on user + a two-sided event-time bound (the condition that lets
+    # Structured Streaming expire join state). Single micro-batch =>
+    # result equals the batch interval join, which DuckDB reproduces
+    # exactly.
+    def stream_attr(s, d):
+        from dataquality_cli_spark.streaming.windows import (
+            run_streaming_attribution)
+
+        schema = s.read.parquet(f"{d}/events.parquet").schema
+        return run_streaming_attribution(
+            s, d, schema, glob="events.parquet", max_lag_min=30)
+
+    q["events_stream_attribution"] = stream_attr
+
     # streaming NEAR-dup admission control vs a static band index —
     # single-batch input, so the kept set is a pure band-match filter
     # (SQL-expressible); the multi-batch fold-forward path is
@@ -1260,13 +1276,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (corpus_topic_terms displaces a3_null_counts; media_profile
     # displaces a4_sparse_pct_grade; media_neardup_pairs displaces
     # a5_group_aggregates; media_audio_profile displaces
-    # a7_stddev_by_status); queries MODIFIED this round
+    # a7_stddev_by_status; events_stream_attribution displaces
+    # a8_minmax_by_priority); queries MODIFIED this round
     # (corpus_topic_clusters flattened output, corpus_bpe_merges
     # bounded collect + planted fixture, dedup_simhash_neardup refactor
     # through hamming_band_pairs) were already in the window and stay.
     tail = [
         "a3_null_counts", "a4_sparse_pct_grade", "a5_group_aggregates",
-        "a7_stddev_by_status",
+        "a7_stddev_by_status", "a8_minmax_by_priority",
         "f7_name_truncate", "doc_bpe_tokens", "doc_alnum_fraction",
         "doc_stopword_langid", "doc_quality_score",
         "doc_benchmark_contamination", "doc_repo_quality_report",
@@ -2178,6 +2195,19 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_streaming_exact"] = f"""
         WITH aug AS ({_AUG_SQL})
         SELECT DISTINCT sha256(text) AS content_hash FROM aug
+    """
+
+    # batch twin of the stream-stream interval join: inner join on
+    # user + two-sided time bound; lag in whole seconds both sides
+    o["events_stream_attribution"] = """
+        SELECT i.user_id,
+               i.event_id AS impression_id,
+               c.event_id AS click_id,
+               date_diff('second', i.ts, c.ts) AS lag_sec
+        FROM events i JOIN events c ON i.user_id = c.user_id
+        WHERE i.event_type = 'view' AND c.event_type = 'click'
+          AND c.ts >= i.ts
+          AND c.ts <= i.ts + INTERVAL 30 MINUTE
     """
 
     o["dedup_normalized_groups"] = """

@@ -116,3 +116,100 @@ def run_streaming_hourly_append(spark: SparkSession, parquet_dir: str, schema,
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def attribution_join(impressions: DataFrame, clicks: DataFrame,
+                     max_lag_min: int = 30) -> DataFrame:
+    """Impression -> click attribution: every (view, click) pair for
+    one user with the click inside [view.ts, view.ts + max_lag_min].
+    ONE expression for both engines: on batch frames it is a plain
+    interval join (the DuckDB twin of entry query
+    events_stream_attribution); on watermarked streaming frames it is
+    a STREAM-STREAM inner join — the two-sided event-time bound in the
+    join condition is exactly what lets Structured Streaming expire
+    join state (an unbounded condition would buffer both streams
+    forever; see run_streaming_attribution for the watermark pairing).
+
+    Inputs must carry (user_id, impression_id/i_ts) and
+    (c_user/click_id/c_ts) — ``prepare_attribution_sides`` derives
+    both from a raw events frame with DISTINCT column names, which
+    sidesteps Spark's self-join column-lineage ambiguity (two branches
+    of one source frame joined on a same-named column)."""
+    cond = [
+        F.col("user_id") == F.col("c_user"),
+        F.col("c_ts") >= F.col("i_ts"),
+        F.col("c_ts") <= F.col("i_ts")
+        + F.expr(f"INTERVAL {int(max_lag_min)} MINUTES"),
+    ]
+    return (
+        impressions.join(clicks, cond)
+        .select(
+            "user_id",
+            "impression_id",
+            "click_id",
+            (F.col("c_ts").cast("long") - F.col("i_ts").cast("long"))
+            .alias("lag_sec"),
+        )
+    )
+
+
+def prepare_attribution_sides(events: DataFrame,
+                              impression_type: str = "view",
+                              click_type: str = "click"):
+    """Split one events frame into the two attribution sides with
+    disjoint column names (self-join lineage safety, batch and
+    streaming alike). ts routes through TIMESTAMP (session TZ pinned
+    UTC) so epoch arithmetic matches DuckDB."""
+    imps = events.filter(F.col("event_type") == impression_type).select(
+        "user_id",
+        F.col("event_id").alias("impression_id"),
+        F.col("ts").cast("timestamp").alias("i_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == click_type).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").cast("timestamp").alias("c_ts"),
+    )
+    return imps, clicks
+
+
+def run_streaming_attribution(spark: SparkSession, parquet_dir: str,
+                              schema, glob: str = "*.parquet",
+                              max_lag_min: int = 30,
+                              name: str | None = None) -> DataFrame:
+    """Drive the attribution join as a real STREAM-STREAM inner join:
+    two independent file sources over the same directory, each
+    watermarked on its own event-time column. The click watermark can
+    trail by max_lag plus slack before impression state is evicted;
+    processing everything in one micro-batch (no maxFilesPerTrigger)
+    keeps the watermark at its initial value for the whole batch, so
+    the result is EXACTLY the batch interval join — which is what the
+    cross-engine oracle checks. Multi-batch deployments trade that
+    exactness for bounded state: matches later than the watermark
+    would drop, the documented Structured Streaming semantics."""
+    if name is None:
+        # memory-sink query names register temp views — unique per call
+        # so repeated invocations in one session never collide
+        import uuid
+
+        name = f"attribution_out_{uuid.uuid4().hex[:8]}"
+
+    def side():
+        return (
+            spark.readStream.format("parquet").schema(schema)
+            .option("pathGlobFilter", glob).load(parquet_dir)
+        )
+
+    imps, clicks = prepare_attribution_sides(side(), "view", "click")
+    imps = imps.withWatermark("i_ts", f"{int(max_lag_min) * 2} minutes")
+    clicks = clicks.withWatermark("c_ts", f"{int(max_lag_min) * 2} minutes")
+    out = attribution_join(imps, clicks, max_lag_min)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")

@@ -24,6 +24,24 @@ def test_streaming_hourly_matches_batch(spark):
     assert len(got) > 10
 
 
+def test_stream_stream_attribution_matches_batch(spark):
+    """The watermarked stream-stream interval join, processed in one
+    micro-batch, equals the batch interval join pair-for-pair (the
+    cross-engine oracle's premise); lags respect the two-sided bound;
+    positives exist (non-vacuous)."""
+    batch_df = spark.read.parquet(f"{SF}/events.parquet")
+    imps, clicks = W.prepare_attribution_sides(batch_df)
+    batch = {(r.user_id, r.impression_id, r.click_id, r.lag_sec)
+             for r in W.attribution_join(imps, clicks, 30).collect()}
+    assert batch  # planted-free but naturally non-empty at sf0.001
+    streamed = W.run_streaming_attribution(
+        spark, SF, batch_df.schema, glob="events.parquet", max_lag_min=30)
+    got = {(r.user_id, r.impression_id, r.click_id, r.lag_sec)
+           for r in streamed.collect()}
+    assert got == batch
+    assert all(0 <= lag <= 30 * 60 for (_u, _i, _c, lag) in got)
+
+
 def test_sessionize_sane(spark):
     events = spark.read.parquet(f"{SF}/events.parquet")
     out = W.sessionize(events)

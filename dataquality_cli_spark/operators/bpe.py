@@ -26,6 +26,8 @@ implementation in tests bit-for-bit.
 
 from __future__ import annotations
 
+import sys
+
 import pandas as pd  # module-level: pandas_udf resolves the postponed
                      # 'pd.Series' annotations from these globals
 from pyspark.sql import DataFrame
@@ -151,9 +153,12 @@ def learn_bpe_merges(df: DataFrame, text_col: str = "text",
     )
     if len(rows) > max_vocab:
         rows = rows[:max_vocab]
+        # stderr, not stdout: the CLI --json paths own stdout as a
+        # machine-readable channel
         print(f"learn_bpe_merges: vocabulary exceeds max_vocab="
               f"{max_vocab}; training on the top {max_vocab} words by "
-              f"frequency (dropped words have freq <= {rows[-1]['freq']})")
+              f"frequency (dropped words have freq <= {rows[-1]['freq']})",
+              file=sys.stderr)
     wf = [(r["word"], r["freq"]) for r in rows]
     return learn_bpe_merges_from_freqs(wf, n_merges, min_pair_count)
 

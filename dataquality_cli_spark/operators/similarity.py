@@ -15,6 +15,7 @@ shuffles once on the bucket key.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import numpy as np
@@ -194,20 +195,26 @@ _PROBE_BC_CACHE_MAX = 16
 
 
 def _centroids_bc(sc, cent: np.ndarray):
+    # content digest alongside the identity key: an array mutated IN
+    # PLACE (cents[:] = refined) keeps its id, and serving stale
+    # centroids silently is exactly the long-lived-driver bug class
+    # this cache exists to prevent. Digest cost is linear in k*dim
+    # bytes — microseconds against a broadcast round-trip.
+    digest = hashlib.md5(cent.tobytes()).digest()
     hit = _PROBE_BC_CACHE.get(id(cent))
-    if hit is not None and hit[0] is sc:
+    if hit is not None and hit[0] is sc and hit[3] == digest:
         return hit[2]
     # a new SparkContext (test sessions stop/start) invalidates every
     # cached broadcast handle
-    for k, (s, _arr, _bc) in list(_PROBE_BC_CACHE.items()):
+    for k, (s, _arr, _bc, _d) in list(_PROBE_BC_CACHE.items()):
         if s is not sc:
             del _PROBE_BC_CACHE[k]
     while len(_PROBE_BC_CACHE) >= _PROBE_BC_CACHE_MAX:
-        _k, (_s, _arr, old) = next(iter(_PROBE_BC_CACHE.items()))
+        _k, (_s, _arr, old, _d) = next(iter(_PROBE_BC_CACHE.items()))
         del _PROBE_BC_CACHE[_k]
         old.unpersist(blocking=False)  # refetchable by in-flight tasks
     bc = sc.broadcast(cent)
-    _PROBE_BC_CACHE[id(cent)] = (sc, cent, bc)
+    _PROBE_BC_CACHE[id(cent)] = (sc, cent, bc, digest)
     return bc
 
 

@@ -176,19 +176,26 @@ def test_ivf_probe_broadcast_cached_across_calls(emb):
     similarity.ivf_probe_cells(
         emb, cents, 2, out_col="c", arrow_threshold=0).count()
     assert len(similarity._PROBE_BC_CACHE) == 1
-    (_s, _arr, bc_first), = similarity._PROBE_BC_CACHE.values()
+    (_s, _arr, bc_first, _d), = similarity._PROBE_BC_CACHE.values()
     # two more probes (ann_ivf_topk probes table + queries = 2 calls)
     similarity.ann_ivf_topk(
         emb, emb.filter(F.col("vec_id") < 3), cents,
         k=3, nprobe=2, arrow_threshold=0).count()
     assert len(similarity._PROBE_BC_CACHE) == 1
-    (_s, _arr, bc_again), = similarity._PROBE_BC_CACHE.values()
+    (_s, _arr, bc_again, _d), = similarity._PROBE_BC_CACHE.values()
     assert bc_again is bc_first
     assert _s is sc
     other = cents + 0.0  # distinct array object -> second entry
     similarity.ivf_probe_cells(
         emb, other, 2, out_col="c", arrow_threshold=0).count()
     assert len(similarity._PROBE_BC_CACHE) == 2
+    # in-place mutation keeps id(cents) but MUST invalidate the cached
+    # broadcast: serving stale centroids silently is the bug class the
+    # content digest exists to catch
+    cents[:] = cents + 1.0
+    bc_mut = similarity._centroids_bc(sc, cents)
+    assert bc_mut is not bc_first
+    assert (bc_mut.value == cents).all()
     similarity._PROBE_BC_CACHE.clear()
 
 

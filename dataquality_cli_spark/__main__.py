@@ -279,13 +279,21 @@ def _media(args) -> int:
     try:
         df = spark.read.parquet(args.input)
         rep: dict = {"metric": "media_report"}
-        kinds = {r["kind"]: r["n"] for r in
+        # NULL kind (unclassified blobs) must not abort the report:
+        # surface it as "unknown" rather than letting sorted() compare
+        # None with str
+        kinds = {("unknown" if r["kind"] is None else r["kind"]): r["n"]
+                 for r in
                  df.groupBy("kind").agg(F.count(F.lit(1)).alias("n"))
                  .collect()}
         rep["media"] = {k: int(v) for k, v in sorted(kinds.items())}
         images = df.filter(F.col("kind") == "image")
+        # one decode pass shared by the resolution profile and the
+        # near-dup signatures — blob decode dominates on real corpora
+        stats = M.image_stats(images).persist()
         rep["resolutions"] = [
-            r.asDict() for r in M.resolution_profile(images).collect()
+            r.asDict()
+            for r in M.resolution_profile(images, stats=stats).collect()
         ]
         audio = df.filter(F.col("kind") == "audio")
         a = M.audio_stats(audio).agg(
@@ -298,7 +306,8 @@ def _media(args) -> int:
                         "clipped_samples": int(a["clipped_samples"] or 0)}
         if args.neardup:
             rep["image_neardup_pairs"] = M.media_neardup_pairs(
-                images, max_hamming=args.max_hamming).count()
+                images, max_hamming=args.max_hamming, stats=stats).count()
+        stats.unpersist()
         if args.json:
             print(json.dumps(rep))
             return 0

@@ -180,14 +180,18 @@ def image_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(gen, IMAGE_STATS_SCHEMA)
 
 
-def resolution_profile(df: DataFrame) -> DataFrame:
+def resolution_profile(df: DataFrame, stats: DataFrame | None = None
+                       ) -> DataFrame:
     """Corpus-level resolution/aspect profile: one row per decoded
     (width, height) with counts and byte totals — the readout a corpus
     owner scans before choosing resize targets. Pure aggregation over
     image_stats (the blob decode happens once, map-side; the shuffle
-    carries only the tiny stats rows)."""
+    carries only the tiny stats rows). Pass a precomputed (ideally
+    persisted) image_stats frame via `stats` when composing several
+    readouts over the same corpus — the decode is the dominant cost
+    and should not run once per readout."""
     return (
-        image_stats(df)
+        (image_stats(df) if stats is None else stats)
         .groupBy("width", "height", "aspect")
         .agg(F.count(F.lit(1)).alias("n_images"),
              F.sum("n_bytes").alias("total_bytes"),
@@ -197,16 +201,20 @@ def resolution_profile(df: DataFrame) -> DataFrame:
 
 
 def media_neardup_pairs(df: DataFrame, max_hamming: int = 6,
-                        n_bands: int = 4) -> DataFrame:
+                        n_bands: int = 4,
+                        stats: DataFrame | None = None) -> DataFrame:
     """Near-duplicate images by aHash: per-blob 64-bit signatures
     (one map-side decode) into the SAME multi-band hamming blocking
     engine SimHash text near-dup uses (dedup.hamming_band_pairs — the
     join shuffles on (band_id, band_key) over ids+signatures only;
     blobs never shuffle, which is the property that matters when the
-    payload column is megabytes per row)."""
+    payload column is megabytes per row). `stats` shares a precomputed
+    image_stats frame with sibling readouts, skipping a second decode
+    pass."""
     from dataquality_cli_spark.operators.dedup import hamming_band_pairs
 
-    sig = image_stats(df).select("media_id", "ahash")
+    sig = (image_stats(df) if stats is None else stats
+           ).select("media_id", "ahash")
     return hamming_band_pairs(sig, "media_id", "ahash",
                               max_hamming=max_hamming, n_bands=n_bands)
 

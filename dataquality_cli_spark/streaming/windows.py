@@ -200,7 +200,11 @@ def run_streaming_attribution(spark: SparkSession, parquet_dir: str,
             .option("pathGlobFilter", glob).load(parquet_dir)
         )
 
-    imps, clicks = prepare_attribution_sides(side(), "view", "click")
+    # two independent readStream sources (one per join side), exactly
+    # as documented above — each owns its file-tracking state and
+    # watermark rather than sharing a single scan
+    imps, _ = prepare_attribution_sides(side(), "view", "click")
+    _, clicks = prepare_attribution_sides(side(), "view", "click")
     imps = imps.withWatermark("i_ts", f"{int(max_lag_min) * 2} minutes")
     clicks = clicks.withWatermark("c_ts", f"{int(max_lag_min) * 2} minutes")
     out = attribution_join(imps, clicks, max_lag_min)

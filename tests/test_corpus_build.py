@@ -707,6 +707,32 @@ def test_cli_report_topics_smoke(spark, capsys):
                for t in topics for v in t.values())
 
 
+def test_cli_media_null_kind_and_neardup(spark, tmp_path, capsys):
+    """`dataqa media` must survive a NULL kind row (unclassified blob
+    surfaces as "unknown" instead of sorted() comparing None with str)
+    and --neardup shares one decode pass with the resolution profile."""
+    import json
+
+    from dataquality_cli_spark.__main__ import main
+    from dataquality_cli_spark.operators import multimodal
+
+    media = multimodal.arith_media_df(spark, n=16, planted_dups=4)
+    extra = spark.createDataFrame(
+        [(9000, None, None, None, None, None)], multimodal.MEDIA_SCHEMA)
+    path = str(tmp_path / "media.parquet")
+    media.unionByName(extra).write.parquet(path)
+
+    rc = main(["media", path, "--neardup", "--json"])
+    assert rc == 0
+    out = [l for l in capsys.readouterr().out.splitlines()
+           if l.startswith("{")][-1]
+    rep = json.loads(out)
+    assert rep["media"]["unknown"] == 1
+    assert rep["media"]["image"] == 20
+    assert sum(r["n_images"] for r in rep["resolutions"]) == 20
+    assert rep["image_neardup_pairs"] >= 4  # planted near-dups found
+
+
 def test_corpus_build_classifier_gate(spark, tmp_path):
     """Model-based quality gate (FineWeb-Edu shape): a classifier
     trained on a labeled sample re-scores the heuristic survivors.

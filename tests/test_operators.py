@@ -428,8 +428,10 @@ def test_audio_stats_exact_values(spark):
         assert r.peak == int(np.abs(s).max())
         assert r.n_clipped == int((np.abs(s) >= 32700).sum())
         assert r.energy == int((s * s).sum())
-    # both polarities actually exercised (signed PCM, not unsigned)
-    assert any(rows[i].sum_amp < 0 for i in range(12)) or \
+    # both polarities actually exercised (signed PCM, not unsigned —
+    # `and`, not `or`: any nonzero data satisfies the disjunction, only
+    # the conjunction proves negative samples survive the decode)
+    assert any(rows[i].sum_amp < 0 for i in range(12)) and \
         any(rows[i].sum_amp > 0 for i in range(12))
     import struct as _struct
     bad = spark.createDataFrame(

@@ -858,6 +858,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_audio_profile"] = media_audio
 
+    # video tier completes the triad: the sample_frames fan-out chained
+    # into the per-frame stat kernel (two mapInPandas in ONE task
+    # pipeline, no shuffle between them), then scene cuts as a lag
+    # window over the tiny aHash rows. The SYNV arithmetic corpus makes
+    # every pixel — hence every histogram bucket, aHash bit, and cut —
+    # recomputable in DuckDB.
+    def media_video_frames(s, d):
+        from dataquality_cli_spark.operators.multimodal import (
+            arith_video_df, video_frame_profile)
+
+        return video_frame_profile(arith_video_df(s))
+
+    q["media_video_frames"] = media_video_frames
+
+    def media_video_scenes(s, d):
+        from dataquality_cli_spark.operators.multimodal import (
+            arith_video_df, video_scene_cuts)
+
+        return video_scene_cuts(arith_video_df(s))
+
+    q["media_video_scenes"] = media_video_scenes
+
     # --- similarity search ---
     def ann(s, d):
         emb = _t(s, d, "embeddings")
@@ -1277,13 +1299,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # displaces a4_sparse_pct_grade; media_neardup_pairs displaces
     # a5_group_aggregates; media_audio_profile displaces
     # a7_stddev_by_status; events_stream_attribution displaces
-    # a8_minmax_by_priority); queries MODIFIED this round
+    # a8_minmax_by_priority; media_video_frames displaces
+    # a9_minmax_lexicographic; media_video_scenes displaces
+    # a10_quantiles_exact — both profile.py-backed, r5-driver-green,
+    # profile.py untouched since f5f3d78); queries MODIFIED this round
     # (corpus_topic_clusters flattened output, corpus_bpe_merges
     # bounded collect + planted fixture, dedup_simhash_neardup refactor
     # through hamming_band_pairs) were already in the window and stay.
     tail = [
         "a3_null_counts", "a4_sparse_pct_grade", "a5_group_aggregates",
         "a7_stddev_by_status", "a8_minmax_by_priority",
+        "a9_minmax_lexicographic", "a10_quantiles_exact",
         "f7_name_truncate", "doc_bpe_tokens", "doc_alnum_fraction",
         "doc_stopword_langid", "doc_quality_score",
         "doc_benchmark_contamination", "doc_repo_quality_report",
@@ -2079,6 +2105,86 @@ def oracle_sql() -> dict[str, str]:
         FROM bands a JOIN bands b USING (band_id, band_key)
         WHERE a.media_id < b.media_id
           AND bit_count(xor(a.u, b.u)) <= 6
+    """
+
+    # shared frame-pixel reconstruction for the two video oracles:
+    # DuckDB regenerates every pixel of every SAMPLED frame (fi % 2 = 0,
+    # the sample_frames stride) from multimodal.make_arith_video's
+    # formula — seed = media_id*131 + fi//4, wobble +(fi%4) on every
+    # 97th pixel — so the fan-out + stats + scene-cut path is under an
+    # exact oracle end to end
+    _VIDEO_PX = """
+        vids AS (
+          SELECT id AS media_id,
+                 CAST(8 + (id % 6) * 4 AS INTEGER) AS w,
+                 CAST(8 + (id % 4) * 4 AS INTEGER) AS h,
+                 CAST(4 + (id % 5) * 3 AS BIGINT) AS nf
+          FROM range(0, 24) t(id)),
+        frm AS (
+          SELECT media_id, w, h, CAST(f.fi AS INTEGER) AS frame_idx,
+                 media_id * 131 + f.fi // 4 AS seed,
+                 f.fi % 4 AS wob
+          FROM vids, UNNEST(range(0, nf)) AS f(fi)
+          WHERE f.fi % 2 = 0),
+        px AS (
+          SELECT media_id, frame_idx, w, h, t.i AS i,
+                 CAST(CASE WHEN t.i % 97 = 0
+                      THEN (((CAST(seed AS HUGEINT) * 1000003 + t.i + 1)
+                             * 2654435761) % 4294967296 // 16777216 + wob)
+                           % 256
+                      ELSE ((CAST(seed AS HUGEINT) * 1000003 + t.i + 1)
+                            * 2654435761) % 4294967296 // 16777216
+                      END AS BIGINT) AS p
+          FROM frm, UNNEST(range(0, CAST(w AS BIGINT) * h)) AS t(i)),
+        fblocks AS (
+          SELECT media_id, frame_idx,
+                 ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS block,
+                 SUM(p) AS bsum, COUNT(*) AS bcnt
+          FROM px GROUP BY media_id, frame_idx,
+                 ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w)),
+        ftot AS (
+          SELECT media_id, frame_idx, SUM(p) AS gsum, COUNT(*) AS npx
+          FROM px GROUP BY media_id, frame_idx),
+        fhash_u AS (
+          SELECT b.media_id, b.frame_idx,
+                 SUM(CASE WHEN b.bsum * t.npx >= t.gsum * b.bcnt
+                     THEN CAST(1 AS UBIGINT) << CAST(b.block AS INTEGER)
+                     ELSE CAST(0 AS UBIGINT) END) AS u
+          FROM fblocks b JOIN ftot t USING (media_id, frame_idx)
+          GROUP BY b.media_id, b.frame_idx),
+        fstats AS (
+          SELECT media_id, frame_idx,
+                 CAST(SUM(p) AS BIGINT) AS luma_total,
+                 CAST(COUNT(*) FILTER (p < 85) AS BIGINT) AS n_dark,
+                 CAST(COUNT(*) FILTER (p >= 85 AND p < 170) AS BIGINT)
+                   AS n_mid,
+                 CAST(COUNT(*) FILTER (p >= 170) AS BIGINT) AS n_bright
+          FROM px GROUP BY media_id, frame_idx)
+    """
+
+    o["media_video_frames"] = f"""
+        WITH {_VIDEO_PX}
+        SELECT s.media_id, s.frame_idx, s.luma_total, s.n_dark, s.n_mid,
+               s.n_bright,
+               CAST(CASE WHEN u.u >= 9223372036854775808
+                    THEN CAST(u.u AS HUGEINT) - 18446744073709551616
+                    ELSE CAST(u.u AS HUGEINT) END AS BIGINT) AS ahash
+        FROM fstats s JOIN fhash_u u USING (media_id, frame_idx)
+    """
+
+    o["media_video_scenes"] = f"""
+        WITH {_VIDEO_PX},
+        ham AS (
+          SELECT s.media_id, s.frame_idx, s.luma_total,
+                 bit_count(xor(u.u, lag(u.u) OVER
+                   (PARTITION BY s.media_id ORDER BY s.frame_idx)))
+                   AS ham_prev
+          FROM fstats s JOIN fhash_u u USING (media_id, frame_idx))
+        SELECT media_id,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(COUNT(*) FILTER (ham_prev > 10) AS BIGINT) AS n_cuts,
+               CAST(SUM(luma_total) AS BIGINT) AS luma_total
+        FROM ham GROUP BY media_id
     """
 
     # audio profile: DuckDB regenerates every signed-16-bit PCM sample

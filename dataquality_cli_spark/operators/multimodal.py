@@ -413,3 +413,113 @@ def sample_frames(df: DataFrame, every_k: int = 3) -> DataFrame:
                 {"media_id": mids, "frame_idx": idxs, "payload": blobs})
 
     return df.mapInPandas(gen, "media_id long, frame_idx int, payload binary")
+
+# --- arithmetic video corpus + frame profile + scene cuts ------------
+
+ARITH_SCENE_LEN = 4   # planted scene structure: frames fi//4 share a seed
+
+
+def make_arith_video(media_id: int, width: int, height: int,
+                     n_frames: int) -> bytes:
+    """Oracle-checkable video: frame ``fi`` draws its pixels from
+    ``_arith_pixels(media_id * 131 + fi // ARITH_SCENE_LEN)`` — so
+    consecutive frames inside a 4-frame "scene" share a base image —
+    plus a per-frame wobble (every 97th pixel +(fi % 4) mod 256, the
+    compression-noise stand-in). Scene boundaries therefore flip the
+    whole image while within-scene neighbours differ in ~1% of pixels,
+    giving scene-cut detection real planted positives AND an exact
+    SQL-recomputable pixel formula."""
+    body = []
+    npx = width * height
+    wob_mask = (np.arange(npx) % ARITH_PERTURB_EVERY) == 0
+    for fi in range(n_frames):
+        pix = _arith_pixels(media_id * 131 + fi // ARITH_SCENE_LEN,
+                            npx).astype(np.int64)
+        pix[wob_mask] = (pix[wob_mask] + fi % ARITH_SCENE_LEN) % 256
+        body.append(pix.astype(np.uint8).tobytes())
+    return (_VMAGIC + struct.pack("<HHH", width, height, n_frames)
+            + b"".join(body))
+
+
+def arith_video_df(spark: SparkSession, n: int = 24) -> DataFrame:
+    """Oracle-checkable video corpus: dim ladder w=8+(i%6)*4,
+    h=8+(i%4)*4, frame-count ladder nf=4+(i%5)*3 (4..16 frames, i.e.
+    1..4 planted scenes)."""
+    rows = []
+    for i in range(n):
+        w, h = 8 + (i % 6) * 4, 8 + (i % 4) * 4
+        nf = 4 + (i % 5) * 3
+        rows.append((i, "video", "video/x-syn", w, h,
+                     bytearray(make_arith_video(i, w, h, nf))))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = (
+    "media_id long, frame_idx int, luma_total long, n_dark long, "
+    "n_mid long, n_bright long, ahash long"
+)
+
+
+def video_frame_profile(df: DataFrame, every_k: int = 2) -> DataFrame:
+    """Per-sampled-frame profile: composes the sample_frames fan-out
+    (each kept frame re-wrapped as a SYNM image blob) with the
+    image-stat kernel, keyed by (media_id, frame_idx). Two chained
+    mapInPandas stages in ONE task pipeline — no shuffle between the
+    frame fan-out and the stats pass, and blobs never leave the stage.
+    Every value is integer-derived, so the arithmetic corpus gives the
+    whole decode+sample+stats path an exact DuckDB oracle (entry query
+    media_video_frames)."""
+    frames = sample_frames(df, every_k=every_k)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "frame_idx", "luma_total", "n_dark",
+                "n_mid", "n_bright", "ahash")}
+            for mid, fi, payload in zip(pdf["media_id"], pdf["frame_idx"],
+                                        pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    w, h, pix = decode_image(raw)
+                except NotImplementedError:
+                    continue
+                if pix.size != w * h:
+                    continue  # truncated frame: not a stats row
+                p = pix.astype(np.int64)
+                out["media_id"].append(mid)
+                out["frame_idx"].append(fi)
+                out["luma_total"].append(int(p.sum()))
+                out["n_dark"].append(int((p < 85).sum()))
+                out["n_mid"].append(int(((p >= 85) & (p < 170)).sum()))
+                out["n_bright"].append(int((p >= 170).sum()))
+                out["ahash"].append(_ahash64(pix, w, h))
+            yield pd.DataFrame(out)
+
+    return frames.mapInPandas(gen, VIDEO_FRAME_SCHEMA)
+
+
+def video_scene_cuts(df: DataFrame, every_k: int = 2,
+                     cut_hamming: int = 10,
+                     frames: DataFrame | None = None) -> DataFrame:
+    """Scene-cut detection per video: hamming distance between
+    consecutive sampled frames' aHashes (lag window per media_id), a
+    cut being distance > cut_hamming. The window and aggregate run on
+    the tiny (media_id, frame_idx, ahash, luma) rows — the blobs were
+    dropped map-side by video_frame_profile, so the only shuffle in
+    the plan carries a few longs per sampled frame. `frames` shares a
+    precomputed profile with sibling readouts (the decode pass is the
+    dominant cost, image_stats convention)."""
+    from pyspark.sql import Window
+
+    fp = frames if frames is not None else video_frame_profile(df, every_k)
+    w_ = Window.partitionBy("media_id").orderBy("frame_idx")
+    ham = F.bit_count(
+        F.col("ahash").bitwiseXOR(F.lag("ahash").over(w_)))
+    return (
+        fp.withColumn("ham_prev", ham)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_sampled"),
+             F.sum(F.when(F.col("ham_prev") > cut_hamming, 1)
+                   .otherwise(0)).alias("n_cuts"),
+             F.sum("luma_total").alias("luma_total"))
+    )

@@ -598,6 +598,34 @@ def test_video_frame_sampling_plumbing(spark):
     assert all(f.valid for f in feats.collect())
 
 
+def test_video_scene_cuts_planted(spark):
+    """The SYNV arithmetic corpus plants a scene change every 4 frames
+    (make_arith_video reseeds at fi//4); with every_k=2 sampling the
+    expected cut count is the number of sampled transitions that cross
+    a scene boundary — a pure function of the frame-count ladder:
+    nf = 4 + (i % 5) * 3 frames -> sampled scenes per ladder step
+    [0,0] [0,0,1,1] [0,0,1,1,2] [0..3] [0..3,3] -> cuts [0,1,2,3,3].
+    Within-scene neighbours differ only in the every-97th-pixel wobble
+    (aHash hamming ~0), across scenes the image fully reseeds
+    (hamming ~32) — so the threshold-10 verdict is the planted truth,
+    not a vacuous always-cut/never-cut readout (the r1 lesson)."""
+    vids = multimodal.arith_video_df(spark, n=24)
+    got = {r.media_id: r for r in
+           multimodal.video_scene_cuts(vids).collect()}
+    assert len(got) == 24
+    expected_cuts = [0, 1, 2, 3, 3]
+    for i in range(24):
+        nf = 4 + (i % 5) * 3
+        assert got[i].n_sampled == -(-nf // 2), (i, got[i])
+        assert got[i].n_cuts == expected_cuts[i % 5], (i, got[i])
+    # luma conservation: scene totals == sum of the per-frame profile
+    frame_sum = {r.media_id: r.s for r in
+                 multimodal.video_frame_profile(vids)
+                 .groupBy("media_id")
+                 .agg(F.sum("luma_total").alias("s")).collect()}
+    assert all(got[i].luma_total == frame_sum[i] for i in range(24))
+
+
 def test_fast_minhash_lsh_properties(spark):
     """Vectorized-numpy MinHash variant: exact duplicates always pair;
     pairs strongly overlap the portable md5-LSH candidates."""

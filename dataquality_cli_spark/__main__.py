@@ -304,6 +304,15 @@ def _media(args) -> int:
         rep["audio"] = {"tracks": int(a["tracks"] or 0),
                         "total_ms": int(a["total_ms"] or 0),
                         "clipped_samples": int(a["clipped_samples"] or 0)}
+        video = df.filter(F.col("kind") == "video")
+        v = M.video_scene_cuts(video).agg(
+            F.count(F.lit(1)).alias("videos"),
+            F.sum("n_sampled").alias("sampled_frames"),
+            F.sum("n_cuts").alias("scene_cuts"),
+        ).collect()[0]
+        rep["video"] = {"videos": int(v["videos"] or 0),
+                        "sampled_frames": int(v["sampled_frames"] or 0),
+                        "scene_cuts": int(v["scene_cuts"] or 0)}
         if args.neardup:
             rep["image_neardup_pairs"] = M.media_neardup_pairs(
                 images, max_hamming=args.max_hamming, stats=stats).count()
@@ -322,6 +331,11 @@ def _media(args) -> int:
             print(f"  audio: {au['tracks']:,} tracks, "
                   f"{au['total_ms'] / 1000.0:.1f}s total, "
                   f"{au['clipped_samples']:,} clipped samples")
+        vi = rep["video"]
+        if vi["videos"]:
+            print(f"  video: {vi['videos']:,} videos, "
+                  f"{vi['sampled_frames']:,} sampled frames, "
+                  f"{vi['scene_cuts']:,} scene cuts")
         if "image_neardup_pairs" in rep:
             print(f"  near-dup image pairs (hamming<="
                   f"{args.max_hamming}): {rep['image_neardup_pairs']:,}")

@@ -466,15 +466,21 @@ def test_cli_media_report_smoke(spark, tmp_path, capsys):
     multimodal.arith_media_df(spark, n=16, planted_dups=3).unionByName(
         multimodal.arith_audio_df(spark, n=6).withColumn(
             "media_id", F.col("media_id") + 5000)
+    ).unionByName(
+        multimodal.arith_video_df(spark, n=5).withColumn(
+            "media_id", F.col("media_id") + 7000)
     ).write.parquet(path)
     rc = main(["media", path, "--neardup", "--json"])
     assert rc == 0
     out = [l for l in capsys.readouterr().out.splitlines()
            if l.startswith("{")][-1]
     rep = json.loads(out)
-    assert rep["media"] == {"audio": 6, "image": 19}
+    assert rep["media"] == {"audio": 6, "image": 19, "video": 5}
     assert sum(r["n_images"] for r in rep["resolutions"]) == 19
     assert rep["audio"]["tracks"] == 6 and rep["audio"]["total_ms"] > 0
+    # ladder i=0..4 -> nf 4,7,10,13,16 -> sampled 2+4+5+7+8, cuts 0+1+2+3+3
+    assert rep["video"] == {"videos": 5, "sampled_frames": 26,
+                            "scene_cuts": 9}
     assert rep["image_neardup_pairs"] >= 3   # the planted copies
 
 

@@ -98,6 +98,42 @@ def _re2_safe_scrub_rules() -> list[tuple[str, str, str]]:
     in DuckDB; that rule stays pytest-covered)."""
     return [(n, p, r) for n, p, r in C.SCRUB_RULES if n != "private_key"]
 
+# planted multi-line code docs for the function-granularity queries —
+# the SINGLE source of truth: queries() builds a DataFrame from it and
+# oracle_sql() renders it as SQL VALUES, so Spark and DuckDB extract
+# from byte-identical inputs. alpha (docs 91001/91002/91006) and add
+# (91003/91007) are exact planted duplicates, including the trailing
+# blank line the boundary rule assigns to the preceding unit.
+_CODE_DOCS = [
+    (91001, "import os\n\ndef alpha(x):\n    return x + 1\n\n"
+            "def beta(y):\n    return y * 2\n"),
+    (91002, "# helper module\ndef alpha(x):\n    return x + 1\n\n"
+            "def gamma(z):\n    print(z)\n"),
+    (91003, "package main\n\nfunc add(a int, b int) int {\n"
+            "\treturn a + b\n}\n\n"
+            "func main() {\n\tprintln(add(1, 2))\n}\n"),
+    (91004, "function greet(name) {\n  console.log(name);\n}\n"
+            "const x = 1;\n"
+            "function greet2(name) {\n  console.log(name);\n}\n"),
+    (91005, "no functions here\njust prose lines\n"),
+    (91006, "def alpha(x):\n    return x + 1\n"),
+    (91007, "func add(a int, b int) int {\n\treturn a + b\n}\n"),
+]
+
+
+def _code_docs_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(_CODE_DOCS, "doc_id long, text string")
+
+
+def _code_docs_sql() -> str:
+    """The planted docs as a SQL subquery (newlines stay literal inside
+    the quoted strings — DuckDB parses multi-line literals)."""
+    rows = ", ".join(
+        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in _CODE_DOCS)
+    return ("SELECT CAST(v.doc_id AS BIGINT) AS doc_id, v.text "
+            f"FROM (VALUES {rows}) AS v(doc_id, text)")
+
+
 _TOKS = "string_split(text, ' ')"
 _SHINGLES = (
     "list_distinct(list_transform(range(1, greatest(length(text)-7,1)+1),"
@@ -1091,6 +1127,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_code_line_profile"] = lambda s, d: text.code_line_profile(
         _t(s, d, "documents"))
 
+    # function-granularity units + dedup (StarCoder shape: whole-file
+    # hashing misses the helper copy-pasted across repos). The prose
+    # fixture has no def/func/function headers — it rides along as
+    # 500 negative docs — and the multi-line code docs are PLANTED
+    # from the shared _CODE_DOCS constant, which also authors the
+    # oracle's VALUES (single source of truth; alpha x3 and add x2
+    # are byte-identical planted duplicates so the dup query has real
+    # positives, the r1 vacuous-match lesson)
+    def fn_units(s, d):
+        docs = _t(s, d, "documents").select("doc_id", "text")
+        return text.extract_functions(docs.unionByName(_code_docs_df(s)))
+
+    q["code_function_units"] = fn_units
+
+    def fn_dups(s, d):
+        docs = _t(s, d, "documents").select("doc_id", "text")
+        return text.function_dup_groups(docs.unionByName(_code_docs_df(s)))
+
+    q["dedup_function_level"] = fn_dups
+
     # distribution drift (PSI) between two snapshots of the same table —
     # the monitoring query a data-quality tool runs per ingest
     def drift(s, d):
@@ -1301,8 +1357,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a7_stddev_by_status; events_stream_attribution displaces
     # a8_minmax_by_priority; media_video_frames displaces
     # a9_minmax_lexicographic; media_video_scenes displaces
-    # a10_quantiles_exact — both profile.py-backed, r5-driver-green,
-    # profile.py untouched since f5f3d78); queries MODIFIED this round
+    # a10_quantiles_exact; code_function_units displaces a13_top1_value;
+    # dedup_function_level displaces a15_type_vote — all profile.py-
+    # backed, r5-driver-green, profile.py untouched since f5f3d78);
+    # queries MODIFIED this round
     # (corpus_topic_clusters flattened output, corpus_bpe_merges
     # bounded collect + planted fixture, dedup_simhash_neardup refactor
     # through hamming_band_pairs) were already in the window and stay.
@@ -1310,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_null_counts", "a4_sparse_pct_grade", "a5_group_aggregates",
         "a7_stddev_by_status", "a8_minmax_by_priority",
         "a9_minmax_lexicographic", "a10_quantiles_exact",
+        "a13_top1_value", "a15_type_vote",
         "f7_name_truncate", "doc_bpe_tokens", "doc_alnum_fraction",
         "doc_stopword_langid", "doc_quality_score",
         "doc_benchmark_contamination", "doc_repo_quality_report",
@@ -1849,6 +1908,61 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         ) WHERE rk <= 20
         ORDER BY lang, doc_id
+    """
+
+    # shared unit reconstruction for the two function-granularity
+    # oracles: line ordinality + a running header count reproduces
+    # extract_functions' (start, next-start] boundary rule — trailing
+    # blank lines belong to the preceding unit, preamble before the
+    # first header is dropped
+    _FN_UNITS = f"""
+        src AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL {_code_docs_sql()}),
+        sl AS (
+          SELECT doc_id, string_split(text, chr(10)) AS lines FROM src),
+        l AS (
+          SELECT doc_id, list_extract(lines, CAST(t.i AS INTEGER)) AS line,
+                 CAST(t.i AS INTEGER) - 1 AS pos
+          FROM sl, UNNEST(range(1, len(lines) + 1)) AS t(i)),
+        g AS (
+          SELECT doc_id, line, pos,
+                 SUM(CASE WHEN regexp_matches(line,
+                     '^(def |func |function )') THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS fn_id
+          FROM l),
+        fns AS (
+          SELECT doc_id, fn_id,
+                 string_agg(line, chr(10) ORDER BY pos) AS fn_text,
+                 CAST(COUNT(*) AS INTEGER) AS fn_n_lines,
+                 MIN(pos) AS hpos
+          FROM g WHERE fn_id >= 1 GROUP BY doc_id, fn_id)
+    """
+
+    o["code_function_units"] = f"""
+        WITH {_FN_UNITS}
+        SELECT f.doc_id, CAST(f.fn_id - 1 AS INTEGER) AS fn_idx,
+               regexp_extract(h.line,
+                 '^(?:def|func|function)\\s+([A-Za-z0-9_]+)', 1)
+                 AS fn_name,
+               f.fn_n_lines, f.fn_text
+        FROM fns f
+        JOIN g h ON h.doc_id = f.doc_id AND h.pos = f.hpos
+    """
+
+    o["dedup_function_level"] = f"""
+        WITH {_FN_UNITS}
+        SELECT md5(fn_text) AS fn_hash,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(COUNT(DISTINCT f.doc_id) AS BIGINT) AS n_docs,
+               MIN(f.doc_id) AS first_doc,
+               MIN(regexp_extract(h.line,
+                 '^(?:def|func|function)\\s+([A-Za-z0-9_]+)', 1))
+                 AS fn_name,
+               MIN(fn_n_lines) AS fn_n_lines
+        FROM fns f
+        JOIN g h ON h.doc_id = f.doc_id AND h.pos = f.hpos
+        GROUP BY md5(fn_text) HAVING COUNT(*) > 1
     """
 
     o["doc_code_line_profile"] = """

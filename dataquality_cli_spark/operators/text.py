@@ -570,6 +570,80 @@ def code_line_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+FN_HEADER_RE = "^(def |func |function )"
+FN_NAME_RE = r"^(?:def|func|function)\s+([A-Za-z0-9_]+)"
+
+
+def extract_functions(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Function-granularity unit extraction for code corpora (the
+    StarCoder/CodeParrot dedup granularity: whole-file hashing misses
+    the copy-pasted helper that appears in thousands of repos). A unit
+    is a header line matching ``^(def |func |function )`` (py/go/js
+    family) through the line before the next header; preamble before
+    the first header is not a unit.
+
+    Built as a pure per-row PROJECTION — split into lines, header
+    positions via transform+filter HOFs, (start, next-start] bounds
+    via get(i+1) with an end-of-file fallback, then one posexplode —
+    so extraction adds NO shuffle and no Python: at 100 TB the only
+    exchange in a function-dedup plan is the downstream hash groupBy.
+    Regexes stay in the ASCII subset where Java and RE2 agree; the
+    DuckDB oracle (entry query code_function_units) reproduces the
+    same units via a line-ordinality window formulation, pinning the
+    boundary semantics (trailing blank lines belong to the preceding
+    unit) cross-engine.
+
+    Returns (id, fn_idx, fn_name, fn_n_lines, fn_text); docs with no
+    headers contribute no rows."""
+    lines = F.split(F.col(text_col), "\n", -1)
+    hdr_pos = F.filter(
+        F.transform(lines, lambda l, i: F.when(
+            l.rlike(FN_HEADER_RE), i).otherwise(F.lit(-1))),
+        lambda x: x >= 0)
+    staged = df.select(
+        F.col(id_col), lines.alias("_lines"), hdr_pos.alias("_hp"))
+    units = F.transform(
+        F.col("_hp"),
+        lambda s, i: F.struct(
+            s.alias("start"),
+            F.coalesce(F.get(F.col("_hp"), i + 1),
+                       F.size(F.col("_lines"))).alias("end")))
+    ex = staged.select(
+        id_col, "_lines", F.posexplode(units).alias("fn_idx", "_u"))
+    return ex.select(
+        id_col,
+        "fn_idx",
+        F.regexp_extract(F.get("_lines", F.col("_u.start")),
+                         FN_NAME_RE, 1).alias("fn_name"),
+        (F.col("_u.end") - F.col("_u.start")).alias("fn_n_lines"),
+        F.array_join(
+            F.slice("_lines", F.col("_u.start") + 1,
+                    F.col("_u.end") - F.col("_u.start")),
+            "\n").alias("fn_text"),
+    )
+
+
+def function_dup_groups(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Function-level exact-duplicate groups: md5 over the unit text,
+    groups with >1 copy. The grouping key is computed map-side from
+    fn_text, so the shuffle carries only (hash, id, n_lines) — never
+    the function bodies; partial aggregation halves the count rows
+    before the exchange. Exact oracle: entry query
+    dedup_function_level."""
+    fns = extract_functions(df, id_col, text_col)
+    return (
+        fns.groupBy(F.md5(F.col("fn_text")).alias("fn_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"),
+             F.countDistinct(id_col).alias("n_docs"),
+             F.min(id_col).alias("first_doc"),
+             F.min("fn_name").alias("fn_name"),
+             F.min("fn_n_lines").alias("fn_n_lines"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
 # SPDX tag wins over header-phrase guesses; phrases are the canonical
 # opening sentences of each license family, ASCII-only so Java regex
 # and RE2 (the DuckDB oracle engine) agree. Order = precedence.

@@ -2107,3 +2107,39 @@ def test_entropy_signals_flags_random_keys(spark):
     assert abs(got[4].max_entropy - 1.0) < 1e-9
     assert got[5].n_candidates == 0 and got[5].max_entropy == 0.0
     assert math.isclose(got[4].max_entropy, 1.0)
+
+
+def test_extract_functions_boundaries(spark):
+    """Unit boundary semantics: preamble before the first header is
+    dropped, a unit runs through the line BEFORE the next header
+    (trailing blanks belong to the preceding unit), receiver-style Go
+    headers yield an empty fn_name, and extraction is a pure
+    projection — no Exchange in the plan."""
+    from dataquality_cli_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "preamble\ndef a(x):\n    body\n\ndef b(y):\n    tail\n"),
+         (2, "no headers at all\njust lines"),
+         (3, "func (r *T) Method() {\n\treturn\n}"),
+         (4, "def a(x):\n    body\n")],
+        "doc_id long, text string")
+    units = T.extract_functions(docs)
+    got = {(r.doc_id, r.fn_idx): r for r in units.collect()}
+    assert set(got) == {(1, 0), (1, 1), (3, 0), (4, 0)}
+    # doc 1 unit 0: header + body + blank (trailing blank attaches)
+    assert got[(1, 0)].fn_text == "def a(x):\n    body\n"
+    assert got[(1, 0)].fn_n_lines == 3 and got[(1, 0)].fn_name == "a"
+    # doc 1 unit 1: runs to EOF, final '' from the trailing newline
+    assert got[(1, 1)].fn_text == "def b(y):\n    tail\n"
+    assert got[(1, 1)].fn_name == "b"
+    # receiver func: header matches, name capture is empty
+    assert got[(3, 0)].fn_name == ""
+    # byte-identical planted copy across docs 1 and 4
+    assert got[(4, 0)].fn_text == got[(1, 0)].fn_text
+    plan = units._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    groups = T.function_dup_groups(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert (g.n_copies, g.n_docs, g.first_doc, g.fn_name) == (2, 2, 1, "a")

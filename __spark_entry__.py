@@ -936,6 +936,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_topk"] = ann_ivf  # rows-only (trained centroids, not SQL-portable)
 
+    # PQ/ADC serving tier: codes are 64x smaller than the vectors, the
+    # serving scan streams m ints per row + per-query distance tables.
+    # rows-only (trained codebooks are float state; recall/parity/
+    # monotonicity pytest-pinned)
+    def ann_pq(s, d):
+        emb = _t(s, d, "embeddings")
+        books = similarity.pq_train(emb, m=8, k=16, n_iter=2)
+        return similarity.pq_topk(
+            emb, emb.filter(F.col("vec_id") < 5), books, k=5)
+
+    q["ann_pq_topk"] = ann_pq  # rows-only (trained codebooks, not SQL-portable)
+
     q["emb_neardup_pairs"] = lambda s, d: similarity.neardup_pairs_cosine(
         _augmented_embeddings(s, d), threshold=0.80
     )
@@ -1359,8 +1371,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a9_minmax_lexicographic; media_video_scenes displaces
     # a10_quantiles_exact; code_function_units displaces a13_top1_value;
     # dedup_function_level displaces a15_type_vote — all profile.py-
-    # backed, r5-driver-green, profile.py untouched since f5f3d78);
-    # queries MODIFIED this round
+    # backed, r5-driver-green, profile.py untouched since f5f3d78;
+    # ann_pq_topk displaces a16_two_level_summary, whose entry lambda
+    # is r5-green and untouched); queries MODIFIED this round
     # (corpus_topic_clusters flattened output, corpus_bpe_merges
     # bounded collect + planted fixture, dedup_simhash_neardup refactor
     # through hamming_band_pairs) were already in the window and stay.
@@ -1368,7 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_null_counts", "a4_sparse_pct_grade", "a5_group_aggregates",
         "a7_stddev_by_status", "a8_minmax_by_priority",
         "a9_minmax_lexicographic", "a10_quantiles_exact",
-        "a13_top1_value", "a15_type_vote",
+        "a13_top1_value", "a15_type_vote", "a16_two_level_summary",
         "f7_name_truncate", "doc_bpe_tokens", "doc_alnum_fraction",
         "doc_stopword_langid", "doc_quality_score",
         "doc_benchmark_contamination", "doc_repo_quality_report",

@@ -1053,3 +1053,186 @@ def semantic_dedup_text(df: DataFrame, threshold: float = 0.9,
     # emb + the assignment persist inside semantic_dedup are released
     # by ContextCleaner with the returned plan (house convention)
     return df.join(kept.select(id_col), id_col, "left_semi")
+
+
+# --- product quantization (PQ): the ANN memory-compression tier ------
+#
+# At 10^12 vectors, even the IVF inverted lists are dominated by the
+# raw vectors (64 float64 dims = 512 B/vector). PQ stores m small
+# codes instead (m=8, k=16 -> 8 ints, 64x smaller), and serves top-k
+# by ASYMMETRIC distance: the query stays exact, each database vector
+# is approximated by its per-subspace codeword, so distance becomes m
+# table lookups. Jegou et al., "Product Quantization for Nearest
+# Neighbor Search" (TPAMI 2011) — public method, Spark-first shapes.
+
+
+def _farthest_point_init(x0: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic greedy farthest-point seeding over a driver
+    sample (the kmeans_fit init, factored for per-subspace reuse):
+    start at row 0, repeatedly take the point farthest from the chosen
+    set (first max on ties)."""
+    picks = [0]
+    d2 = ((x0 - x0[0]) ** 2).sum(axis=1)
+    for _ in range(k - 1):
+        nxt = int(d2.argmax())
+        picks.append(nxt)
+        d2 = np.minimum(d2, ((x0 - x0[nxt]) ** 2).sum(axis=1))
+    return x0[picks].copy()
+
+
+def pq_train(df: DataFrame, m: int = 8, k: int = 16,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             n_iter: int = 5) -> np.ndarray:
+    """Train an (m-subspace, k-codeword) product quantizer; returns
+    codebooks shaped (m, k, dim/m).
+
+    Scale shape: all m subspace k-means run SIMULTANEOUSLY — each
+    Lloyd iteration is ONE Arrow encode pass (broadcast codebooks,
+    batch matmul per subspace) plus ONE long-form partial aggregation
+    on (sub, cell, d) that collects exactly m*k*(dim/m) = k*dim (sum,
+    n) rows to the driver. Cost per iteration is independent of m and
+    identical to one full-vector k-means iteration; raw vectors are
+    never shuffled (posexplode feeds a map-side partial agg).
+
+    Deterministic init: per-subspace farthest-point over the SAME
+    hash-ordered driver sample kmeans_fit uses (md5(id) order — id
+    layouts can't degenerate the seed). Empty cells keep their
+    previous codeword. Refit codebooks agree across partitionings to
+    ~1e-9 (float summation order), not bitwise — same contract as
+    kmeans_fit."""
+    sample_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .limit(max(2048, 4 * k)).select(vec_col).collect()
+    )
+    x0 = np.array([r[0] for r in sample_rows], dtype=np.float64)
+    if len(x0) < k:
+        raise ValueError(f"need >= {k} vectors to init {k} codewords")
+    dim = x0.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    books = np.stack([
+        _farthest_point_init(
+            np.ascontiguousarray(x0[:, j * dsub:(j + 1) * dsub]), k)
+        for j in range(m)])
+    for _ in range(n_iter):
+        enc = pq_encode(df, books, vec_col=vec_col)
+        longf = (
+            enc.select("pq_codes",
+                       F.posexplode(F.col(vec_col)).alias("dd", "v"))
+            .select(
+                F.expr(f"dd div {dsub}").cast("int").alias("sub"),
+                F.pmod(F.col("dd"), F.lit(dsub)).alias("d"),
+                F.get("pq_codes",
+                      F.expr(f"dd div {dsub}").cast("int")).alias("cell"),
+                F.col("v").cast("double").alias("v"))
+        )
+        sums = (longf.groupBy("sub", "cell", "d")
+                .agg(F.sum("v").alias("s"),
+                     F.count(F.lit(1)).alias("n"))
+                .collect())
+        new = books.copy()
+        acc = np.zeros((m, k, dsub))
+        cnt = np.zeros((m, k))
+        for r in sums:
+            acc[r["sub"], r["cell"], r["d"]] = r["s"]
+            cnt[r["sub"], r["cell"]] = r["n"]
+        ne = cnt > 0
+        new[ne] = acc[ne] / cnt[ne][:, None]
+        books = new
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks: np.ndarray,
+              vec_col: str = "embedding") -> DataFrame:
+    """Adds ``pq_codes``: array<int> of m codeword ids (nearest
+    subspace centroid by L2, ties to the lower id). One broadcast of
+    the (m, k, dsub) codebooks — cached via the same content-digest
+    cache the IVF probe uses, so a long-lived serving driver does not
+    accumulate executor-side copies — and one batch matmul per
+    subspace per Arrow batch. The encoded frame is what an index
+    stores: codes + id, 64x smaller than the vectors."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.ascontiguousarray(np.asarray(codebooks, dtype=np.float64))
+    m, _k, dsub = books.shape
+    bc = _centroids_bc(df.sparkSession.sparkContext, books)
+
+    @pandas_udf("array<int>")
+    def enc(vecs: pd.Series) -> pd.Series:
+        B = bc.value
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        xs = x.reshape(len(x), B.shape[0], B.shape[2])
+        codes = np.empty((len(x), B.shape[0]), dtype=np.int32)
+        for j in range(B.shape[0]):
+            s = xs[:, j, :] @ B[j].T - 0.5 * (B[j] * B[j]).sum(axis=1)
+            codes[:, j] = s.argmax(axis=1)
+        return pd.Series([c.tolist() for c in codes])
+
+    return df.withColumn("pq_codes", enc(F.col(vec_col)))
+
+
+def pq_topk(df: DataFrame, queries: DataFrame, codebooks: np.ndarray,
+            k: int = 5, id_col: str = "vec_id",
+            vec_col: str = "embedding",
+            codes_col: str | None = None) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k per query: each query builds an
+    exact (m x k_codes) lookup table of subspace distances
+    ||q_sub - codeword||^2 driver-side (queries are the SMALL side);
+    the tables broadcast together, and every database vector's
+    approximate distance is m table lookups summed — the big side
+    streams m-int codes, never raw vectors. Rank = ascending adist,
+    ties to the lower neighbor id (the cosine_topk convention); self
+    is excluded. Pass ``codes_col`` to serve from a pre-encoded frame
+    (the persisted-index path); otherwise vectors are encoded on the
+    fly."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.ascontiguousarray(np.asarray(codebooks, dtype=np.float64))
+    m, _kc, dsub = books.shape
+    if codes_col is None:
+        df = pq_encode(df, books, vec_col=vec_col)
+        codes_col = "pq_codes"
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = [r[0] for r in qrows]
+    luts = np.stack([
+        ((books - np.array(r[1], dtype=np.float64)
+          .reshape(m, 1, dsub)) ** 2).sum(axis=2)
+        for r in qrows])          # (n_q, m, k_codes)
+    bc = _centroids_bc(df.sparkSession.sparkContext, luts)
+    qids_t = tuple(qids)
+
+    def gen(batches):
+        L = bc.value
+        for pdf in batches:
+            ids = pdf["_nid"].to_numpy()
+            codes = np.array(pdf["_codes"].tolist(), dtype=np.int64)
+            if codes.size == 0:
+                continue
+            # adist[q, row] = sum_j L[q, j, codes[row, j]]
+            sub_ix = np.arange(L.shape[1])
+            out_id, out_q, out_d = [], [], []
+            for qi, qid in enumerate(qids_t):
+                d = L[qi][sub_ix, codes].sum(axis=1)
+                out_q.extend([qid] * len(ids))
+                out_id.extend(ids.tolist())
+                out_d.extend(d.tolist())
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_id,
+                                "adist": out_d})
+
+    scored = (df.select(F.col(id_col).alias("_nid"),
+                        F.col(codes_col).alias("_codes"))
+              .mapInPandas(gen,
+                           f"query_id {df.schema[id_col].dataType.simpleString()}, "
+                           f"neighbor_id {df.schema[id_col].dataType.simpleString()}, "
+                           "adist double")
+              .filter(F.col("query_id") != F.col("neighbor_id")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id"))
+    return (scored
+            .withColumn("adist", F.round("adist", 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

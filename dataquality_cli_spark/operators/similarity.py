@@ -1236,3 +1236,279 @@ def pq_topk(df: DataFrame, queries: DataFrame, codebooks: np.ndarray,
             .withColumn("adist", F.round("adist", 6))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+# --- IVF-PQ: coarse cells + residual PQ codes (the 10^12-vector --
+# --- serving index) ----------------------------------------------
+#
+# The composition that makes PQ usable at web scale (Jegou et al.
+# 2011, sec. V): a coarse quantizer routes each vector to an IVF
+# cell, and PQ encodes the RESIDUAL (x - centroid[cell]) — residuals
+# are small and centered, so the same codebook budget buys far lower
+# quantization error than raw-vector PQ. The persisted index stores
+# (id, cell, m codes) partitioned by cell: a query probes nprobe
+# cells (partition-pruned scan), builds per-(query, cell) residual
+# lookup tables driver-side, and every candidate costs m table
+# lookups — no raw vector is ever read at serve time.
+
+
+def ivfpq_encode(df: DataFrame, centroids: np.ndarray,
+                 codebooks: np.ndarray, vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """(id, cell, pq_codes) in ONE Arrow pass: L2 coarse assignment
+    (argmin ||x-c||^2 as the matmul identity kmeans_assign uses, ties
+    to the lower cell), residual against the chosen centroid, then
+    per-subspace codeword argmin on the residual. Both matrices ride
+    the digest-keyed broadcast cache, so long-lived serving drivers
+    do not accumulate executor copies."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    books = np.ascontiguousarray(np.asarray(codebooks, dtype=np.float64))
+    m, _kc, dsub = books.shape
+    if cent.shape[1] != m * dsub:
+        raise ValueError(
+            f"centroid dim {cent.shape[1]} != m*dsub {m * dsub}")
+    sc = df.sparkSession.sparkContext
+    bc_c = _centroids_bc(sc, cent)
+    bc_b = _centroids_bc(sc, books)
+
+    @pandas_udf("cell int, pq_codes array<int>")
+    def enc(vecs: pd.Series) -> pd.DataFrame:
+        C, B = bc_c.value, bc_b.value
+        if len(vecs) == 0:
+            return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
+                                 "pq_codes": pd.Series([], dtype=object)})
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        cells = (x @ C.T - 0.5 * (C * C).sum(axis=1)).argmax(axis=1)
+        r = (x - C[cells]).reshape(len(x), B.shape[0], B.shape[2])
+        codes = np.empty((len(x), B.shape[0]), dtype=np.int32)
+        for j in range(B.shape[0]):
+            s = r[:, j, :] @ B[j].T - 0.5 * (B[j] * B[j]).sum(axis=1)
+            codes[:, j] = s.argmax(axis=1)
+        return pd.DataFrame({"cell": cells.astype("int32"),
+                             "pq_codes": [c.tolist() for c in codes]})
+
+    out = df.withColumn("_e", enc(F.col(vec_col)))
+    return out.select(id_col, F.col("_e.cell").alias("cell"),
+                      F.col("_e.pq_codes").alias("pq_codes"))
+
+
+def ivfpq_train(df: DataFrame, centroids: np.ndarray, m: int = 8,
+                k: int = 16, vec_col: str = "embedding",
+                id_col: str = "vec_id", n_iter: int = 5) -> np.ndarray:
+    """Train PQ codebooks on coarse-cell RESIDUALS: one Arrow pass
+    materializes (id, residual), persisted so each of pq_train's Lloyd
+    iterations re-reads the residuals instead of recomputing the
+    coarse assignment; released before return."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    bc_c = _centroids_bc(df.sparkSession.sparkContext, cent)
+
+    @pandas_udf("array<double>")
+    def resid(vecs: pd.Series) -> pd.Series:
+        C = bc_c.value
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        cells = (x @ C.T - 0.5 * (C * C).sum(axis=1)).argmax(axis=1)
+        return pd.Series([r.tolist() for r in x - C[cells]])
+
+    res = df.select(id_col, resid(F.col(vec_col)).alias("residual"))
+    res.persist()
+    try:
+        return pq_train(res, m=m, k=k, vec_col="residual",
+                        id_col=id_col, n_iter=n_iter)
+    finally:
+        res.unpersist()
+
+
+def _ivfpq_rank(lists: DataFrame, queries: DataFrame,
+                centroids: np.ndarray, codebooks: np.ndarray,
+                k: int, nprobe: int, id_col: str,
+                vec_col: str) -> DataFrame:
+    """Shared ADC serving tail: queries collect driver-side (the SMALL
+    side), each probes its nprobe L2-nearest cells (ties to the lower
+    cell), and one (n_q*nprobe, m, k_codes) residual lookup-table
+    stack broadcasts; candidates join on the cell key (partition-
+    pruned against a persisted index) and cost m lookups each. Rank =
+    ascending adist, ties to the lower neighbor id; self excluded."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    books = np.ascontiguousarray(np.asarray(codebooks, dtype=np.float64))
+    m, _kc, dsub = books.shape
+    nprobe = min(nprobe, len(cent))
+    spark = queries.sparkSession
+    qrows = queries.select(id_col, vec_col).collect()
+    slot_rows, luts = [], []
+    for r in qrows:
+        qv = np.array(r[1], dtype=np.float64)
+        d2 = ((cent - qv) ** 2).sum(axis=1)
+        order = np.lexsort((np.arange(len(cent)), d2))
+        for cell in order[:nprobe]:
+            res = (qv - cent[cell]).reshape(m, 1, dsub)
+            luts.append(((books - res) ** 2).sum(axis=2))
+            slot_rows.append((r[0], int(cell), len(luts) - 1))
+    idt = queries.schema[id_col].dataType.simpleString()
+    slots = spark.createDataFrame(
+        slot_rows, f"query_id {idt}, cell int, slot int")
+    bc = _centroids_bc(spark.sparkContext, np.stack(luts))
+
+    # probed cells are known driver-side -> STATIC partition pruning:
+    # against a persisted index the list scan reads only the probed
+    # (batch, cell) leaves (PartitionFilters shows the IN list), not
+    # every partition filtered post-scan
+    probed = sorted({c for _, c, _ in slot_rows})
+    lists = lists.filter(F.col("cell").isin(probed))
+
+    @pandas_udf("double")
+    def adc(slot: pd.Series, codes: pd.Series) -> pd.Series:
+        L = bc.value
+        if len(slot) == 0:
+            return pd.Series([], dtype="float64")
+        s = slot.to_numpy(dtype=np.int64)
+        cd = np.array(codes.tolist(), dtype=np.int64)
+        d = L[s[:, None], np.arange(L.shape[1])[None, :], cd].sum(axis=1)
+        return pd.Series(d)
+
+    scored = (
+        lists.join(F.broadcast(slots), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(adc(F.col("slot"), F.col("pq_codes")), 6)
+                .alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def ann_ivfpq_topk(df: DataFrame, queries: DataFrame,
+                   centroids: np.ndarray, codebooks: np.ndarray,
+                   k: int = 5, nprobe: int = 4,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ ANN end-to-end: encode the table (one Arrow pass) and
+    serve by asymmetric distance within the probed cells. Pure ADC
+    ranking — identical to serving from the persisted index, which
+    stores no raw vectors to rerank with."""
+    lists = ivfpq_encode(df, centroids, codebooks, vec_col, id_col) \
+        .withColumnRenamed(id_col, "neighbor_id")
+    return _ivfpq_rank(lists, queries, centroids, codebooks,
+                       k, nprobe, id_col, vec_col)
+
+
+def save_ivfpq_index(df: DataFrame, centroids: np.ndarray,
+                     codebooks: np.ndarray, path: str,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """Persist the IVF-PQ index: centroids and codebooks in long form,
+    and the code lists (id, pq_codes) as parquet PARTITIONED BY
+    (batch, cell) — the 64x-smaller serving artifact; raw vectors are
+    not stored. Params land first, lists after (the save_ivf_index
+    crash-ordering contract)."""
+    spark = df.sparkSession
+    cent = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    spark.createDataFrame(
+        [(int(c), int(d), float(cent[c, d]))
+         for c in range(cent.shape[0]) for d in range(cent.shape[1])],
+        "cell int, d int, v double") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(path, "centroids"))
+    spark.createDataFrame(
+        [(int(j), int(c), int(d), float(books[j, c, d]))
+         for j in range(books.shape[0]) for c in range(books.shape[1])
+         for d in range(books.shape[2])],
+        "sub int, code int, d int, v double") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(path, "codebooks"))
+    enc = ivfpq_encode(df, cent, books, vec_col, id_col) \
+        .withColumn("batch", F.lit("base"))
+    enc.write.mode("overwrite").partitionBy("batch", "cell") \
+        .parquet(os.path.join(path, "lists"))
+
+
+def ivfpq_index_add(spark, path: str, new_df: DataFrame,
+                    batch_id: str, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Incremental ingest without refit (the ivf_index_add contract):
+    new vectors encode with the SAVED centroids + codebooks and land
+    under their own batch partition; a retried add dynamic-overwrites
+    its own (batch, cell) leaves, so retry == noop."""
+    _check_batch_id(batch_id)
+    cent, books, _ = load_ivfpq_index(spark, path)
+    enc = ivfpq_encode(new_df, cent, books, vec_col, id_col) \
+        .withColumn("batch", F.lit(batch_id))
+    _write_batch_partitions(enc, os.path.join(path, "lists"),
+                            ["batch", "cell"])
+
+
+def load_ivfpq_index(spark, path: str):
+    """(centroids, codebooks, lazy code-list DataFrame). Serving joins
+    prune the list scan to the probed cell partitions."""
+    cent_rows = spark.read.parquet(
+        os.path.join(path, "centroids")).collect()
+    n_cells = max(r["cell"] for r in cent_rows) + 1
+    dim = max(r["d"] for r in cent_rows) + 1
+    cent = np.zeros((n_cells, dim), dtype=np.float64)
+    for r in cent_rows:
+        cent[r["cell"], r["d"]] = r["v"]
+    book_rows = spark.read.parquet(
+        os.path.join(path, "codebooks")).collect()
+    m = max(r["sub"] for r in book_rows) + 1
+    kc = max(r["code"] for r in book_rows) + 1
+    dsub = max(r["d"] for r in book_rows) + 1
+    books = np.zeros((m, kc, dsub), dtype=np.float64)
+    for r in book_rows:
+        books[r["sub"], r["code"], r["d"]] = r["v"]
+    lists = spark.read.parquet(os.path.join(path, "lists")).drop("batch")
+    return cent, books, lists
+
+
+def ann_ivfpq_topk_indexed(lists: DataFrame, queries: DataFrame,
+                           centroids: np.ndarray,
+                           codebooks: np.ndarray, k: int = 5,
+                           nprobe: int = 4, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Serve IVF-PQ top-k against a PERSISTED index
+    (``load_ivfpq_index``): the table side arrives as (id, cell,
+    pq_codes) — no encode, no raw vectors, and the cell-partitioned
+    layout prunes the scan to the probed cells."""
+    return _ivfpq_rank(lists.withColumnRenamed(id_col, "neighbor_id"),
+                       queries, centroids, codebooks, k, nprobe,
+                       id_col, vec_col)
+
+
+def pq_assign_col(vec: Column, codebooks: np.ndarray) -> Column:
+    """``array<int>`` of m PQ codes as PURE column expressions — the
+    whole-stage-codegen twin of ``pq_encode`` for small codebooks
+    (m*k*dsub literal terms), and the cross-engine-EXACT path: each
+    subspace distance is a left-associated sum of (v-c)*(v-c) terms in
+    double arithmetic, which DuckDB reproduces bit-for-bit from the
+    same literals, so the argmin (ties to the lower code id, via
+    lexicographic struct min) matches exactly — no float tolerance
+    needed in the oracle. The Arrow path stays the scale twin for big
+    codebooks; parity between the two is pytest-pinned."""
+    import functools
+    import operator
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, k, dsub = books.shape
+    subs = []
+    for j in range(m):
+        cands = []
+        for c in range(k):
+            terms = []
+            for d in range(dsub):
+                e = vec[j * dsub + d].cast("double") - F.lit(
+                    float(books[j, c, d]))
+                terms.append(e * e)
+            dist = functools.reduce(operator.add, terms)
+            cands.append(F.struct(dist.alias("d"),
+                                  F.lit(c).alias("c")))
+        subs.append(F.array_min(F.array(*cands))["c"])
+    return F.array(*subs)

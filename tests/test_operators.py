@@ -2217,3 +2217,149 @@ def test_pq_train_encode_topk(spark):
                   for r in served.collect()) == \
            sorted((r.query_id, r.rank, r.neighbor_id)
                   for r in got.collect())
+
+
+def test_ivfpq_residual_encode_and_serve(spark):
+    """IVF-PQ: (1) residual codebooks beat raw-vector PQ
+    reconstruction at the same (m, k) budget on clustered data, (2)
+    ivfpq_encode's coarse cells agree with kmeans_assign, (3) ADC
+    serving with all cells probed recovers the planted cluster, and
+    nprobe=1 only returns candidates from probed cells."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(4, 16) * 10.0
+    vecs = np.concatenate(
+        [centers[c] + rng.randn(30, 16) * 0.5 for c in range(4)])
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>").repartition(4)
+
+    cent = similarity.kmeans_fit(df, k=4, n_iter=4)
+    books = similarity.ivfpq_train(df, cent, m=4, k=4, n_iter=3)
+    assert books.shape == (4, 4, 4)
+
+    enc = {r.vec_id: (r.cell, r.pq_codes)
+           for r in similarity.ivfpq_encode(df, cent, books).collect()}
+    cells_ref = {r.vec_id: r.cell
+                 for r in similarity.kmeans_assign(df, cent).collect()}
+    assert all(enc[i][0] == cells_ref[i] for i in enc)
+
+    # residual quantization error < raw-vector PQ at the same budget
+    raw_books = similarity.pq_train(df, m=4, k=4, n_iter=3)
+    raw_enc = {r.vec_id: r.pq_codes
+               for r in similarity.pq_encode(df, raw_books).collect()}
+
+    def mse(decode):
+        return float(np.mean([((decode(i) - vecs[i]) ** 2).mean()
+                              for i in range(len(vecs))]))
+
+    res_mse = mse(lambda i: cent[enc[i][0]] + np.concatenate(
+        [books[j, enc[i][1][j]] for j in range(4)]))
+    raw_mse = mse(lambda i: np.concatenate(
+        [raw_books[j, raw_enc[i][j]] for j in range(4)]))
+    assert res_mse < raw_mse, (res_mse, raw_mse)
+
+    queries = df.filter(F.col("vec_id") < 3)
+    got = similarity.ann_ivfpq_topk(df, queries, cent, books,
+                                    k=5, nprobe=4)
+    by_q: dict = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert set(by_q) == {0, 1, 2}
+    assert all(len(ns) == 5 for ns in by_q.values())
+    assert all(n // 30 == qid // 30
+               for qid, ns in by_q.items() for n in ns), by_q
+
+    # nprobe=1: every candidate comes from the query's own best cell
+    got1 = similarity.ann_ivfpq_topk(df, queries, cent, books,
+                                     k=5, nprobe=1)
+    for r in got1.collect():
+        qcell = cells_ref[r.query_id]
+        assert cells_ref[r.neighbor_id] == qcell, r
+
+
+def test_ivfpq_index_roundtrip(spark, tmp_path):
+    """Persisted IVF-PQ index: save -> load -> serve equals the direct
+    path exactly; half-build + incremental add equals the full build;
+    a retried add is a noop (dynamic overwrite)."""
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    centers = rng.randn(3, 16) * 8.0
+    vecs = np.concatenate(
+        [centers[c] + rng.randn(20, 16) * 0.5 for c in range(3)])
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").repartition(3)
+    cent = similarity.kmeans_fit(df, k=3, n_iter=3)
+    books = similarity.ivfpq_train(df, cent, m=4, k=4, n_iter=2)
+    queries = df.filter(F.col("vec_id") % 20 == 0)
+
+    def key(out):
+        return sorted((r.query_id, r.rank, r.neighbor_id, r.adist)
+                      for r in out.collect())
+
+    direct = key(similarity.ann_ivfpq_topk(df, queries, cent, books,
+                                           k=4, nprobe=3))
+
+    full = str(tmp_path / "full")
+    similarity.save_ivfpq_index(df, cent, books, full)
+    c2, b2, lists = similarity.load_ivfpq_index(spark, full)
+    assert np.allclose(c2, cent) and np.allclose(b2, books)
+    served_df = similarity.ann_ivfpq_topk_indexed(
+        lists, queries, c2, b2, k=4, nprobe=3)
+    served = key(served_df)
+    assert served == direct
+    # the driver-known probed cells prune the list scan STATICALLY
+    plan = served_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan and " IN " in plan, plan
+
+    half = str(tmp_path / "half")
+    first = df.filter(F.col("vec_id") < 30)
+    rest = df.filter(F.col("vec_id") >= 30)
+    similarity.save_ivfpq_index(first, cent, books, half)
+    similarity.ivfpq_index_add(spark, half, rest, batch_id="b1")
+    # retried add: same batch re-lands on its own partitions
+    similarity.ivfpq_index_add(spark, half, rest, batch_id="b1")
+    _, _, lists_h = similarity.load_ivfpq_index(spark, half)
+    assert lists_h.count() == len(vecs)
+    incr = key(similarity.ann_ivfpq_topk_indexed(
+        lists_h, queries, cent, books, k=4, nprobe=3))
+    assert incr == direct
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        similarity.ivfpq_index_add(spark, half, rest, batch_id="base")
+
+
+def test_pq_assign_col_parity(spark):
+    """The pure-expression encoder (pq_assign_col, the codegen /
+    exact-oracle path) matches the Arrow encoder (pq_encode) code for
+    code on tie-free data, and breaks exact-distance ties to the
+    lower code id."""
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    vecs = rng.randn(80, 8)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    books = rng.randn(2, 3, 4)
+
+    via_expr = {r.vec_id: r.c for r in df.select(
+        "vec_id",
+        similarity.pq_assign_col(F.col("embedding"), books).alias("c")
+    ).collect()}
+    via_arrow = {r.vec_id: r.pq_codes
+                 for r in similarity.pq_encode(df, books).collect()}
+    assert via_expr == via_arrow
+
+    # duplicate codewords => exact tie => lower code id wins
+    tie_books = np.stack([np.stack([np.ones(4), np.ones(4),
+                                    np.zeros(4)])] * 2)
+    got = df.limit(1).select(
+        similarity.pq_assign_col(
+            F.array(*[F.lit(1.0)] * 8), tie_books).alias("c")
+    ).collect()[0].c
+    assert got == [0, 0]

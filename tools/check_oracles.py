@@ -30,6 +30,7 @@ ROWS_ONLY_MIN = {
     "ann_lsh_topk": 20,
     "ann_ivf_topk": 20,
     "ann_pq_topk": 20,
+    "ann_ivfpq_topk": 20,
     "emb_neardup_lsh": 3,
     "emb_kmeans_cells": 4,
     "emb_semantic_dedup": 400,

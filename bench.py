@@ -200,11 +200,30 @@ def main() -> None:
 
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     t0 = time.perf_counter()
-    kmeans_fit(embs, k=16, n_iter=5)
+    cents = kmeans_fit(embs, k=16, n_iter=5)
     # own variable: `dt` above still feeds pipeline_files_per_sec below
     km_dt = time.perf_counter() - t0
     training["kmeans_fit_k16_i5_sec"] = round(km_dt, 3)
     training["kmeans_per_iter_sec"] = round(km_dt / 5, 3)
+
+    # ANN serving tier (r6): IVF-PQ residual codebook training, the
+    # one-Arrow-pass encode (the index build cost per corpus row), and
+    # ADC top-k serving over the code lists
+    from dataquality_cli_spark.operators.similarity import (
+        ann_ivfpq_topk, ivfpq_encode, ivfpq_train)
+
+    t0 = time.perf_counter()
+    books = ivfpq_train(embs, cents, m=8, k=16, n_iter=2)
+    training["ivfpq_train_m8_k16_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    n_enc = materialize(ivfpq_encode(embs, cents, books))
+    enc_dt = time.perf_counter() - t0
+    training["ivfpq_encode_rows_per_sec"] = round(n_enc / enc_dt, 1)
+    t0 = time.perf_counter()
+    materialize(ann_ivfpq_topk(
+        embs, embs.filter(F.col("vec_id") < 8), cents, books,
+        k=5, nprobe=4))
+    training["ivfpq_serve_8q_sec"] = round(time.perf_counter() - t0, 3)
 
     print(json.dumps({
         "metric": "headline_suite_seconds",

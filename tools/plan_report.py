@@ -55,6 +55,8 @@ CHECKS = {
     "corpus_topic_terms": "salted two-level top-k: first Window over (cell, token-salt) bounds every task at a 1/64 vocabulary slice; token totals join AFTER rank against the tiny ranked side (broadcast) — never a vocabulary-sized broadcast",
     "media_profile": "blob decode is ONE map-side Arrow stage (MapInPandas) straight off the scan — no Exchange at all; stats rows are the only output",
     "media_neardup_pairs": "signature stage map-side; band self-join is an equi-join on (band_id, band_key) over (id, ahash) rows ONLY — the binary payload never enters an Exchange",
+    "ann_ivfpq_topk": "ADC serve: code lists broadcast-join the tiny (query, cell, slot) frame on cell; ONE ArrowEvalPython for the LUT lookups; top-k via WindowGroupLimit — no raw-vector shuffle, no cross join",
+    "ann_pq_codes": "pure-expression encode: one scan, whole-stage-codegen struct-min chains — no Python, no shuffle, no join",
 }
 
 

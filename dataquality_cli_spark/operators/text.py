@@ -739,3 +739,68 @@ def entropy_signals(df: DataFrame, text_col: str = "text",
         F.size(F.filter(ents, lambda e: e > high_bits))
         .cast("long").alias("n_high_entropy"),
     )
+
+
+# the (kind, pattern) table for import extraction — module-level so the
+# Spark operator and the DuckDB oracle builder render from ONE source.
+# Patterns stay in the ASCII subset where Java regex and RE2 agree (no
+# lookaround, no backreferences); single-module statement forms only —
+# comma imports and Go import blocks contribute their first/no module,
+# identically in both engines.
+IMPORT_PATTERNS = [
+    ("py_import", r"(?m)^[ \t]*import[ \t]+([A-Za-z_][A-Za-z0-9_.]*)"),
+    ("py_from", r"(?m)^[ \t]*from[ \t]+([A-Za-z_][A-Za-z0-9_.]*)[ \t]+import"),
+    ("js_require", r"require\('([^']+)'\)"),
+    ("js_esm", r"(?m)^[ \t]*import[ \t]+[^;\n]*from[ \t]+'([^']+)'"),
+    ("go_import", r"(?m)^[ \t]*import[ \t]+\"([^\"]+)\""),
+]
+
+
+def extract_imports(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """One row per (doc, kind, module) import reference — the
+    dependency-edge extraction a code-corpus pipeline feeds into
+    ecosystem stats, vendored-code detection, and license-risk joins.
+
+    All five language patterns run in ONE codegen projection: each
+    regexp_extract_all yields that kind's match array, the arrays are
+    tagged with their kind and concatenated, and a single posexplode
+    emits the edges — one scan, one Generate, no UDF, no shuffle. The
+    kinds deliberately overlap on polyglot text (a JS ESM default
+    import also matches the py_import shape); emitting per-kind rows
+    keeps the semantics deterministic instead of guessing a language.
+    Repeated references within a doc are kept (n_refs signal); the
+    aggregate view dedupes via countDistinct. Exact oracle: entry
+    query code_import_graph."""
+    def _tag(kind):
+        # one-arg closure on purpose: F.transform passes (element,
+        # index) to any two-parameter callable, so the usual
+        # `lambda mm, _k=kind:` default-arg idiom would silently bind
+        # _k to the array INDEX column
+        return lambda mm: F.struct(
+            F.lit(kind).alias("kind"), mm.alias("module"))
+
+    tagged = [
+        F.transform(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), 1), _tag(kind))
+        for kind, pat in IMPORT_PATTERNS
+    ]
+    return (
+        df.select(F.col(id_col), F.explode(F.concat(*tagged)).alias("im"))
+        .select(id_col, F.col("im.kind").alias("kind"),
+                F.col("im.module").alias("module"))
+    )
+
+
+def import_graph(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Corpus-level dependency summary: per (kind, module) the number
+    of importing docs and total references. The heavy text column
+    never leaves the map side — the exchange carries (kind, module,
+    doc_id) edge rows only, partial-aggregated before the shuffle."""
+    edges = extract_imports(df, id_col, text_col)
+    return (
+        edges.groupBy("kind", "module")
+        .agg(F.countDistinct(id_col).alias("n_docs"),
+             F.count(F.lit(1)).alias("n_refs"))
+    )

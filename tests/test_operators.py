@@ -2363,3 +2363,48 @@ def test_pq_assign_col_parity(spark):
             F.array(*[F.lit(1.0)] * 8), tie_books).alias("c")
     ).collect()[0].c
     assert got == [0, 0]
+
+
+def test_extract_imports_kinds_and_graph(spark):
+    """Per-kind extraction semantics: all five language patterns fire,
+    within-doc repeats are kept (n_refs signal), the documented
+    polyglot overlap is deterministic (a JS default-ESM line also
+    matches the py_import shape), go/py shapes do NOT cross-fire
+    (quote vs identifier first char), and extraction is a pure
+    projection — no Exchange before the aggregate."""
+    from dataquality_cli_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "import os\nimport os\nfrom collections import OrderedDict\n"
+             "import os.path\n"),
+         (2, "const fs = require('fs');\nconst p = require('path');\n"
+             "import lodash from 'lodash'\nimport { x } from './util'\n"),
+         (3, "package main\n\nimport \"fmt\"\nimport \"strings\"\n"),
+         (4, "plain prose, no imports\n"),
+         (5, "import os\n")],
+        "doc_id long, text string")
+    edges = T.extract_imports(docs)
+    got = [(r.doc_id, r.kind, r.module) for r in edges.collect()]
+    # within-doc repeat kept; dotted module captured whole
+    assert got.count((1, "py_import", "os")) == 2
+    assert (1, "py_import", "os.path") in got
+    assert (1, "py_from", "collections") in got
+    # js: both require() calls and both ESM forms
+    assert (2, "js_require", "fs") in got and (2, "js_require", "path") in got
+    assert (2, "js_esm", "lodash") in got and (2, "js_esm", "./util") in got
+    # documented overlap: default-ESM line also matches py_import
+    assert (2, "py_import", "lodash") in got
+    # braced ESM does NOT match py_import ('{' fails the ident class)
+    assert (2, "py_import", "{") not in got
+    # go: quoted module; quote char keeps py_import from firing
+    assert (3, "go_import", "fmt") in got and (3, "go_import", "strings") in got
+    assert not any(d == 3 and k == "py_import" for d, k, _ in got)
+    assert not any(d == 4 for d, _, _ in got)
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    graph = {(r.kind, r.module): r for r in T.import_graph(docs).collect()}
+    # os: docs 1 (x2) and 5 -> 2 docs, 3 refs
+    assert (graph[("py_import", "os")].n_docs,
+            graph[("py_import", "os")].n_refs) == (2, 3)
+    assert graph[("go_import", "fmt")].n_docs == 1

@@ -804,3 +804,110 @@ def import_graph(df: DataFrame, id_col: str = "doc_id",
         .agg(F.countDistinct(id_col).alias("n_docs"),
              F.count(F.lit(1)).alias("n_refs"))
     )
+
+
+IDENT_RE = "[A-Za-z_][A-Za-z0-9_]*"
+
+
+def identifier_subtokens_col(text: Column) -> Column:
+    """Lowercased subtokens of every identifier in ``text`` — the
+    tokenization a code-search / code-LM vocabulary builds on
+    (``parseHTTPResponse`` -> [parse, http, response];
+    ``snake_case_name`` -> [snake, case, name]). Two camel boundary
+    rewrites (acronym-run before TitleCase tail, then lower/digit to
+    upper), underscores to spaces, lower, split. Pure codegen column
+    expression; the regexes and $-free char classes sit in the
+    Java-regex/RE2 common subset so DuckDB mirrors them (backref
+    syntax differs per engine — $1 vs \\1 — but that is replacement
+    spelling, not match semantics)."""
+    idents = F.regexp_extract_all(text, F.lit(IDENT_RE), 0)
+    sub = F.transform(idents, lambda x: F.split(F.trim(F.lower(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(x, "([A-Z]+)([A-Z][a-z])", "$1 $2"),
+                "([a-z0-9])([A-Z])", "$1 $2"),
+            "_+", " "))), " +"))
+    return F.filter(F.flatten(sub), lambda t: t != "")
+
+
+def identifier_vocab(df: DataFrame, text_col: str = "text",
+                     top_n: int = 50) -> DataFrame:
+    """Corpus identifier-subtoken vocabulary: top-N subtokens by total
+    references with importing-doc counts. The explode ships only
+    (token, doc_id) pairs — the document body never crosses the
+    exchange — and the top-N is TakeOrdered on the deterministic
+    (n_refs DESC, token ASC) key, no global sort. Exact oracle: entry
+    query code_identifier_vocab."""
+    toks = df.select(
+        F.col("doc_id"),
+        F.explode(identifier_subtokens_col(F.col(text_col))).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_refs"),
+             F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("n_refs"), F.asc("token"))
+        .limit(top_n)
+    )
+
+
+def import_signature_groups(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            min_imports: int = 2) -> DataFrame:
+    """Vendored/generated-code detection by dependency fingerprint:
+    docs whose DISTINCT (kind, module) import set is identical form a
+    group — copied files keep their import block even when the body is
+    edited, so the signature survives edits that defeat content-hash
+    dedup. Shape at 100 TB: edges only (never text) shuffle to the
+    per-doc set build, then one groupBy on a uniform md5 key with
+    map-side combine — same plan family as exact_dup_groups.
+    ``min_imports`` drops prose docs with accidental single matches."""
+    edges = extract_imports(df, id_col, text_col)
+    sigs = (
+        edges.select(id_col, F.concat_ws(":", "kind", "module").alias("km"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("km")).alias("mods"))
+        .filter(F.size("mods") >= min_imports)
+        .select(F.col(id_col),
+                F.md5(F.array_join("mods", "|")).alias("dep_signature"),
+                F.size("mods").alias("n_modules"))
+    )
+    return (
+        sigs.groupBy("dep_signature", "n_modules")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min(id_col).alias("first_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# blank line OR full-line #/// comment (the only comment forms the
+# line profile recognizes — block comments are out of scope, same as
+# code_line_profile's comment_lines)
+_STRIP_LINE_RE = "^[ \t]*((#|//).*)?$"
+
+
+def strip_comments_col(text: Column) -> Column:
+    """``text`` with full-line comments and blank lines removed — the
+    normalization under which two code files that differ only in
+    comments/vertical whitespace become byte-identical."""
+    lines = F.split(text, "\n", -1)
+    return F.array_join(
+        F.filter(lines, lambda l: ~l.rlike(_STRIP_LINE_RE)), "\n")
+
+
+def comment_stripped_dup_groups(df: DataFrame,
+                                text_col: str = "text") -> DataFrame:
+    """Code dedup modulo comments: md5(strip_comments) groups with
+    multiplicity > 1, plus how many distinct raw variants the group
+    folds (n_raw_variants > 1 = files only the stripping reveals as
+    duplicates — the code-payload analog of dedup.normalized_dup_groups,
+    which handles prose casing/whitespace). Scan-stage expression
+    work, then one shuffle on a uniform 128-bit key."""
+    stripped = strip_comments_col(F.col(text_col))
+    return (
+        df.groupBy(F.md5(stripped).alias("code_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.countDistinct(F.sha2(F.col(text_col), 256))
+              .alias("n_raw_variants"),
+             F.min("doc_id").alias("keeper_id"))
+        .filter(F.col("n_docs") > 1)
+    )

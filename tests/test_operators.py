@@ -2408,3 +2408,72 @@ def test_extract_imports_kinds_and_graph(spark):
     assert (graph[("py_import", "os")].n_docs,
             graph[("py_import", "os")].n_refs) == (2, 3)
     assert graph[("go_import", "fmt")].n_docs == 1
+
+
+def test_identifier_vocab_split_semantics(spark):
+    """Camel/acronym/underscore splitting: parseHTTPResponse ->
+    [parse, http, response], snake_case -> parts, dunder/underscore-
+    only identifiers contribute no empty tokens; vocab counts
+    aggregate refs vs docs; top-N tie-break is (n_refs DESC, token)."""
+    from dataquality_cli_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "parseHTTPResponse parseHTTPResponse snake_case"),
+         (2, "HTTPResponse ___ __init__ A1b"),
+         (3, "no_code just words")],
+        "doc_id long, text string")
+    toks = docs.select(
+        "doc_id", T.identifier_subtokens_col(F.col("text")).alias("t"))
+    got = {r.doc_id: r.t for r in toks.collect()}
+    assert got[1] == ["parse", "http", "response",
+                      "parse", "http", "response", "snake", "case"]
+    # acronym-before-TitleCase split; ___ vanishes; dunder strips
+    assert got[2] == ["http", "response", "init", "a1b"]
+
+    vocab = {r.token: r for r in T.identifier_vocab(docs, top_n=50).collect()}
+    assert (vocab["http"].n_refs, vocab["http"].n_docs) == (3, 2)
+    assert (vocab["snake"].n_refs, vocab["snake"].n_docs) == (1, 1)
+    assert "" not in vocab
+    # deterministic cut: top_n=1 must pick the highest-ref token
+    top1 = T.identifier_vocab(docs, top_n=1).collect()
+    assert top1[0].token in {"http", "response", "parse"}  # 3 refs each
+    assert top1[0].token == "http"  # tie broken by token ASC
+
+
+def test_import_signature_groups_vendored_pair(spark):
+    """Docs with the same DISTINCT (kind, module) set group regardless
+    of statement order, repeats, or body edits; below min_imports no
+    signature is emitted; different sets never collide."""
+    from dataquality_cli_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "import os\nimport os\nfrom collections import OrderedDict\n"),
+         (2, "from collections import defaultdict\nimport os\n# edited\n"),
+         (3, "import os\n"),                          # below min_imports
+         (4, "import os\nimport sys\n"),              # different set
+         (5, "plain prose\n")],
+        "doc_id long, text string")
+    groups = T.import_signature_groups(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert (g.n_docs, g.first_doc, g.n_modules) == (2, 1, 2)
+
+
+def test_comment_stripped_dup_groups(spark):
+    """Comment-only and blank-line-only diffs fold into one group with
+    n_raw_variants counting distinct raw bodies; a real code diff does
+    not fold; the stripped projection stays scan-side (no Exchange
+    before the aggregate's own shuffle)."""
+    from dataquality_cli_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "# v1\ndef f(x):\n    return x\n"),
+         (2, "def f(x):\n    // note\n\n    return x\n"),
+         (3, "def f(x):\n    return x\n"),
+         (4, "def f(x):\n    return x + 1\n")],
+        "doc_id long, text string")
+    groups = T.comment_stripped_dup_groups(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    # docs 1,2,3 fold; 1 and 2 are distinct raw variants, 3 is a third
+    assert (g.n_docs, g.n_raw_variants, g.keeper_id) == (3, 3, 1)

@@ -345,6 +345,102 @@ def _media(args) -> int:
             spark.stop()
 
 
+def _code(args) -> int:
+    """One-shot code-corpus analytics over a parquet of source files —
+    the `dataqa report` of the code surface: line-shape profile,
+    function units + duplicate groups, top import modules, top
+    identifier subtokens, license histogram, high-entropy secret
+    flags, and comment-stripped duplicate folds. Accepts either the
+    documents schema (doc_id, text) or the pipeline's corpus schema
+    (repo, path, commit, lang, content), keyed by xxhash64(repo,
+    path). Every section is an already-oracle-checked operator; this
+    is only the composition + a JSON line."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from dataquality_cli_spark.operators import text as T
+    from dataquality_cli_spark.session import get_spark
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark(app="dataqa-code", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        df = spark.read.parquet(args.input)
+        if "content" in df.columns:
+            df = df.select(
+                F.xxhash64("repo", "path").alias("doc_id"),
+                F.col("content").alias("text"))
+        docs = df.select("doc_id", "text")
+        # one pass per section; only scalar aggregates reach the driver
+        rep: dict = {"metric": "code_report", "files": docs.count()}
+        lp = T.code_line_profile(docs).agg(
+            F.sum("n_lines").alias("lines"),
+            F.round(F.avg("comment_ratio"), 4).alias("avg_comment_ratio"),
+            F.sum(F.when(F.col("indent_tab_lines") > 0, 1).otherwise(0))
+            .alias("files_with_tabs"),
+            F.max("max_identifier_len").alias("max_identifier_len"),
+        ).collect()[0]
+        rep["lines"] = {k: (float(v) if k == "avg_comment_ratio" else
+                            int(v or 0))
+                        for k, v in lp.asDict().items()}
+        fns = T.extract_functions(docs)
+        dup = T.function_dup_groups(docs).agg(
+            F.count(F.lit(1)).alias("groups"),
+            F.sum("n_copies").alias("copies")).collect()[0]
+        rep["functions"] = {"units": fns.count(),
+                            "dup_groups": int(dup["groups"] or 0),
+                            "dup_copies": int(dup["copies"] or 0)}
+        rep["imports"] = [
+            r.asDict() for r in T.import_graph(docs)
+            .orderBy(F.desc("n_refs"), "kind", "module")
+            .limit(args.top).collect()]
+        rep["identifiers"] = [
+            r.asDict()
+            for r in T.identifier_vocab(docs, top_n=args.top).collect()]
+        rep["licenses"] = {
+            r["license_guess"]: int(r["n"]) for r in
+            T.license_guess(docs).groupBy("license_guess")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+        ent = T.entropy_signals(docs).agg(
+            F.sum(F.when(F.col("n_high_entropy") > 0, 1).otherwise(0))
+            .alias("flagged")).collect()[0]
+        rep["high_entropy_files"] = int(ent["flagged"] or 0)
+        cs = T.comment_stripped_dup_groups(docs).agg(
+            F.count(F.lit(1)).alias("groups"),
+            F.sum("n_docs").alias("members")).collect()[0]
+        rep["comment_stripped_dups"] = {
+            "groups": int(cs["groups"] or 0),
+            "members": int(cs["members"] or 0)}
+        if args.json:
+            print(json.dumps(rep))
+            return 0
+        print(f"Code report: {args.input}")
+        li = rep["lines"]
+        print(f"  files: {rep['files']:,} ({li['lines']:,} lines, "
+              f"avg comment ratio {li['avg_comment_ratio']}, "
+              f"{li['files_with_tabs']:,} tab-indented, "
+              f"max identifier {li['max_identifier_len']})")
+        fu = rep["functions"]
+        print(f"  functions: {fu['units']:,} units, "
+              f"{fu['dup_groups']:,} duplicate groups "
+              f"({fu['dup_copies']:,} copies)")
+        for r in rep["imports"]:
+            print(f"  import {r['kind']} {r['module']}: "
+                  f"{r['n_docs']:,} files, {r['n_refs']:,} refs")
+        print("  identifiers: " + ", ".join(
+            f"{r['token']}({r['n_refs']:,})" for r in rep["identifiers"]))
+        print("  licenses: " + ", ".join(
+            f"{k}={v:,}" for k, v in sorted(rep["licenses"].items())))
+        print(f"  high-entropy files: {rep['high_entropy_files']:,}")
+        cd = rep["comment_stripped_dups"]
+        print(f"  comment-stripped dup groups: {cd['groups']:,} "
+              f"({cd['members']:,} members)")
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
 def _dedup(args) -> int:
     """One-command dedup over a (doc_id, text, ...) parquet: exact
     (sha256 keep-first), near (MinHash LSH -> verified Jaccard ->
@@ -450,6 +546,14 @@ def main(argv: list[str] | None = None) -> int:
     mm.add_argument("--max-hamming", type=int, default=6)
     mm.add_argument("--master", default=None)
     mm.add_argument("--json", action="store_true")
+    cc = sub.add_parser(
+        "code", help="one-shot analytics report over a code parquet "
+                     "(documents or repo-corpus schema)")
+    cc.add_argument("input")
+    cc.add_argument("--top", type=int, default=10,
+                    help="rows per ranked section (imports, identifiers)")
+    cc.add_argument("--master", default=None)
+    cc.add_argument("--json", action="store_true")
     dd = sub.add_parser(
         "dedup", help="dedup a documents parquet (exact/near/semantic)")
     dd.add_argument("input")
@@ -472,6 +576,8 @@ def main(argv: list[str] | None = None) -> int:
         return _report(args)
     if args.cmd == "media":
         return _media(args)
+    if args.cmd == "code":
+        return _code(args)
     if args.cmd == "dedup":
         return _dedup(args)
     return 2

@@ -791,3 +791,41 @@ def test_corpus_build_classifier_gate(spark, tmp_path):
     with _pytest.raises(ValueError, match="classifier"):
         build_corpus_resumable(spark, df, out, val_fraction=0.0,
                                pack_budget=1024)
+
+
+def test_cli_code_report_smoke(spark, tmp_path, capsys):
+    """`dataqa code` composes the code-tier operators behind one
+    command (the reference's everything-behind-a-command UX) and
+    accepts the pipeline's corpus schema via the xxhash64(repo, path)
+    adapter; sections are JSON-scalar summaries of already-oracle-
+    checked operators."""
+    import json
+
+    from dataquality_cli_spark.__main__ import main
+    from dataquality_cli_spark.sources.synth import corpus_to_rows, gen_corpus
+
+    rows = corpus_to_rows(gen_corpus(80, seed=7))
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    path = str(tmp_path / "corpus.parquet")
+    df.write.parquet(path)
+
+    rc = main(["code", path, "--top", "5", "--json"])
+    assert rc == 0
+    out = [l for l in capsys.readouterr().out.splitlines()
+           if l.startswith("{")][-1]
+    rep = json.loads(out)
+    assert rep["files"] == 80
+    assert rep["lines"]["lines"] > 0
+    assert rep["functions"]["units"] > 0
+    # synth corpus plants py/js imports; the 80-file draw carries at
+    # least 3 distinct (kind, module) pairs, capped by --top
+    assert 3 <= len(rep["imports"]) <= 5
+    assert all(r["n_refs"] >= r["n_docs"] > 0 for r in rep["imports"])
+    assert len(rep["identifiers"]) == 5
+    assert sum(rep["licenses"].values()) == 80
+    # scalars only, JSON round-trippable
+    assert all(not isinstance(v, (list, dict))
+               for sec in (rep["lines"], rep["functions"])
+               for v in sec.values())

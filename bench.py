@@ -100,6 +100,8 @@ HEADLINE = [
     "corpus_bigram_lm",        # pair explode + vocab-bounded join
     "ann_cosine_topk",         # broadcast knn
     "emb_semantic_dedup",      # k-means fit + within-cell SemDeDup
+    "code_function_units",     # per-line Generate + running-sum window
+    "code_import_graph",       # 5x regexp_extract_all scan + hash agg
     "events_hourly",           # window agg
     "events_sessionize",       # window functions
     "events_asof_join",        # custom as-of join (union + window carry)

@@ -911,3 +911,59 @@ def comment_stripped_dup_groups(df: DataFrame,
              F.min("doc_id").alias("keeper_id"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+# branch-point tokens for the complexity estimate: decision keywords
+# must be whole words (an identifier like 'iffy' or 'covid' must not
+# count), operators match literally. Kept to forms shared by the
+# py/js/go family the corpus carries.
+_BRANCH_WORD_RE = r"\b(if|elif|else if|for|while|case|catch|except)\b"
+_BRANCH_OP_RE = r"&&|\|\||\?"
+
+
+def complexity_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-file complexity/shape signals for quality gating — the
+    decision-density heuristics a code-corpus filter uses to drop
+    machine-generated or pathologically-flat files (public method:
+    cyclomatic complexity ~ decision points + 1, approximated
+    lexically since no parser runs at corpus scale):
+
+    - n_branch_points: decision keywords (word-bounded) + short-circuit
+      / ternary operators; branch_density: per line
+    - max_paren_depth / max_brace_depth: running-nesting maxima via a
+      single aggregate fold over characters (minified or generated
+      code shows extreme depth)
+
+    One scan, pure codegen (regexp counts + one HOF fold) — no UDF,
+    no shuffle; exact DuckDB oracle (entry query doc_complexity)."""
+    text = F.col(text_col)
+    n_lines = F.size(F.split(text, "\n", -1))
+    branches = (
+        F.size(F.regexp_extract_all(text, F.lit(_BRANCH_WORD_RE), 0))
+        + F.size(F.regexp_extract_all(text, F.lit(_BRANCH_OP_RE), 0))
+    ).cast("long")
+    # running depth fold: acc = (current, max); chars via split('(?!$)')
+    # is the engine-gotcha-proof per-char split
+    def depth_fold(open_ch: str, close_ch: str) -> Column:
+        chars = F.split(text, "(?!$)", -1)
+        acc = F.aggregate(
+            chars,
+            F.struct(F.lit(0).alias("cur"), F.lit(0).alias("mx")),
+            lambda a, c: F.struct(
+                (a.cur + F.when(c == open_ch, 1)
+                 .when(c == close_ch, -1).otherwise(0)).alias("cur"),
+                F.greatest(
+                    a.mx,
+                    a.cur + F.when(c == open_ch, 1)
+                    .when(c == close_ch, -1).otherwise(0)).alias("mx")),
+        )
+        return acc.mx.cast("long")
+
+    return df.select(
+        "doc_id",
+        branches.alias("n_branch_points"),
+        F.round(branches.cast("double") / n_lines.cast("double"), 4)
+        .alias("branch_density"),
+        depth_fold("(", ")").alias("max_paren_depth"),
+        depth_fold("{", "}").alias("max_brace_depth"),
+    )

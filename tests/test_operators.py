@@ -2477,3 +2477,30 @@ def test_comment_stripped_dup_groups(spark):
     g = groups[0]
     # docs 1,2,3 fold; 1 and 2 are distinct raw variants, 3 is a third
     assert (g.n_docs, g.n_raw_variants, g.keeper_id) == (3, 3, 1)
+
+
+def test_complexity_profile_semantics(spark):
+    """Branch keywords are word-bounded ('iffy'/'elifx' don't count,
+    'else if' counts once, not as nested else+if), operators count
+    per occurrence, nesting maxima track the running depth and clamp
+    at 0 for unbalanced closers, and the op is a pure projection."""
+    from dataquality_cli_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "if x:\n  pass\nelif y:\n  pass\nelse if (a && b) ? c : d\n"
+             "notifier iffy elifx\n"),
+         (2, "a(b(c))d((e"),
+         (3, ")))(((\n{}{{}}"),
+         (4, "")],
+        "doc_id long, text string")
+    prof = T.complexity_profile(docs)
+    got = {r.doc_id: r for r in prof.collect()}
+    assert got[1].n_branch_points == 5      # if, elif, else if, &&, ?
+    assert got[1].max_paren_depth == 1
+    assert got[2].max_paren_depth == 2      # a(b(c)) nests to 2
+    # unbalanced: ))) dips to -3, ((( climbs back to 0 -> max clamps 0
+    assert got[3].max_paren_depth == 0
+    assert got[3].max_brace_depth == 2      # {{}} inside {}{{}}
+    assert got[4].n_branch_points == 0 and got[4].max_paren_depth == 0
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

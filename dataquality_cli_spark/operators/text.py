@@ -967,3 +967,39 @@ def complexity_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         depth_fold("(", ")").alias("max_paren_depth"),
         depth_fold("{", "}").alias("max_brace_depth"),
     )
+
+
+def function_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           threshold: float = 0.5,
+                           max_bucket_size: int | None = None) -> DataFrame:
+    """Near-duplicate FUNCTIONS across the corpus — the granularity at
+    which copy-pasted-then-edited helpers actually recur (whole-file
+    near-dup misses a shared 30-line helper inside otherwise-different
+    files). Composition, not new machinery: extract_functions feeds
+    the banded MinHash-LSH + exact-Jaccard verification flow
+    (dedup.lsh_verified_pairs), so the 100 TB guarantees carry over
+    unchanged (no all-pairs, bucket cap, candidates ~ O(dups)).
+
+    Unit identity is packed as doc_id << 16 | fn_idx so the LSH flow's
+    single orderable id survives, then unpacked bitwise on return —
+    callers need 0 <= id < 2^47 and < 65536 functions per doc (both
+    trivially true for row-numbered corpora; re-key first otherwise).
+    Returns (doc_a, fn_a, doc_b, fn_b, jaccard), a < b in packed
+    order."""
+    from . import dedup
+
+    fns = extract_functions(df, id_col, text_col)
+    units = fns.select(
+        (F.col(id_col).cast("long") * 65536
+         + F.col("fn_idx").cast("long")).alias("doc_id"),
+        F.col("fn_text").alias("text"))
+    pairs = dedup.lsh_verified_pairs(units, threshold=threshold,
+                                     max_bucket_size=max_bucket_size)
+    return pairs.select(
+        F.shiftright(F.col("id_a"), 16).alias("doc_a"),
+        F.col("id_a").bitwiseAND(F.lit(65535).cast("long")).alias("fn_a"),
+        F.shiftright(F.col("id_b"), 16).alias("doc_b"),
+        F.col("id_b").bitwiseAND(F.lit(65535).cast("long")).alias("fn_b"),
+        "jaccard",
+    )

@@ -2504,3 +2504,29 @@ def test_complexity_profile_semantics(spark):
     assert got[4].n_branch_points == 0 and got[4].max_paren_depth == 0
     plan = prof._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_function_neardup_pairs_packing_and_recall(spark):
+    """The edited-copy helper is found as a near- (not exact-) dup at
+    function granularity, byte-identical copies verify at 1.0, and the
+    packed (doc << 16 | fn_idx) identity unpacks to the right unit on
+    both sides of every pair."""
+    from dataquality_cli_spark.operators import text as T
+
+    body = ("def compute_total(values):\n    total = 0\n"
+            "    for v in values:\n        total += v\n"
+            "    return total\n")
+    docs = spark.createDataFrame(
+        [(1, "def unrelated(a):\n    return a\n\n" + body),
+         (2, body.replace("total += v", "total += v + 0")),
+         (3, body),
+         (4, "completely different text with no functions")],
+        "doc_id long, text string")
+    pairs = {((r.doc_a, r.fn_a), (r.doc_b, r.fn_b)): r.jaccard
+             for r in T.function_neardup_pairs(docs).collect()}
+    # doc 1's SECOND unit (fn_idx 1) is the helper — packing must
+    # surface the index, not just the doc
+    assert ((1, 1), (3, 0)) in pairs and pairs[((1, 1), (3, 0))] == 1.0
+    edited = [(k, j) for k, j in pairs.items() if (2, 0) in k]
+    assert edited and all(0.5 <= j < 1.0 for _, j in edited)
+    assert not any(4 in (a[0], b[0]) for a, b in pairs)

@@ -1003,3 +1003,90 @@ def function_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
         F.col("id_b").bitwiseAND(F.lit(65535).cast("long")).alias("fn_b"),
         "jaccard",
     )
+
+
+# generated-file markers in precedence order (The Stack / StarCoder
+# exclude machine-generated files before training; public conventions:
+# Go's "DO NOT EDIT", Meta's "@generated", protoc/thrift banners).
+# Patterns are contains-matches in the Java-regex/RE2 common subset.
+GENERATED_PATTERNS = [
+    ("do_not_edit", "DO NOT EDIT"),
+    ("at_generated", "@generated"),
+    ("code_generated_by", "(?i)code generated by"),
+    ("auto_generated", "(?i)auto[- ]?generated|(?i)automatically generated"),
+]
+
+
+def generated_guess_col(text: Column) -> Column:
+    """First matching generated-file marker name, else 'none' — a pure
+    Column expression so an admission gate can FILTER on it directly
+    (same shape as license_guess_col)."""
+    guess = F.when(F.lit(False), F.lit(""))
+    for name, pat in GENERATED_PATTERNS:
+        guess = guess.when(text.rlike(pat), F.lit(name))
+    return guess.otherwise(F.lit("none"))
+
+
+def generated_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, generated_marker, is_generated): machine-generated-file
+    screen. One scan, codegen regexp chain — no UDF, no shuffle."""
+    marker = generated_guess_col(F.col(text_col))
+    return df.select(
+        "doc_id",
+        marker.alias("generated_marker"),
+        (marker != "none").alias("is_generated"),
+    )
+
+
+# per-language line-anchored evidence — each language's characteristic
+# statement openers; counts, not booleans, so mixed files vote
+_LANG_EVIDENCE = [
+    ("py", r"(?m)^[ \t]*(def |class |import |from |elif )"),
+    ("go", r"(?m)^[ \t]*(func |package |type [A-Za-z]+ struct)|:="),
+    ("js", r"(?m)^[ \t]*(function |const |let |var )|=>|require\("),
+]
+
+
+def code_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content-based code-language vote (py/go/js family): per-language
+    line-anchored keyword evidence counts and the argmax with a fixed
+    py > go > js tie precedence ('unknown' when no evidence). The
+    metadata-free router a code pipeline needs when the `lang` column
+    is missing or lies. One scan, three regexp_extract_all counts —
+    exact oracle corpus_code_langs."""
+    text = F.col(text_col)
+    ev = {k: F.size(F.regexp_extract_all(text, F.lit(p), 0)).cast("long")
+          for k, p in _LANG_EVIDENCE}
+    guess = (
+        F.when((ev["py"] >= ev["go"]) & (ev["py"] >= ev["js"])
+               & (ev["py"] > 0), "python")
+        .when((ev["go"] >= ev["js"]) & (ev["go"] > 0), "go")
+        .when(ev["js"] > 0, "js")
+        .otherwise("unknown")
+    )
+    return df.select(
+        "doc_id",
+        ev["py"].alias("py_evidence"),
+        ev["go"].alias("go_evidence"),
+        ev["js"].alias("js_evidence"),
+        guess.alias("lang_guess"),
+    )
+
+
+def extract_comments(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """One row per full-line comment: (doc, line_no 0-based, comment
+    text with the '#'/'//' marker and one following space stripped) —
+    the comment side of the code-comment parallel corpus a code-LM
+    pipeline trains docstring/summarization heads on. posexplode keeps
+    provenance; blank comment lines ('#' alone) yield empty text and
+    are kept (position data). Pure projection, no shuffle."""
+    lines = F.split(F.col(text_col), "\n", -1)
+    return (
+        df.select(F.col(id_col), F.posexplode(lines).alias("line_no", "line"))
+        .filter(F.col("line").rlike("^[ \t]*(#|//)"))
+        .select(
+            id_col, "line_no",
+            F.regexp_replace("line", "^[ \t]*(#|//)[ \t]?", "")
+            .alias("comment"))
+    )

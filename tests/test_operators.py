@@ -2530,3 +2530,63 @@ def test_function_neardup_pairs_packing_and_recall(spark):
     edited = [(k, j) for k, j in pairs.items() if (2, 0) in k]
     assert edited and all(0.5 <= j < 1.0 for _, j in edited)
     assert not any(4 in (a[0], b[0]) for a, b in pairs)
+
+
+def test_generated_guess_precedence(spark):
+    """Marker precedence is the GENERATED_PATTERNS order (DO NOT EDIT
+    outranks the protoc banner on the same line), matching is
+    contains-semantics, and clean files are 'none'."""
+    from dataquality_cli_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "// Code generated by protoc-gen-go. DO NOT EDIT.\n"),
+         (2, "# @generated by tool\n"),
+         (3, "/* Auto-generated file */\n"),
+         (4, "this file is AUTOMATICALLY GENERATED, do not touch\n"),
+         (5, "def handwritten(): pass\n")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in T.generated_guess(docs).collect()}
+    assert got[1].generated_marker == "do_not_edit"
+    assert got[2].generated_marker == "at_generated"
+    assert got[3].generated_marker == "auto_generated"
+    assert got[4].generated_marker == "auto_generated"
+    assert got[5].generated_marker == "none" and not got[5].is_generated
+    assert got[1].is_generated
+
+
+def test_code_lang_guess_votes_and_ties(spark):
+    """Line-anchored evidence votes: go's := counts anywhere, mixed
+    files take the majority, zero evidence is 'unknown', and the fixed
+    py > go > js precedence breaks exact ties deterministically."""
+    from dataquality_cli_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "import os\ndef f():\n    pass\nclass A:\n    pass\n"),
+         (2, "package main\nfunc f() {\n\tx := 1\n}\n"),
+         (3, "const a = 1\nlet b = 2\nvar c = 3\nd => e\n"),
+         (4, "plain prose with no code at all\n"),
+         (5, "import os\nfunc f() {\n")],  # 1 py vs 1 go -> py wins tie
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in T.code_lang_guess(docs).collect()}
+    assert got[1].lang_guess == "python" and got[1].py_evidence == 3
+    assert got[2].lang_guess == "go" and got[2].go_evidence == 3
+    assert got[3].lang_guess == "js" and got[3].js_evidence == 4
+    assert got[4].lang_guess == "unknown"
+    assert (got[5].py_evidence, got[5].go_evidence) == (1, 1)
+    assert got[5].lang_guess == "python"
+
+
+def test_extract_comments_provenance(spark):
+    """One row per full-line comment with 0-based line numbers; the
+    marker and ONE following space strip (preserving deliberate
+    indentation in the comment body); inline trailing comments are
+    not extracted (full-line only); bare markers yield empty text."""
+    from dataquality_cli_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "# first\ncode()\n  // indented marker\nx = 1  # trailing\n#\n"),
+         (2, "no comments")],
+        "doc_id long, text string")
+    rows = {(r.doc_id, r.line_no): r.comment
+            for r in T.extract_comments(docs).collect()}
+    assert rows == {(1, 0): "first", (1, 2): "indented marker", (1, 4): ""}

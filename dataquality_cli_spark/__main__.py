@@ -405,6 +405,23 @@ def _code(args) -> int:
             F.sum(F.when(F.col("n_high_entropy") > 0, 1).otherwise(0))
             .alias("flagged")).collect()[0]
         rep["high_entropy_files"] = int(ent["flagged"] or 0)
+        rep["langs"] = {
+            r["lang_guess"]: int(r["n"]) for r in
+            T.code_lang_guess(docs).groupBy("lang_guess")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+        gen = T.generated_guess(docs).agg(
+            F.sum(F.col("is_generated").cast("int")).alias("n")).collect()[0]
+        rep["generated_files"] = int(gen["n"] or 0)
+        rep["comment_lines"] = T.extract_comments(docs).count()
+        cx = T.complexity_profile(docs).agg(
+            F.round(F.avg("branch_density"), 4).alias("avg_branch_density"),
+            F.max("max_brace_depth").alias("max_brace_depth"),
+            F.max("max_paren_depth").alias("max_paren_depth"),
+        ).collect()[0]
+        rep["complexity"] = {
+            "avg_branch_density": float(cx["avg_branch_density"] or 0.0),
+            "max_brace_depth": int(cx["max_brace_depth"] or 0),
+            "max_paren_depth": int(cx["max_paren_depth"] or 0)}
         cs = T.comment_stripped_dup_groups(docs).agg(
             F.count(F.lit(1)).alias("groups"),
             F.sum("n_docs").alias("members")).collect()[0]
@@ -432,6 +449,14 @@ def _code(args) -> int:
         print("  licenses: " + ", ".join(
             f"{k}={v:,}" for k, v in sorted(rep["licenses"].items())))
         print(f"  high-entropy files: {rep['high_entropy_files']:,}")
+        print("  langs (content vote): " + ", ".join(
+            f"{k}={v:,}" for k, v in sorted(rep["langs"].items())))
+        print(f"  generated files: {rep['generated_files']:,}; "
+              f"comment lines: {rep['comment_lines']:,}")
+        cxp = rep["complexity"]
+        print(f"  complexity: avg branch density "
+              f"{cxp['avg_branch_density']}, max nesting "
+              f"{{}}={cxp['max_brace_depth']} ()={cxp['max_paren_depth']}")
         cd = rep["comment_stripped_dups"]
         print(f"  comment-stripped dup groups: {cd['groups']:,} "
               f"({cd['members']:,} members)")

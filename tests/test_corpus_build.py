@@ -825,7 +825,18 @@ def test_cli_code_report_smoke(spark, tmp_path, capsys):
     assert all(r["n_refs"] >= r["n_docs"] > 0 for r in rep["imports"])
     assert len(rep["identifiers"]) == 5
     assert sum(rep["licenses"].values()) == 80
+    assert sum(rep["langs"].values()) == 80
+    # the synth corpus mixes real py/go/js files with 'auto-generated
+    # boilerplate' register() lists that carry NO language-distinctive
+    # syntax — those must stay 'unknown' (not a guess), and the
+    # generated-file screen must catch their banner instead
+    assert rep["langs"].get("unknown", 0) < 80 * 0.3
+    assert sum(v for k, v in rep["langs"].items() if k != "unknown") > 50
+    assert rep["generated_files"] >= 1   # boilerplate banner caught
+    assert rep["comment_lines"] > 0
+    assert rep["complexity"]["max_brace_depth"] >= 1
     # scalars only, JSON round-trippable
     assert all(not isinstance(v, (list, dict))
-               for sec in (rep["lines"], rep["functions"])
+               for sec in (rep["lines"], rep["functions"],
+                           rep["complexity"])
                for v in sec.values())

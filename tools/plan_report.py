@@ -57,6 +57,16 @@ CHECKS = {
     "media_neardup_pairs": "signature stage map-side; band self-join is an equi-join on (band_id, band_key) over (id, ahash) rows ONLY — the binary payload never enters an Exchange",
     "ann_ivfpq_topk": "ADC serve: code lists broadcast-join the tiny (query, cell, slot) frame on cell; ONE ArrowEvalPython for the LUT lookups; top-k via WindowGroupLimit — no raw-vector shuffle, no cross join",
     "ann_pq_codes": "pure-expression encode: one scan, whole-stage-codegen struct-min chains — no Python, no shuffle, no join",
+    "code_function_units": "pure projection: the unit split is computed with array HOFs INSIDE each row (running header count via aggregate fold) — NO Exchange, no Window, no join at all",
+    "code_import_graph": "five regexp_extract_all in ONE projection + single Generate; only (kind, module, doc_id) edge rows shuffle — Exchange x2 is the exact-countDistinct two-phase agg, text never shuffles",
+    "code_identifier_vocab": "subtoken explode ships (token, doc_id) pairs only; top-N is TakeOrdered on (n_refs DESC, token) — no global Sort",
+    "dedup_import_signature": "edges only shuffle (never text): one groupBy(doc_id) set build, one groupBy(md5 signature) with map-side combine",
+    "dedup_comment_stripped": "comment/blank stripping is scan-stage expression work; uniform 128-bit-key agg (Exchange x2 = the n_raw_variants exact-distinct expansion)",
+    "doc_complexity": "one scan, whole-stage-codegen regexp counts + struct-accumulator char fold — no UDF, no shuffle, no join",
+    "dedup_function_neardup": "extracted units feed the persisted band table; candidates via equi-join on (band_id, band_hash) — NO cross join; verification SMJs on packed unit ids (AQE broadcasts at runtime when candidates are few)",
+    "doc_generated_guess": "one scan, codegen rlike precedence chain — no UDF, no shuffle",
+    "corpus_code_langs": "one scan, three regexp_extract_all counts + CASE vote — no UDF, no shuffle",
+    "corpus_comments": "posexplode + anchored rlike filter + single regexp_replace, all in the scan stage — no shuffle",
 }
 
 

@@ -370,7 +370,10 @@ def _code(args) -> int:
             df = df.select(
                 F.xxhash64("repo", "path").alias("doc_id"),
                 F.col("content").alias("text"))
-        docs = df.select("doc_id", "text")
+        # ~12 sections scan `docs`; persist the keyed projection once
+        # (the _media precedent) instead of re-reading the parquet per
+        # section
+        docs = df.select("doc_id", "text").persist()
         # one pass per section; only scalar aggregates reach the driver
         rep: dict = {"metric": "code_report", "files": docs.count()}
         lp = T.code_line_profile(docs).agg(
@@ -380,16 +383,23 @@ def _code(args) -> int:
             .alias("files_with_tabs"),
             F.max("max_identifier_len").alias("max_identifier_len"),
         ).collect()[0]
-        rep["lines"] = {k: (float(v) if k == "avg_comment_ratio" else
-                            int(v or 0))
+        # every agg is None on an empty corpus — guard like complexity's
+        rep["lines"] = {k: (float(v or 0.0) if k == "avg_comment_ratio"
+                            else int(v or 0))
                         for k, v in lp.asDict().items()}
-        fns = T.extract_functions(docs)
-        dup = T.function_dup_groups(docs).agg(
-            F.count(F.lit(1)).alias("groups"),
-            F.sum("n_copies").alias("copies")).collect()[0]
+        # one extraction pass serves both the unit count and the dup
+        # groups (function_dup_groups would re-run extract_functions)
+        fns = T.extract_functions(docs).persist()
+        dup = (
+            fns.groupBy(F.md5("fn_text").alias("fn_hash"))
+            .agg(F.count(F.lit(1)).alias("n_copies"))
+            .filter(F.col("n_copies") > 1)
+            .agg(F.count(F.lit(1)).alias("groups"),
+                 F.sum("n_copies").alias("copies")).collect()[0])
         rep["functions"] = {"units": fns.count(),
                             "dup_groups": int(dup["groups"] or 0),
                             "dup_copies": int(dup["copies"] or 0)}
+        fns.unpersist()
         rep["imports"] = [
             r.asDict() for r in T.import_graph(docs)
             .orderBy(F.desc("n_refs"), "kind", "module")
@@ -428,6 +438,7 @@ def _code(args) -> int:
         rep["comment_stripped_dups"] = {
             "groups": int(cs["groups"] or 0),
             "members": int(cs["members"] or 0)}
+        docs.unpersist()
         if args.json:
             print(json.dumps(rep))
             return 0

@@ -780,9 +780,14 @@ def extract_imports(df: DataFrame, id_col: str = "doc_id",
         return lambda mm: F.struct(
             F.lit(kind).alias("kind"), mm.alias("module"))
 
+    # '(?d)' (Java UNIX_LINES, Spark side only) restricts multiline ^
+    # to \n exactly like RE2 — without it Java also fires after \r,
+    # U+0085 and U+2028, and the shared-table DuckDB oracle diverges
+    # on CR-bearing docs
     tagged = [
         F.transform(
-            F.regexp_extract_all(F.col(text_col), F.lit(pat), 1), _tag(kind))
+            F.regexp_extract_all(F.col(text_col), F.lit("(?d)" + pat), 1),
+            _tag(kind))
         for kind, pat in IMPORT_PATTERNS
     ]
     return (
@@ -890,8 +895,11 @@ def strip_comments_col(text: Column) -> Column:
     normalization under which two code files that differ only in
     comments/vertical whitespace become byte-identical."""
     lines = F.split(text, "\n", -1)
+    # '(?d)': without UNIX_LINES Java's $ also matches BEFORE a final
+    # \r, silently blanking CRLF lines where RE2 (the oracle) keeps
+    # them
     return F.array_join(
-        F.filter(lines, lambda l: ~l.rlike(_STRIP_LINE_RE)), "\n")
+        F.filter(lines, lambda l: ~l.rlike("(?d)" + _STRIP_LINE_RE)), "\n")
 
 
 def comment_stripped_dup_groups(df: DataFrame,
@@ -904,7 +912,12 @@ def comment_stripped_dup_groups(df: DataFrame,
     work, then one shuffle on a uniform 128-bit key."""
     stripped = strip_comments_col(F.col(text_col))
     return (
-        df.groupBy(F.md5(stripped).alias("code_hash"))
+        # empty stripped payloads (empty / all-blank / all-comment
+        # files) are excluded: they share no content, and md5('')
+        # would be the one hot reducer key the uniform-key scale
+        # claim forbids
+        df.filter(stripped != "")
+        .groupBy(F.md5(stripped).alias("code_hash"))
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.countDistinct(F.sha2(F.col(text_col), 256))
               .alias("n_raw_variants"),
@@ -942,10 +955,12 @@ def complexity_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.regexp_extract_all(text, F.lit(_BRANCH_WORD_RE), 0))
         + F.size(F.regexp_extract_all(text, F.lit(_BRANCH_OP_RE), 0))
     ).cast("long")
-    # running depth fold: acc = (current, max); chars via split('(?!$)')
-    # is the engine-gotcha-proof per-char split
+    # running depth fold: acc = (current, max); per-char split MUST be
+    # '(?!\\z)' — plain '' drops the last char (gotcha 31) and '(?!$)'
+    # merges the char before a trailing newline with it (Java $ matches
+    # BEFORE a final line terminator), undercounting a bracket at EOL
     def depth_fold(open_ch: str, close_ch: str) -> Column:
-        chars = F.split(text, "(?!$)", -1)
+        chars = F.split(text, r"(?!\z)", -1)
         acc = F.aggregate(
             chars,
             F.struct(F.lit(0).alias("cur"), F.lit(0).alias("mx")),
@@ -1021,8 +1036,9 @@ def generated_guess_col(text: Column) -> Column:
     """First matching generated-file marker name, else 'none' — a pure
     Column expression so an admission gate can FILTER on it directly
     (same shape as license_guess_col)."""
-    guess = F.when(F.lit(False), F.lit(""))
-    for name, pat in GENERATED_PATTERNS:
+    name0, pat0 = GENERATED_PATTERNS[0]
+    guess = F.when(text.rlike(pat0), F.lit(name0))
+    for name, pat in GENERATED_PATTERNS[1:]:
         guess = guess.when(text.rlike(pat), F.lit(name))
     return guess.otherwise(F.lit("none"))
 
@@ -1055,7 +1071,10 @@ def code_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     is missing or lies. One scan, three regexp_extract_all counts —
     exact oracle corpus_code_langs."""
     text = F.col(text_col)
-    ev = {k: F.size(F.regexp_extract_all(text, F.lit(p), 0)).cast("long")
+    # '(?d)' Spark-side only: align Java multiline ^ with RE2 (\n-only
+    # line starts) so the shared pattern table stays oracle-exact
+    ev = {k: F.size(F.regexp_extract_all(text, F.lit("(?d)" + p), 0))
+          .cast("long")
           for k, p in _LANG_EVIDENCE}
     guess = (
         F.when((ev["py"] >= ev["go"]) & (ev["py"] >= ev["js"])

@@ -2491,10 +2491,15 @@ def test_complexity_profile_semantics(spark):
              "notifier iffy elifx\n"),
          (2, "a(b(c))d((e"),
          (3, ")))(((\n{}{{}}"),
-         (4, "")],
+         (4, ""),
+         # bracket as the LAST char before a trailing newline: the
+         # '(?!$)' split merged '(' with '\n' (Java $ matches before a
+         # final line terminator) and undercounted — '(?!\z)' must not
+         (5, "((\n")],
         "doc_id long, text string")
     prof = T.complexity_profile(docs)
     got = {r.doc_id: r for r in prof.collect()}
+    assert got[5].max_paren_depth == 2
     assert got[1].n_branch_points == 5      # if, elif, else if, &&, ?
     assert got[1].max_paren_depth == 1
     assert got[2].max_paren_depth == 2      # a(b(c)) nests to 2

@@ -954,3 +954,60 @@ def source_dup_rate(df: DataFrame, text_col: str = "text",
              .alias("dup_rate"),
         )
     )
+
+
+def boilerplate_lines(df: DataFrame, text_col: str = "text",
+                      min_docs: int = 3,
+                      max_lines: int | None = None) -> DataFrame:
+    """Corpus-level boilerplate-line census (the CCNet line-dedup
+    primitive, public method: lines repeated across many documents are
+    navigation chrome / license headers / copy-pasted scaffolding, not
+    content): non-blank lines appearing in >= ``min_docs`` DISTINCT
+    docs, with doc and occurrence counts. Shape at 100 TB: the explode
+    ships (line, doc_id) rows with map-side combine on the line key —
+    one shuffle whose rows are lines, never whole docs; the survivors
+    (>= min_docs) are rare among distinct lines by construction.
+    ``max_lines`` keeps only the top-N by reach (TakeOrdered on the
+    deterministic (n_docs DESC, line) key) — the cap that makes the
+    result broadcastable to the removal pass."""
+    lines = (
+        df.select("doc_id",
+                  F.explode(F.split(F.col(text_col), "\n", -1)).alias("line"))
+        .filter(F.trim(F.col("line")) != "")
+    )
+    agg = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("n_docs"),
+             F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    if max_lines is not None:
+        agg = agg.orderBy(F.desc("n_docs"), F.asc("line")).limit(max_lines)
+    return agg
+
+
+def remove_boilerplate_lines(df: DataFrame, text_col: str = "text",
+                             min_docs: int = 3,
+                             max_lines: int = 10_000) -> DataFrame:
+    """Rewrite every doc with corpus-boilerplate lines dropped (blank
+    lines and untouched content preserved byte-identically — the
+    remove_repeated_spans contract at line granularity). The capped
+    boilerplate hash set rides a 1-row broadcast crossJoin into a pure
+    HOF filter, so document bodies NEVER shuffle; only the tiny census
+    aggregate moves. Returns (doc_id, text, n_lines_removed)."""
+    bp = boilerplate_lines(df, text_col, min_docs, max_lines).select(
+        F.md5("line").alias("h"))
+    bp_set = bp.agg(F.collect_set("h").alias("bp"))
+    lines = F.split(F.col(text_col), "\n", -1)
+    kept = F.filter(
+        lines,
+        lambda l: (F.trim(l) == "") | ~F.array_contains(F.col("bp"), F.md5(l)))
+    return (
+        df.crossJoin(F.broadcast(bp_set))
+        .select(
+            "doc_id",
+            F.array_join(kept, "\n").alias(text_col),
+            (F.size(lines) - F.size(kept)).cast("long")
+            .alias("n_lines_removed"),
+        )
+    )

@@ -2595,3 +2595,36 @@ def test_extract_comments_provenance(spark):
     rows = {(r.doc_id, r.line_no): r.comment
             for r in T.extract_comments(docs).collect()}
     assert rows == {(1, 0): "first", (1, 2): "indented marker", (1, 4): ""}
+
+
+def test_boilerplate_lines_census_and_removal(spark):
+    """Census thresholds on DISTINCT docs (within-doc repeats don't
+    inflate reach), blank lines never count as boilerplate, the
+    max_lines cap takes highest-reach lines first, and removal
+    preserves untouched docs byte-identically while only dropping
+    census lines; the removal plan never shuffles document bodies."""
+    from dataquality_cli_spark.operators import dedup as D
+
+    header = "// Copyright Corp"
+    docs = spark.createDataFrame(
+        [(1, f"{header}\nalpha\n\nuniq1\n"),
+         (2, f"{header}\n{header}\nuniq2\n"),
+         (3, f"{header}\nuniq3\n"),
+         (4, "all unique here\n\n")],
+        "doc_id long, text string")
+    census = {r.line: r for r in
+              D.boilerplate_lines(docs, min_docs=3).collect()}
+    assert set(census) == {header}
+    assert (census[header].n_docs, census[header].n_occurrences) == (3, 4)
+
+    out = {r.doc_id: r for r in
+           D.remove_boilerplate_lines(docs, min_docs=3).collect()}
+    assert out[1].text == "alpha\n\nuniq1\n" and out[1].n_lines_removed == 1
+    assert out[2].text == "uniq2\n" and out[2].n_lines_removed == 2
+    assert out[4].text == "all unique here\n\n"   # byte-identical
+    assert out[4].n_lines_removed == 0
+    plan = (D.remove_boilerplate_lines(docs, min_docs=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the only join is the 1-row broadcast of the hash set
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan

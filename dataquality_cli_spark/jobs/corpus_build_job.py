@@ -4,6 +4,7 @@ north star describes, composed from this repo's operators in ONE job —
     quality filter (langid + perplexity + heuristics + scrub,
        with an optional model-based gate: --classifier-labels)
     -> license blocklist (optional: --drop-licenses)
+    -> machine-generated-file gate (optional: --drop-generated)
     -> cross-corpus Bloom prescreen (optional: prior snapshot filter;
        --prior-kept verifies the maybe side exactly)
     -> exact dedup (sha256 keep-first on the SCRUBBED content)
@@ -203,6 +204,17 @@ def _license_stage(kept: DataFrame, drop_licenses: list) -> DataFrame:
     return kept.filter(~blocked)
 
 
+def _generated_stage(kept: DataFrame) -> DataFrame:
+    """Optional machine-generated-file gate (The Stack excludes
+    generated files before training; public convention markers —
+    DO NOT EDIT / @generated / protoc banners — via
+    text.generated_guess_col). Pure codegen FILTER on the marker
+    expression — no join, no shuffle, no UDF."""
+    from dataquality_cli_spark.operators.text import generated_guess_col
+
+    return kept.filter(generated_guess_col(F.col("text")) == "none")
+
+
 def _scrub_sha_col(df: DataFrame) -> F.Column:
     """The cross-corpus Bloom key: the pre-span scrubbed-text sha
     column when the frame carries it, else sha2(text) (pre-upgrade
@@ -348,6 +360,7 @@ def build_corpus(
     prior_kept: str | None = None,
     cross_doc_min_docs: int | None = None,
     drop_licenses: list | None = None,
+    drop_generated: bool = False,
     classifier_labeled: DataFrame | None = None,
     classifier_threshold: float = 0.5,
 ) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
@@ -391,22 +404,30 @@ def build_corpus(
     else:
         licensed = kept
 
+    # 1a'. optional machine-generated-file gate (codegen filter)
+    if drop_generated:
+        human = _generated_stage(licensed).persist()
+        metrics["after_generated_gate"] = human.count()
+    else:
+        human = licensed
+
     # 1b. optional cross-corpus Bloom prescreen (prior snapshot filter)
     if bloom_artifact is not None:
-        screened = _bloom_stage(spark, licensed, bloom_artifact,
+        screened = _bloom_stage(spark, human, bloom_artifact,
                                 prior_kept).persist()
         metrics["after_bloom_screen"] = screened.count()
     else:
-        screened = licensed
+        screened = human
 
     # 2. exact dedup on the scrubbed text (keep lowest doc_id)
     exact = _exact_stage(screened).persist()
     metrics["after_exact_dedup"] = exact.count()
     kept.unpersist()
-    if licensed is not kept:
-        licensed.unpersist()
-    if screened is not licensed and screened is not kept:
-        screened.unpersist()
+    # unpersist each DISTINCT optional-stage frame once (identity
+    # dedupe: disabled stages alias the previous frame)
+    for fr in {id(f): f for f in (licensed, human, screened)}.values():
+        if fr is not kept:
+            fr.unpersist()
 
     # 3. near-dup dedup: LSH -> verified Jaccard -> components; drop
     # every clustered doc that is not its cluster's representative
@@ -478,6 +499,7 @@ _MANIFEST = "_stage_manifest"
 _STAGES = [
     ("filtered", "kept_after_filter"),
     ("licensed", "after_license_gate"),  # optional — row only if on
+    ("generated", "after_generated_gate"),  # optional — row only if on
     ("bloomed", "after_bloom_screen"),  # optional — row only if on
     ("exact", "after_exact_dedup"),
     ("unique", "after_neardup_dedup"),
@@ -532,6 +554,7 @@ def build_corpus_resumable(
     prior_kept: str | None = None,
     cross_doc_min_docs: int | None = None,
     drop_licenses: list | None = None,
+    drop_generated: bool = False,
     classifier_labeled: DataFrame | None = None,
     classifier_threshold: float = 0.5,
     emit_bloom: bool = False,
@@ -570,6 +593,8 @@ def build_corpus_resumable(
         "cross_doc_min_docs": cross_doc_min_docs,
         "drop_licenses": sorted(s.strip().lower() for s in drop_licenses)
         if drop_licenses else None,
+        # None (not False) when off — pre-upgrade _params dirs resume
+        "drop_generated": True if drop_generated else None,
         # None (not False) when off: a missing key in a pre-upgrade
         # _params compares equal to None, keeping old dirs resumable
         "classifier": True if classifier_labeled is not None else None,
@@ -664,12 +689,20 @@ def build_corpus_resumable(
     else:
         licensed = load("licensed")
 
+    # 1a'. optional machine-generated-file gate
+    if not drop_generated:
+        human = licensed
+    elif "generated" not in done:
+        human = finish("generated", _generated_stage(licensed))
+    else:
+        human = load("generated")
+
     # 1b. optional cross-corpus Bloom prescreen (prior snapshot filter)
     if bloom_artifact is None:
-        screened = licensed
+        screened = human
     elif "bloomed" not in done:
         screened = finish("bloomed", _bloom_stage(
-            spark, licensed, bloom_artifact, prior_kept))
+            spark, human, bloom_artifact, prior_kept))
     else:
         screened = load("bloomed")
 
@@ -843,6 +876,9 @@ def main() -> None:
                          "heuristic survivors scoring >= "
                          "--classifier-threshold")
     ap.add_argument("--classifier-threshold", type=float, default=0.5)
+    ap.add_argument("--drop-generated", action="store_true",
+                    help="drop machine-generated files (DO NOT EDIT / "
+                         "@generated / protoc-banner markers)")
     ap.add_argument("--drop-licenses", default=None,
                     help="comma-separated license families to DROP "
                          "(blocklist, e.g. 'gpl,mpl-2.0'); detection "
@@ -926,6 +962,7 @@ def main() -> None:
         cross_doc_min_docs=args.cross_doc_min_docs,
         drop_licenses=(args.drop_licenses.split(",")
                        if args.drop_licenses else None),
+        drop_generated=args.drop_generated,
         classifier_labeled=(read_corpus(spark, args.classifier_labels)
                             if args.classifier_labels else None),
         classifier_threshold=args.classifier_threshold,

@@ -840,3 +840,55 @@ def test_cli_code_report_smoke(spark, tmp_path, capsys):
                for sec in (rep["lines"], rep["functions"],
                            rep["complexity"])
                for v in sec.values())
+
+
+def test_corpus_build_generated_gate(spark, tmp_path):
+    """--drop-generated: files carrying machine-generated markers are
+    dropped right after the filter (and the license gate); the chain
+    is unchanged when the gate is off; the resumable path writes a
+    'generated' manifest row, reruns are idempotent, and the drift
+    guard rejects a resume with the gate toggled."""
+    from dataquality_cli_spark.jobs.corpus_build_job import (
+        _read_manifest, build_corpus, build_corpus_resumable)
+
+    base = corpus_to_rows(gen_corpus(60, seed=53))
+    probe = build_corpus(spark, spark.createDataFrame(base, SCHEMA),
+                         val_fraction=0.0, pack_budget=1024)[2]
+    kept_paths = [r.path for r in
+                  probe.select("path").orderBy("path").collect()]
+    gen_targets = set(kept_paths[:3])
+    rows = []
+    for (r, p, c, lang, t) in base:
+        if p in gen_targets:
+            t = "// Code generated by stubgen. DO NOT EDIT.\n" + t
+        rows.append((r, p, c, lang, t))
+    # baseline: count synth docs the screen already flags (the corpus
+    # generator plants 'auto-generated boilerplate' banners of its own)
+    df = spark.createDataFrame(rows, SCHEMA)
+
+    _p, _v, off, m_off = build_corpus(
+        spark, df, val_fraction=0.0, pack_budget=1024)
+    off_paths = {r.path for r in off.collect()}
+    assert gen_targets <= off_paths          # plant is non-vacuous
+    assert "after_generated_gate" not in m_off
+
+    _p, _v, on, m_on = build_corpus(
+        spark, df, val_fraction=0.0, pack_budget=1024,
+        drop_generated=True)
+    on_paths = {r.path for r in on.collect()}
+    assert not (gen_targets & on_paths)      # marked files gone
+    # every dropped file carried a marker (gate drops nothing else):
+    # the drop count >= the 3 plants, extras are the synth banners
+    assert m_on["kept_after_filter"] - m_on["after_generated_gate"] >= 3
+    assert (off_paths - on_paths) >= gen_targets
+
+    out = str(tmp_path / "gen")
+    kw = dict(val_fraction=0.0, pack_budget=1024, drop_generated=True)
+    m_res = build_corpus_resumable(spark, df, out, **kw)
+    assert m_res["after_generated_gate"] == m_on["after_generated_gate"]
+    assert "generated" in _read_manifest(spark, out)
+    assert build_corpus_resumable(spark, df, out, **kw) == m_res
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="drift|param"):
+        build_corpus_resumable(spark, df, out, val_fraction=0.0,
+                               pack_budget=1024)

@@ -438,6 +438,17 @@ def _code(args) -> int:
         rep["comment_stripped_dups"] = {
             "groups": int(cs["groups"] or 0),
             "members": int(cs["members"] or 0)}
+        if args.boilerplate:
+            from dataquality_cli_spark.operators import dedup as D
+
+            bp = D.boilerplate_lines(
+                docs, min_docs=args.boilerplate).agg(
+                F.count(F.lit(1)).alias("lines"),
+                F.sum("n_occurrences").alias("occurrences")).collect()[0]
+            rep["boilerplate"] = {
+                "min_docs": args.boilerplate,
+                "lines": int(bp["lines"] or 0),
+                "occurrences": int(bp["occurrences"] or 0)}
         docs.unpersist()
         if args.json:
             print(json.dumps(rep))
@@ -471,6 +482,10 @@ def _code(args) -> int:
         cd = rep["comment_stripped_dups"]
         print(f"  comment-stripped dup groups: {cd['groups']:,} "
               f"({cd['members']:,} members)")
+        if "boilerplate" in rep:
+            bpr = rep["boilerplate"]
+            print(f"  boilerplate lines (>= {bpr['min_docs']} files): "
+                  f"{bpr['lines']:,} ({bpr['occurrences']:,} occurrences)")
         return 0
     finally:
         if owns_session:
@@ -588,6 +603,9 @@ def main(argv: list[str] | None = None) -> int:
     cc.add_argument("input")
     cc.add_argument("--top", type=int, default=10,
                     help="rows per ranked section (imports, identifiers)")
+    cc.add_argument("--boilerplate", type=int, default=0, metavar="N",
+                    help="also census lines appearing in >= N files "
+                         "(0 = off)")
     cc.add_argument("--master", default=None)
     cc.add_argument("--json", action="store_true")
     dd = sub.add_parser(

@@ -811,7 +811,8 @@ def test_cli_code_report_smoke(spark, tmp_path, capsys):
     path = str(tmp_path / "corpus.parquet")
     df.write.parquet(path)
 
-    rc = main(["code", path, "--top", "5", "--json"])
+    rc = main(["code", path, "--top", "5", "--boilerplate", "10",
+               "--json"])
     assert rc == 0
     out = [l for l in capsys.readouterr().out.splitlines()
            if l.startswith("{")][-1]
@@ -834,6 +835,9 @@ def test_cli_code_report_smoke(spark, tmp_path, capsys):
     assert sum(v for k, v in rep["langs"].items() if k != "unknown") > 50
     assert rep["generated_files"] >= 1   # boilerplate banner caught
     assert rep["comment_lines"] > 0
+    # scaffolding lines shared by >= 10 of the 80 synth files exist
+    assert rep["boilerplate"]["lines"] >= 1
+    assert rep["boilerplate"]["occurrences"] >= rep["boilerplate"]["lines"]
     assert rep["complexity"]["max_brace_depth"] >= 1
     # scalars only, JSON round-trippable
     assert all(not isinstance(v, (list, dict))

@@ -753,6 +753,12 @@ IMPORT_PATTERNS = [
     ("js_require", r"require\('([^']+)'\)"),
     ("js_esm", r"(?m)^[ \t]*import[ \t]+[^;\n]*from[ \t]+'([^']+)'"),
     ("go_import", r"(?m)^[ \t]*import[ \t]+\"([^\"]+)\""),
+    # a Java import is the py_import shape with a ';' — both kinds fire
+    # on it (documented polyglot overlap; java_import requires the
+    # semicolon so py-only lines never cross-fire)
+    ("java_import", r"(?m)^[ \t]*import[ \t]+([A-Za-z_][A-Za-z0-9_.]*);"),
+    ("rust_use", r"(?m)^[ \t]*use[ \t]+([A-Za-z_][A-Za-z0-9_:]*)"),
+    ("c_include", r"(?m)^[ \t]*#include[ \t]*[<\"]([^>\"]+)[>\"]"),
 ]
 
 

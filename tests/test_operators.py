@@ -2381,7 +2381,9 @@ def test_extract_imports_kinds_and_graph(spark):
              "import lodash from 'lodash'\nimport { x } from './util'\n"),
          (3, "package main\n\nimport \"fmt\"\nimport \"strings\"\n"),
          (4, "plain prose, no imports\n"),
-         (5, "import os\n")],
+         (5, "import os\n"),
+         (6, "import java.util.List;\nuse std::collections::HashMap\n"
+             "#include <stdio.h>\n#include \"local.h\"\n")],
         "doc_id long, text string")
     edges = T.extract_imports(docs)
     got = [(r.doc_id, r.kind, r.module) for r in edges.collect()]
@@ -2400,6 +2402,14 @@ def test_extract_imports_kinds_and_graph(spark):
     assert (3, "go_import", "fmt") in got and (3, "go_import", "strings") in got
     assert not any(d == 3 and k == "py_import" for d, k, _ in got)
     assert not any(d == 4 for d, _, _ in got)
+    # java requires the semicolon; the same line also fires py_import
+    # (documented overlap) with the capture stopping before ';'
+    assert (6, "java_import", "java.util.List") in got
+    assert (6, "py_import", "java.util.List") in got
+    assert (6, "rust_use", "std::collections::HashMap") in got
+    # angle and quote include forms both captured, without delimiters
+    assert (6, "c_include", "stdio.h") in got
+    assert (6, "c_include", "local.h") in got
     plan = edges._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
 

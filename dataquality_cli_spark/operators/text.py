@@ -1066,7 +1066,16 @@ _LANG_EVIDENCE = [
     ("py", r"(?m)^[ \t]*(def |class |import |from |elif )"),
     ("go", r"(?m)^[ \t]*(func |package |type [A-Za-z]+ struct)|:="),
     ("js", r"(?m)^[ \t]*(function |const |let |var )|=>|require\("),
+    ("java", r"(?m)^[ \t]*(public class |public static |private |"
+             r"import [A-Za-z_][A-Za-z0-9_.]*;)"),
+    ("rust", r"(?m)^[ \t]*(fn |let mut |impl |pub fn |"
+             r"use [A-Za-z_][A-Za-z0-9_]*::)"),
+    ("c", r"(?m)^[ \t]*#(include|define|ifdef|ifndef)"),
 ]
+
+# vote precedence on exact evidence ties — earliest wins
+_LANG_ORDER = [("py", "python"), ("go", "go"), ("js", "js"),
+               ("java", "java"), ("rust", "rust"), ("c", "c")]
 
 
 def code_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -1082,18 +1091,20 @@ def code_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     ev = {k: F.size(F.regexp_extract_all(text, F.lit("(?d)" + p), 0))
           .cast("long")
           for k, p in _LANG_EVIDENCE}
-    guess = (
-        F.when((ev["py"] >= ev["go"]) & (ev["py"] >= ev["js"])
-               & (ev["py"] > 0), "python")
-        .when((ev["go"] >= ev["js"]) & (ev["go"] > 0), "go")
-        .when(ev["js"] > 0, "js")
-        .otherwise("unknown")
-    )
+    # argmax cascade: arm k fires when its count beats every LATER
+    # language and is positive — given earlier arms fell through, that
+    # is the max with earliest-in-_LANG_ORDER tie precedence (the SQL
+    # twin generates the same arms from the same table)
+    guess = F.lit("unknown")
+    for i in range(len(_LANG_ORDER) - 1, -1, -1):
+        k, label = _LANG_ORDER[i]
+        cond = ev[k] > 0
+        for m, _ in _LANG_ORDER[i + 1:]:
+            cond = cond & (ev[k] >= ev[m])
+        guess = F.when(cond, label).otherwise(guess)
     return df.select(
         "doc_id",
-        ev["py"].alias("py_evidence"),
-        ev["go"].alias("go_evidence"),
-        ev["js"].alias("js_evidence"),
+        *[ev[k].alias(f"{k}_evidence") for k, _ in _LANG_ORDER],
         guess.alias("lang_guess"),
     )
 

@@ -2580,7 +2580,11 @@ def test_code_lang_guess_votes_and_ties(spark):
          (2, "package main\nfunc f() {\n\tx := 1\n}\n"),
          (3, "const a = 1\nlet b = 2\nvar c = 3\nd => e\n"),
          (4, "plain prose with no code at all\n"),
-         (5, "import os\nfunc f() {\n")],  # 1 py vs 1 go -> py wins tie
+         (5, "import os\nfunc f() {\n"),  # 1 py vs 1 go -> py wins tie
+         (6, "import java.util.List;\npublic class A {\n"),
+         (7, "use std::collections::HashMap\nfn main() {\n"
+             "    let mut x = 1\n"),
+         (8, "#include <stdio.h>\n#define MAX 10\n")],
         "doc_id long, text string")
     got = {r.doc_id: r for r in T.code_lang_guess(docs).collect()}
     assert got[1].lang_guess == "python" and got[1].py_evidence == 3
@@ -2589,6 +2593,11 @@ def test_code_lang_guess_votes_and_ties(spark):
     assert got[4].lang_guess == "unknown"
     assert (got[5].py_evidence, got[5].go_evidence) == (1, 1)
     assert got[5].lang_guess == "python"
+    # the java import line fires BOTH py (no-semicolon shape) and java
+    # evidence; 'public class' tips the vote past the py tie
+    assert got[6].lang_guess == "java" and got[6].java_evidence == 2
+    assert got[7].lang_guess == "rust" and got[7].rust_evidence == 3
+    assert got[8].lang_guess == "c" and got[8].c_evidence == 2
 
 
 def test_extract_comments_provenance(spark):

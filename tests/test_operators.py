@@ -2647,3 +2647,73 @@ def test_boilerplate_lines_census_and_removal(spark):
     # the only join is the 1-row broadcast of the hash set
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_minhash_mapinpandas_matches_expression_twin(spark):
+    """r7 optimization parity pin: minhash_signatures moved from the
+    per-shingle JVM md5 expression path to a hashlib mapInPandas kernel.
+    The column-expression builder (minhash_signature — still the DuckDB
+    oracle's semantics source) must agree byte-for-byte, including the
+    edge shapes: empty text, shorter-than-k text, non-ASCII codepoints
+    (Python slicing and Spark substring both count codepoints), and
+    NULL text (NULL signature)."""
+    from dataquality_cli_spark.operators import dedup as D
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 20),
+        (2, ""),
+        (3, "tiny"),                      # < SHINGLE_LEN
+        (4, "exactly8"),                  # == SHINGLE_LEN
+        (5, "ueber-grün élève 中文文本"
+            " mixed unicode text body"),
+        (6, None),
+        (7, "a" * 100),                   # degenerate: one distinct shingle
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = {r.doc_id: r for r in D.minhash_signatures(df).collect()}
+    slow = {r.doc_id: r for r in df.select(
+        "doc_id", *D.minhash_signature(F.col("text"))).collect()}
+    assert set(fast) == set(slow)
+    for did in slow:
+        for j in range(D.N_HASHES):
+            assert fast[did][f"mh{j}"] == slow[did][f"mh{j}"], (
+                did, j, fast[did], slow[did])
+
+
+def test_kmeans_fused_iteration_matches_numpy_lloyd(spark):
+    """r7 optimization parity pin: kmeans_fit's fused mapInArrow
+    iteration (assign + partial sums in one pass, driver reduce) must
+    reproduce a pure-numpy Lloyd run from the same deterministic
+    farthest-point init."""
+    import numpy as np
+
+    from dataquality_cli_spark.operators import similarity as S
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(4, 8) * 3
+    pts = np.vstack([c + 0.05 * rng.randn(50, 8) for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<double>").repartition(5)
+    got = S.kmeans_fit(df, k=4, n_iter=4)
+
+    # reference: same init (hash-ordered sample = all 200 rows here),
+    # same argmax-assign, plain numpy means
+    import hashlib
+    order = sorted(range(len(pts)),
+                   key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    x0 = pts[order]
+    picks = [0]
+    d2 = ((x0 - x0[0]) ** 2).sum(axis=1)
+    for _ in range(3):
+        nxt = int(d2.argmax())
+        picks.append(nxt)
+        d2 = np.minimum(d2, ((x0 - x0[nxt]) ** 2).sum(axis=1))
+    cent = x0[picks].copy()
+    for _ in range(4):
+        scores = pts @ cent.T - 0.5 * (cent * cent).sum(axis=1)
+        cells = scores.argmax(axis=1)
+        for c in range(4):
+            if (cells == c).any():
+                cent[c] = pts[cells == c].mean(axis=0)
+    assert np.allclose(got, cent, atol=1e-9), np.abs(got - cent).max()

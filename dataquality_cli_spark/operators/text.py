@@ -968,41 +968,84 @@ def complexity_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
       single aggregate fold over characters (minified or generated
       code shows extreme depth)
 
-    One scan, pure codegen (regexp counts + one HOF fold) — no UDF,
-    no shuffle; exact DuckDB oracle (entry query doc_complexity)."""
+    One scan, no shuffle; exact DuckDB oracle (entry query
+    doc_complexity). The depth maxima run as a numpy cumsum kernel over
+    the raw UTF-8 bytes in one Arrow pass (r7: the previous
+    interpreted per-char struct-fold allocated ~2 chars' worth of
+    structs per byte, twice — SURVEY.md §7 measured that expression
+    shape allocation-bound; brackets are ASCII so byte-level cumsum is
+    exactly the per-char fold, parity pytest-pinned against the
+    retained :func:`_depth_fold_expr` twin); the branch counts stay
+    JVM regexp codegen."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .util import spread
+
     text = F.col(text_col)
     n_lines = F.size(F.split(text, "\n", -1))
     branches = (
         F.size(F.regexp_extract_all(text, F.lit(_BRANCH_WORD_RE), 0))
         + F.size(F.regexp_extract_all(text, F.lit(_BRANCH_OP_RE), 0))
     ).cast("long")
-    # running depth fold: acc = (current, max); per-char split MUST be
-    # '(?!\\z)' — plain '' drops the last char (gotcha 31) and '(?!$)'
-    # merges the char before a trailing newline with it (Java $ matches
-    # BEFORE a final line terminator), undercounting a bracket at EOL
-    def depth_fold(open_ch: str, close_ch: str) -> Column:
-        chars = F.split(text, r"(?!\z)", -1)
-        acc = F.aggregate(
-            chars,
-            F.struct(F.lit(0).alias("cur"), F.lit(0).alias("mx")),
-            lambda a, c: F.struct(
-                (a.cur + F.when(c == open_ch, 1)
-                 .when(c == close_ch, -1).otherwise(0)).alias("cur"),
-                F.greatest(
-                    a.mx,
-                    a.cur + F.when(c == open_ch, 1)
-                    .when(c == close_ch, -1).otherwise(0)).alias("mx")),
-        )
-        return acc.mx.cast("long")
 
-    return df.select(
+    @pandas_udf("max_paren long, max_brace long")
+    def depths(texts: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        paren, brace = [], []
+        for t in texts:
+            if t is None:
+                paren.append(None)
+                brace.append(None)
+                continue
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            if b.size == 0:
+                paren.append(0)
+                brace.append(0)
+                continue
+            # running max of cumsum(+1 open / -1 close); non-ASCII
+            # continuation bytes are >= 0x80 and never match the
+            # ASCII bracket codes, so byte-level == char-level
+            d = np.cumsum((b == 40).astype(np.int64) - (b == 41))
+            paren.append(max(int(d.max()), 0))
+            d = np.cumsum((b == 123).astype(np.int64) - (b == 125))
+            brace.append(max(int(d.max()), 0))
+        return pd.DataFrame({"max_paren": paren, "max_brace": brace})
+
+    return spread(df).select(
         "doc_id",
         branches.alias("n_branch_points"),
         F.round(branches.cast("double") / n_lines.cast("double"), 4)
         .alias("branch_density"),
-        depth_fold("(", ")").alias("max_paren_depth"),
-        depth_fold("{", "}").alias("max_brace_depth"),
+        depths(text).alias("_d"),
+    ).select(
+        "doc_id", "n_branch_points", "branch_density",
+        F.col("_d.max_paren").alias("max_paren_depth"),
+        F.col("_d.max_brace").alias("max_brace_depth"),
     )
+
+
+def _depth_fold_expr(text: Column, open_ch: str, close_ch: str) -> Column:
+    """The original interpreted per-char running-depth fold — kept as
+    the semantics twin the Arrow kernel in :func:`complexity_profile`
+    is parity-tested against (and the shape the DuckDB oracle mirrors).
+    Per-char split MUST be '(?!\\z)' — plain '' drops the last char
+    (gotcha 31) and '(?!$)' merges the char before a trailing newline
+    with it (Java $ matches BEFORE a final line terminator),
+    undercounting a bracket at EOL."""
+    chars = F.split(text, r"(?!\z)", -1)
+    acc = F.aggregate(
+        chars,
+        F.struct(F.lit(0).alias("cur"), F.lit(0).alias("mx")),
+        lambda a, c: F.struct(
+            (a.cur + F.when(c == open_ch, 1)
+             .when(c == close_ch, -1).otherwise(0)).alias("cur"),
+            F.greatest(
+                a.mx,
+                a.cur + F.when(c == open_ch, 1)
+                .when(c == close_ch, -1).otherwise(0)).alias("mx")),
+    )
+    return acc.mx.cast("long")
 
 
 def function_neardup_pairs(df: DataFrame, id_col: str = "doc_id",

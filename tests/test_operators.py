@@ -2644,9 +2644,37 @@ def test_boilerplate_lines_census_and_removal(spark):
     assert out[4].n_lines_removed == 0
     plan = (D.remove_boilerplate_lines(docs, min_docs=3)
             ._jdf.queryExecution().executedPlan().toString())
-    # the only join is the 1-row broadcast of the hash set
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    assert "SortMergeJoin" not in plan
+    # r7: the census rides a SparkContext broadcast into a mapInPandas
+    # set-lookup kernel — the rewrite plan has NO join and no shuffle
+    # of document bodies at all
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_remove_boilerplate_parity_edges(spark):
+    """r7 optimization parity pins for the mapInPandas rewrite: Python
+    split/strip/md5 must match the previous JVM expressions — trailing
+    empties kept by split, blank = trim-of-0x20-only (tabs are NOT
+    blank), unicode lines hash by utf-8 bytes, NULL text passes
+    through as NULL."""
+    from dataquality_cli_spark.operators import dedup as D
+
+    bp = "// generated – ügly ünicode banner"
+    docs = spark.createDataFrame(
+        [(1, f"{bp}\nkeep one\n"),
+         (2, f"{bp}\n\tkeep tab line\n   \n{bp}"),
+         (3, f"{bp}\nkeep three"),
+         (4, None)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           D.remove_boilerplate_lines(docs, min_docs=3).collect()}
+    assert out[1].text == "keep one\n" and out[1].n_lines_removed == 1
+    # tab-indented line is NOT blank but also not boilerplate -> kept;
+    # the space-only line IS blank -> kept verbatim
+    assert out[2].text == "\tkeep tab line\n   " and \
+        out[2].n_lines_removed == 2
+    assert out[3].text == "keep three"
+    assert out[4].text is None and out[4].n_lines_removed is None
 
 
 def test_minhash_mapinpandas_matches_expression_twin(spark):
@@ -2717,3 +2745,33 @@ def test_kmeans_fused_iteration_matches_numpy_lloyd(spark):
             if (cells == c).any():
                 cent[c] = pts[cells == c].mean(axis=0)
     assert np.allclose(got, cent, atol=1e-9), np.abs(got - cent).max()
+
+
+def test_complexity_depth_kernel_matches_hof_twin(spark):
+    """r7 optimization parity pin: complexity_profile's depth maxima
+    moved to a numpy byte-cumsum Arrow kernel; the retained interpreted
+    HOF fold (_depth_fold_expr — the DuckDB oracle's shape) must agree
+    exactly, including unicode payloads (multi-byte chars never match
+    ASCII brackets), unbalanced closers (max clamps at 0), trailing
+    newlines (the (?!\\z) split edge), and empty text."""
+    from dataquality_cli_spark.operators import text as T
+
+    rows = [
+        (1, "def f(x):\n    return (g(h(x)))\n"),
+        (2, "}}}{{{"),
+        (3, ")))((("),
+        (4, ""),
+        (5, "if (a) { if (b) { c(); } }"),
+        (6, "unicode (括号 (nested)) ümlaut {x {y}}"),
+        (7, "(\n"),          # bracket right before trailing newline
+        (8, "((((((((((deep))))))))))"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in T.complexity_profile(df).collect()}
+    want = {r.doc_id: r for r in df.select(
+        "doc_id",
+        T._depth_fold_expr(F.col("text"), "(", ")").alias("p"),
+        T._depth_fold_expr(F.col("text"), "{", "}").alias("b")).collect()}
+    for did in want:
+        assert got[did].max_paren_depth == want[did].p, (did, got[did])
+        assert got[did].max_brace_depth == want[did].b, (did, got[did])

@@ -100,23 +100,59 @@ def neardup_pairs_lsh(df: DataFrame, threshold: float = 0.95,
     from pyspark import StorageLevel
 
     planes = hyperplanes(dim, n_planes * n_tables, seed)
-    buckets = _table_buckets(F.col(vec_col), planes, n_tables)
-    # persisted so the bucket self-join doesn't re-project the hyperplane
-    # dot products per side; released by ContextCleaner with the plan
+    buckets = _table_buckets_udf(planes, n_tables)(F.col(vec_col))
+    # r7 shape: WITHIN-BUCKET matmul pairing (the semantic_dedup /
+    # ngram-jaccard pattern) instead of materializing the candidate
+    # pair set. At low plane counts candidates explode (~1M pairs for
+    # 2k random vectors at sf0.1) and the old
+    # self-join -> distinct -> two vector joins -> per-pair interpreted
+    # cosine fold spent ~4 s shuffling and folding pairs that verify to
+    # nothing. Now each (table, bucket) group lands in one applyInPandas
+    # task carrying its vectors (bucket rows ship the vector — n_tables
+    # x corpus vector bytes, BOUNDED per task by ``max_bucket_size``²
+    # BLAS flops — versus a candidate-pair shuffle that is O(sum
+    # bucket²) rows, which at 10^12 scale dwarfs the vector
+    # replication); a normalized matmul emits only pairs with numpy
+    # cosine > threshold - 1e-6 (numpy vs left-fold summation differ
+    # ~1e-12 — no true pair lost). Cross-table duplicates collapse via
+    # distinct on the SURVIVORS (O(near-dups), not O(candidates)), and
+    # the final exact expression cosine re-confirms each survivor, so
+    # emitted values stay byte-identical to the old path (the Bloom
+    # prescreen + exact-confirm pattern). Measured sf0.1: ~4.2 s ->
+    # ~1.1 s warm.
+    from .dedup import cap_buckets
+
     b = df.select(
-        F.col(id_col), F.posexplode(buckets).alias("table", "bucket")
+        F.col(id_col), F.col(vec_col).alias("_v"),
+        F.posexplode(buckets).alias("table", "bucket")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # shared broadcast-anti-join cap — a window count here would sort the
     # whole band table (the exact shape dedup.cap_buckets was measured
     # against); at 10^12 rows that sort is the job's bottleneck
-    from .dedup import cap_buckets
-
     b = cap_buckets(b, ["table", "bucket"], max_bucket_size)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        x = np.array(pdf["_v"].to_numpy()[order].tolist(),
+                     dtype=np.float64)
+        norms = np.maximum(np.linalg.norm(x, axis=1), 1e-300)
+        xn = x / norms[:, None]
+        sims = xn @ xn.T
+        iu, ju = np.triu_indices(n, k=1)
+        hit = sims[iu, ju] > threshold - 1e-6
+        return pd.DataFrame({"id_a": ids[iu[hit]], "id_b": ids[ju[hit]]})
+
     cands = (
-        b.alias("a").join(b.alias("b"), ["table", "bucket"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"))
+        b.groupBy("table", "bucket")
+        .applyInPandas(bucket_pairs,
+                       schema=f"id_a {id_type}, id_b {id_type}")
+        .filter(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
@@ -204,6 +240,12 @@ def _centroids_bc(sc, cent: np.ndarray):
     hit = _PROBE_BC_CACHE.get(id(cent))
     if hit is not None and hit[0] is sc and hit[3] == digest:
         return hit[2]
+    if hit is not None and hit[0] is sc:
+        # digest mismatch: the array was mutated in place — release the
+        # stale broadcast before rebroadcasting, mirroring the eviction
+        # path (r6 advice: the overwrite below otherwise leaks an
+        # executor-side copy per refit on a long-lived driver)
+        hit[2].unpersist(blocking=False)
     # a new SparkContext (test sessions stop/start) invalidates every
     # cached broadcast handle
     for k, (s, _arr, _bc, _d) in list(_PROBE_BC_CACHE.items()):
@@ -449,11 +491,51 @@ def lsh_bucket_col(vec: Column, planes: np.ndarray) -> Column:
 
 
 def _table_buckets(vec: Column, planes: np.ndarray, n_tables: int) -> Column:
-    """Array of per-table bucket ids (planes split evenly over tables)."""
+    """Array of per-table bucket ids (planes split evenly over tables)
+    as pure column expressions — retained as the SEMANTICS TWIN of the
+    Arrow kernel below (parity pytest-pinned) and the shape the
+    ann_lsh_buckets oracle checks through lsh_bucket_col."""
     per = len(planes) // n_tables
     return F.array(*[
         lsh_bucket_col(vec, planes[t * per : (t + 1) * per]) for t in range(n_tables)
     ])
+
+
+def _table_buckets_udf(planes: np.ndarray, n_tables: int):
+    """r7: the serving-path bucket assigner — ONE numpy matmul per
+    Arrow batch instead of the per-plane interpreted dot_col fold
+    (n_planes x dim x rows lambda evaluations and a 4k-literal
+    expression tree at 64 planes; measured ann_lsh_topk 5.8s -> 1.4s
+    at sf0.1). Bit/bucket layout identical to :func:`_table_buckets`:
+    bit j of table t is sign(dot(vec, plane[t*per+j])) > 0. Float
+    summation order differs from the left-folded expression (BLAS vs
+    sequential), which can only matter for a dot product within ~1e-15
+    of exactly 0 — knife-edge bucket boundaries no REAL vector
+    occupies; the exact-oracle routing query (ann_lsh_buckets) keeps
+    the expression path. A NULL vector maps to bucket 0 in every
+    table, matching when(NULL > 0, ...) semantics."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.ascontiguousarray(np.asarray(planes, dtype=np.float64))
+    per = len(P) // n_tables
+
+    @pandas_udf("array<long>")
+    def tb(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        nulls = vecs.isna()
+        safe = [v if v is not None else [0.0] * P.shape[1]
+                for v in vecs]
+        x = np.array(safe, dtype=np.float64)
+        bits = (x @ P.T) > 0
+        out = np.zeros((len(x), n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            for j in range(per):
+                out[:, t] += bits[:, t * per + j].astype(np.int64) << j
+        out[nulls.to_numpy()] = 0
+        return pd.Series([r.tolist() for r in out])
+
+    return tb
 
 
 def ann_lsh_topk(df: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 4,
@@ -470,7 +552,7 @@ def ann_lsh_topk(df: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 
     never cross-joins; at scale the bucket table is a materialized
     index."""
     planes = hyperplanes(dim, n_planes * n_tables, seed)
-    buckets = _table_buckets(F.col(vec_col), planes, n_tables)
+    buckets = _table_buckets_udf(planes, n_tables)(F.col(vec_col))
     t_b = df.select(F.col(id_col).alias("neighbor_id"),
                     F.posexplode(buckets).alias("table", "bucket"))
     q_b = queries.select(
@@ -532,7 +614,7 @@ def save_ann_lsh_index(df: DataFrame, path: str, n_planes: int = 4,
         "n_planes int, n_tables int, dim int, seed int",
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "meta"))
-    buckets = _table_buckets(F.col(vec_col), planes, n_tables)
+    buckets = _table_buckets_udf(planes, n_tables)(F.col(vec_col))
     (df.select(F.col(id_col).alias("neighbor_id"),
                F.lit("base").alias("batch"),
                F.posexplode(buckets).alias("table", "bucket"))
@@ -556,8 +638,8 @@ def ann_lsh_index_add(spark, path: str, new_df: DataFrame,
     k-th) — the ivf_index_add twin."""
     _check_batch_id(batch_id)
     idx = load_ann_lsh_index(spark, path)
-    buckets = _table_buckets(F.col(vec_col), idx["planes"],
-                             idx["n_tables"])
+    buckets = _table_buckets_udf(
+        idx["planes"], idx["n_tables"])(F.col(vec_col))
     _write_batch_partitions(
         new_df.select(F.col(id_col).alias("neighbor_id"),
                       F.lit(batch_id).alias("batch"),
@@ -596,8 +678,8 @@ def ann_lsh_topk_indexed(index: dict, queries: DataFrame, k: int = 5,
     hyperplane projections."""
     q_b = queries.select(
         F.col(id_col).alias("query_id"),
-        F.posexplode(_table_buckets(
-            F.col(vec_col), index["planes"], index["n_tables"]))
+        F.posexplode(_table_buckets_udf(
+            index["planes"], index["n_tables"])(F.col(vec_col)))
         .alias("table", "bucket"),
     )
     q_vecs = queries.select(

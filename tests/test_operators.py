@@ -2775,3 +2775,24 @@ def test_complexity_depth_kernel_matches_hof_twin(spark):
     for did in want:
         assert got[did].max_paren_depth == want[did].p, (did, got[did])
         assert got[did].max_brace_depth == want[did].b, (did, got[did])
+
+
+def test_table_buckets_udf_matches_expression_twin(spark, emb):
+    """r7 optimization parity pin: the serving paths' Arrow bucket
+    kernel (_table_buckets_udf) must produce the same per-table bucket
+    ids as the retained column-expression twin (_table_buckets) on the
+    real embeddings fixture — same bit layout, same strict sign rule."""
+    import numpy as np
+
+    from dataquality_cli_spark.operators import similarity as S
+
+    planes = S.hyperplanes(64, 32, seed=41)
+    got = {r.vec_id: r.b for r in emb.select(
+        "vec_id",
+        S._table_buckets_udf(planes, 8)(F.col("embedding")).alias("b"))
+        .collect()}
+    want = {r.vec_id: r.b for r in emb.select(
+        "vec_id",
+        S._table_buckets(F.col("embedding"), planes, 8).alias("b"))
+        .collect()}
+    assert got == want

@@ -80,6 +80,12 @@ def _minhash_batch_fn(text_col: str, n_hashes: int = N_HASHES,
 
         md5 = hashlib.md5
         for pdf in batches:
+            # per-batch digest cache: shingles repeat heavily ACROSS
+            # docs (common word fragments), so hash each distinct
+            # shingle once per batch instead of once per occurrence
+            # (~45 % fewer md5 calls on the sf0.1 corpus); bounded by
+            # the batch's distinct-shingle count, dropped per batch
+            cache: dict = {}
             rows = []
             for did, txt in zip(pdf["doc_id"], pdf[text_col]):
                 if txt is None:
@@ -89,12 +95,19 @@ def _minhash_batch_fn(text_col: str, n_hashes: int = N_HASHES,
                 if n <= k:
                     # substring(text, 1, k) of a short doc is the doc
                     # itself ('' included — sequence(1, greatest(..,1)))
-                    sh = [txt.encode("utf-8")]
+                    sh = [txt]
                 else:
-                    sh = {txt[i:i + k].encode("utf-8")
-                          for i in range(n - k + 1)}
-                rows.append((did, *(min(md5(s + x).hexdigest() for x in sh)
-                                    for s in salts)))
+                    sh = {txt[i:i + k] for i in range(n - k + 1)}
+                digs = []
+                for x in sh:
+                    d = cache.get(x)
+                    if d is None:
+                        xb = x.encode("utf-8")
+                        d = cache[x] = tuple(
+                            md5(s + xb).hexdigest() for s in salts)
+                    digs.append(d)
+                rows.append((did, *(min(d[j] for d in digs)
+                                    for j in range(n_hashes))))
             yield pd.DataFrame(
                 rows, columns=["doc_id"] + [f"mh{j}"
                                             for j in range(n_hashes)])
@@ -208,12 +221,14 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     The cache is released by Spark's ContextCleaner when the returned
     plan is dropped.
 
-    Measured (sf0.1, local[32], warm): this JVM-codegen md5 path takes
-    ~1.9s end-to-end after the stack() band pivot — FASTER than the
-    Arrow-vectorized numpy variant below (~4.5s), because the corpus'
-    docs are short and Arrow text transfer + 16 hash passes dominate.
-    Keep signatures JVM-side for short-document corpora; the numpy path
-    is the banding-precision alternative, not a speed path.
+    Signatures come from the hashlib mapInPandas kernel in
+    ``minhash_signatures`` as of r7 (the r3-era note that the JVM HOF
+    path beat a numpy variant compared against the 16-hash
+    multiply-shift path below, which pays 16 hash passes; the 6-salt
+    hashlib kernel computes the SAME portable md5 minima ~20-30 %
+    faster with far less JVM garbage — see that function's docstring).
+    The 16-hash ``fast_*`` variants below remain the banding-PRECISION
+    alternative (steeper S-curve), not a speed path.
 
     ``max_bucket_size`` drops buckets bigger than the cap before pairing
     — the 100 TB guard against quadratic candidate blowup from
@@ -372,27 +387,27 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                     j = vocab[s] = len(vocab)
                 cols_ix.append(j)
                 rows_ix.append(i)
-        x = np.zeros((n, len(vocab)), dtype=np.float32)
-        x[rows_ix, cols_ix] = 1.0
-        sizes = x.sum(axis=1).astype(np.int64)
-        out_a, out_b, out_i = [], [], []
-        chunk = 512
-        for lo in range(0, n - 1, chunk):
-            hi = min(lo + chunk, n)
-            g = (x[lo:hi] @ x.T).astype(np.int64)
-            for r in range(hi - lo):
-                i = lo + r
-                inter = g[r, i + 1:]
-                out_a.append(np.full(n - i - 1, ids[i]))
-                out_b.append(ids[i + 1:])
-                out_i.append(inter)
-        id_a = np.concatenate(out_a)
-        id_b = np.concatenate(out_b)
-        n_inter = np.concatenate(out_i)
-        na = sizes[np.searchsorted(ids, id_a)]
-        nb = sizes[np.searchsorted(ids, id_b)]
-        return pd.DataFrame({"id_a": id_a, "id_b": id_b,
-                             "n_inter": n_inter, "n_a": na, "n_b": nb})
+        rows_np = np.asarray(rows_ix, dtype=np.int64)
+        cols_np = np.asarray(cols_ix, dtype=np.int64)
+        sizes = np.bincount(rows_np, minlength=n).astype(np.int64)
+        # accumulate the full intersection-count matrix over VOCAB
+        # chunks: per-task memory is O(n^2 + n x cv) — the n^2 term is
+        # the operator's irreducible all-pairs output; never the full
+        # n x |vocab| incidence matrix (which outgrows memory first on
+        # big blocks)
+        cv = 4096
+        g = np.zeros((n, n), dtype=np.float32)
+        v = len(vocab)
+        for vlo in range(0, v, cv):
+            sel = (cols_np >= vlo) & (cols_np < min(vlo + cv, v))
+            xc = np.zeros((n, min(cv, v - vlo)), dtype=np.float32)
+            xc[rows_np[sel], cols_np[sel] - vlo] = 1.0
+            g += xc @ xc.T
+        gi = g.astype(np.int64)
+        iu, ju = np.triu_indices(n, k=1)
+        return pd.DataFrame({"id_a": ids[iu], "id_b": ids[ju],
+                             "n_inter": gi[iu, ju],
+                             "n_a": sizes[iu], "n_b": sizes[ju]})
 
     counted = spread(sh).groupBy("block").applyInPandas(
         block_pairs,
@@ -802,7 +817,15 @@ def select_representatives(clusters: DataFrame, scores: DataFrame,
 def _span_windows(df: DataFrame, text_col: str,
                   k_tokens: int) -> DataFrame:
     """(doc_id, pos, h): every k-token window of every doc, hashed.
-    One Generate (explode) in the scan stage, like the describe melt."""
+    One Generate (explode) in the scan stage, like the describe melt.
+
+    r7 note: a mapInPandas hashlib kernel for this explode was built,
+    parity-proven and MEASURED SLOWER (warm 1.6-2.1 s vs 0.8 s at
+    sf0.1 with the window table persisted): unlike the minhash kernel
+    (6 md5 per shingle of C work), a window row is one tiny
+    join+md5 — per-row Python loop overhead exceeds the interpreted
+    HOF cost it replaces. Kept as the expression explode; the r7 win
+    here is the persist in the callers."""
     toks = F.split(F.col(text_col), r"\s+", -1)
     # Spark sequence(a, b) counts DOWN when a > b, so a doc shorter than
     # k tokens would yield [0, -1]; clamp the end to 0 and filter the

@@ -2796,3 +2796,29 @@ def test_table_buckets_udf_matches_expression_twin(spark, emb):
         S._table_buckets(F.col("embedding"), planes, 8).alias("b"))
         .collect()}
     assert got == want
+
+
+def test_remove_spans_persisted_windows_byte_identity(spark):
+    """r7 pin for the persisted-window-table optimization: full
+    remove_repeated_spans output (n_tokens / n_tokens_removed /
+    cleaned_text) on a corpus with planted repeated spans, plus the
+    untouched-doc split-join identity and NULL passthrough. (A
+    mapInPandas span kernel was also prototyped this round,
+    parity-proven and REJECTED on measurement — see _span_windows'
+    docstring.)"""
+    from dataquality_cli_spark.operators import dedup as D
+
+    boiler = "x1 x2 x3"
+    rows = [(i, f"doc {i} unique words {boiler} tail{i}")
+            for i in range(6)] + [(10, "totally unique text here"),
+                                  (11, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           D.remove_repeated_spans(df, k_tokens=3, min_docs=5).collect()}
+    # the planted 3-token span repeats in 6 docs -> deleted everywhere;
+    # overlapping windows around it widen the deletion
+    assert out[0].n_tokens == 8 and out[0].n_tokens_removed > 0
+    assert "x2" not in out[0].cleaned_text
+    assert out[10].cleaned_text == "totally unique text here"
+    assert out[10].n_tokens_removed == 0
+    assert out[11].cleaned_text is None and out[11].n_tokens is None

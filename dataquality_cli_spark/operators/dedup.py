@@ -920,11 +920,24 @@ def _remove_spans_at(df: DataFrame, positions: DataFrame,
             lambda p: (p <= s["i"]) & (s["i"] < p + k_tokens),
         ),
     )
+    # r7 fast path: flagged positions exist only where boilerplate
+    # lives, so MOST docs carry an empty span array — branch them past
+    # the per-token struct+exists machinery entirely (array_join of the
+    # raw token array is byte-identical to joining an unfiltered kept
+    # set). CASE branches evaluate lazily per row, so untouched docs
+    # never build the struct array.
+    untouched = F.size(spans) == 0
     return df.join(flagged, "doc_id", "left").select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
-        (F.size(toks) - F.size(kept)).cast("long").alias("n_tokens_removed"),
-        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("cleaned_text"),
+        # (size - size) not lit(0): NULL text must keep its NULL
+        # n_tokens_removed through the fast path too
+        F.when(untouched, (F.size(toks) - F.size(toks)).cast("long"))
+        .otherwise((F.size(toks) - F.size(kept)).cast("long"))
+        .alias("n_tokens_removed"),
+        F.when(untouched, F.array_join(toks, " "))
+        .otherwise(F.array_join(F.transform(kept, lambda s: s["t"]), " "))
+        .alias("cleaned_text"),
     )
 
 
